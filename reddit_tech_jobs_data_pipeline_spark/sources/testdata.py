@@ -1,0 +1,40 @@
+"""Readers for the driver's synthetic parquet tables (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file each under a sf directory.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reddit_tech_jobs_data_pipeline_spark.schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to
+        # read natively (PARQUET_TYPE_ILLEGAL). Read nanos as long and
+        # convert: ns -> µs truncation, matching DuckDB's ns->TIMESTAMP(µs).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view; returns the frames."""
+    out = {}
+    for name in TESTDATA_TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,90 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every catalog query on Spark and its oracle on DuckDB at the given
+SF dir, then compares row count, sorted-column schema shape, and an
+order-insensitive value comparison (sorted rows, stringified values).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+import __spark_entry__ as entry_mod
+from reddit_tech_jobs_data_pipeline_spark.schemas import TESTDATA_TABLES
+from reddit_tech_jobs_data_pipeline_spark.session import get_spark
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify everything (the driver hashes values; string form surfaces
+    # representation drift like 1.0-vs-1 or datetime-vs-date early)
+    out = df.copy()
+    for c in out.columns:
+        out[c] = out[c].map(lambda v: repr(v))
+    return out.sort_values(list(out.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("check_oracle")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf_dir, t + '.parquet')}'"
+        )
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_pd = sdf.toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(spark_pd)} rows")
+            continue
+        try:
+            duck_pd = con.sql(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        a, b = normalize(spark_pd), normalize(duck_pd)
+        if len(a) != len(b):
+            print(f"FAIL {name}: rowcount spark={len(a)} duck={len(b)}")
+            failures.append(name)
+            continue
+        if list(a.columns) != list(b.columns):
+            print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
+            failures.append(name)
+            continue
+        if not a.equals(b):
+            neq = (a != b).any(axis=1)
+            print(f"FAIL {name}: {int(neq.sum())}/{len(a)} rows differ; first diffs:")
+            merged = pd.concat(
+                [a[neq].head(3).add_suffix("_spark"), b[neq].head(3).add_suffix("_duck")], axis=1
+            )
+            print(merged.to_string())
+            failures.append(name)
+            continue
+        print(f"OK   {name}: {len(a)} rows")
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
