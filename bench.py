@@ -1,0 +1,74 @@
+"""Benchmark harness — times the headline catalog queries.
+
+Runs every query tagged as headline at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with the noop sink (full compute, no collect,
+no disk write) after a one-query JVM warm-up, so timings measure the
+query, not session startup or driver-side materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from reddit_tech_jobs_data_pipeline_spark.plans.catalog import get_registry
+from reddit_tech_jobs_data_pipeline_spark.session import get_spark
+
+# Heavier / representative queries; cheap scalar probes excluded.
+HEADLINE = [
+    "q1_pricing_summary",
+    "top_revenue_customers",
+    "running_total_window",
+    "d1_dedup_first_seen",
+    "d2_merge_upsert",
+    "events_per_day",
+    "p1_salary_extract",
+    "p5_technologies",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench")
+    reg = get_registry()
+    names = [n for n in HEADLINE if n in reg]
+
+    # JVM/codegen warm-up on the first headline query (untimed)
+    materialize(reg[names[0]].spark(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        materialize(reg[name].spark(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
