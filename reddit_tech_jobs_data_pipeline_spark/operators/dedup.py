@@ -1,0 +1,279 @@
+"""Deduplication operator family for corpus-scale pipelines.
+
+Generalizes the reference's two dedup mechanisms (D1 drop_duplicates,
+D2 keyed upsert — SURVEY.md §2.4) to the near-duplicate families a
+training-data pipeline needs at 100 TB:
+
+* exact       — content-hash groupBy (one shuffle on a 128-bit key)
+* ngram       — n-gram Jaccard via shingle inverted index (no O(n²) pairs:
+                candidates only for docs sharing a shingle)
+* minhash     — MinHash signatures + LSH banding (candidate pairs meet in
+                band buckets; verification join computes true Jaccard)
+* simhash     — per-bit majority fingerprint; near-dup = small Hamming dist
+* embedding   — cosine near-dup over vectors (see operators/similarity.py)
+
+Hashing is md5-based on purpose: engine-agnostic (bit-identical in any
+SQL engine for the DuckDB oracle) and stable across Spark versions —
+no dependence on Spark's murmur3 seeding.
+
+Scale notes: every family is one explode + one hash-partitioned shuffle +
+one (self-)join on a high-cardinality key. Shingle/band keys distribute
+uniformly (they are hashes), so no salting is needed; stop-shingle removal
+(drop shingles appearing in > max_df docs) bounds the worst-case bucket —
+that is the one real skew risk (boilerplate shingles shared by every doc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from reddit_tech_jobs_data_pipeline_spark.functions.extract import tokens
+from reddit_tech_jobs_data_pipeline_spark.functions.text import fingerprint
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str, canonical: bool = False) -> DataFrame:
+    """Keep one row per distinct text (lowest id survives — deterministic).
+
+    ``canonical=True`` dedups on the order/repetition-insensitive
+    fingerprint instead of the raw bytes' md5.
+    """
+    key = fingerprint(text_col) if canonical else F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    w = Window.partitionBy(key).orderBy(F.col(id_col).asc())
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+# ---------------------------------------------------------------------------
+# shingles
+# ---------------------------------------------------------------------------
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the token stream."""
+    toks = tokens(text)
+    k = F.size(toks) - (n - 1)
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        )
+    )
+
+
+def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, shingle) exploded pairs — the inverted-index edge list."""
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("shingle")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
+
+    Inverted-index plan: explode shingles → (optionally drop stop-shingles
+    with document frequency > max_df — the skew guard) → self-join on
+    shingle → count common shingles per pair → Jaccard from per-doc set
+    sizes. Only docs sharing ≥1 shingle ever meet, so cost is driven by
+    shingle co-occurrence, not n².
+    """
+    sh = _shingle_table(df, text_col, id_col, n)
+    if max_df is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        sh = sh.join(freq.filter(F.col("df_") <= max_df), "shingle").drop("df_")
+    sh = sh.cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, n: int = 3
+) -> DataFrame:
+    """(id, mh_0..mh_{k-1}) — per-doc MinHash signature.
+
+    Hash family: h_i(s) = md5(i || '|' || s), minimum taken in hex-string
+    order. One explode + one groupBy(id) with k min-aggregates (map-side
+    partial aggregation keeps the shuffle at k×32 bytes per doc).
+    Docs with no shingles get no signature (dropped — nothing to compare).
+    """
+    sh = _shingle_table(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Candidate pairs from LSH banding: signature split into ``bands``
+    bands of r = num_hashes/bands rows; docs sharing any band key meet.
+    Band key is md5 of the band's concatenated minhashes — uniform, so
+    the self-join key distributes evenly."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh_{b * r + j}") for j in range(r)])).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("id", *band_cols)
+    stacked = banded.select(
+        "id",
+        F.explode(
+            F.array(*[F.concat(F.lit(f"{b}:"), F.col(f"band_{b}")) for b in range(bands)])
+        ).alias("bkey"),
+    )
+    a = stacked.select(F.col("id").alias("id_a"), "bkey")
+    b = stacked.select(F.col("id").alias("id_b"), "bkey")
+    return (
+        a.join(b, "bkey").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup: signatures → banding → candidates →
+    exact-Jaccard verification of candidates only."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    cand = lsh_candidate_pairs(sig, num_hashes, bands)
+    sh = _shingle_table(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .join(cand, ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_bits(text: Column | str, width: int = 16) -> Column:
+    """SimHash fingerprint as an array<int> of ``width`` bits (hex-nibble
+    top-bit family: bit_j of token t = msb of nibble j of md5(t)).
+
+    Per-bit majority over the doc's distinct tokens: bit = 1 iff more
+    token-hashes set it than clear it. Expressed with higher-order array
+    functions only — md5 keeps it engine-agnostic for the oracle."""
+    assert 1 <= width <= 32
+    toks = F.array_distinct(tokens(text))
+    hashes = F.transform(toks, lambda t: F.md5(t))
+
+    def _vote(j: int):
+        # closure factory: a defaulted lambda param would change the lambda's
+        # arity and make PySpark bind aggregate's (absent) third argument
+        return lambda acc, h: acc + F.when(
+            F.substring(h, j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1
+        ).otherwise(-1)
+
+    bit_votes = [F.aggregate(hashes, F.lit(0), _vote(j)) for j in range(width)]
+    return F.array(*[F.when(v > 0, 1).otherwise(0) for v in bit_votes])
+
+
+def simhash_hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two bit arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.when(x != y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    width: int = 16,
+    band_bits: int = 4,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the fingerprint into width/band_bits
+    blocks (a pair within Hamming ≤ blocks-1 shares ≥1 identical block —
+    the pigeonhole banding used at scale), then verify exact Hamming."""
+    assert width % band_bits == 0
+    nbands = width // band_bits
+    base = df.select(F.col(id_col).alias("id"), simhash_bits(text_col, width).alias("bits"))
+    base = base.cache()
+    banded = base.select(
+        "id",
+        "bits",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "",
+                        F.lit(f"{b}:"),
+                        *[F.col("bits")[b * band_bits + j].cast("string") for j in range(band_bits)],
+                    ).alias(f"x{b}")
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("bkey"),
+    )
+    a = banded.select(F.col("id").alias("id_a"), F.col("bits").alias("bits_a"), "bkey")
+    b = banded.select(F.col("id").alias("id_b"), F.col("bits").alias("bits_b"), "bkey")
+    return (
+        a.join(b, "bkey")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", simhash_hamming(F.col("bits_a"), F.col("bits_b")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

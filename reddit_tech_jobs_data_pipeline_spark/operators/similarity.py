@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, same semantics:
+
+* brute-force — exact top-k by cosine: broadcast the (small) query set
+  against the corpus, one narrow shuffle for the per-query top-k window.
+  At 100 TB the corpus side stays partitioned; only queries broadcast.
+* bucketed ANN — sign-quantization LSH (axis-aligned hyperplanes at 0):
+  bucket key = sign bits of the first ``nbits`` components. Same-bucket
+  candidates only ⇒ the self-join/probe meets ~corpus/2^nbits rows per
+  query. Recall < 1 by design; raise nbits for smaller buckets or probe
+  neighboring buckets for higher recall. Deterministic and SQL-expressible
+  (the oracle runs the identical plan), unlike randomized-hyperplane LSH.
+
+All arithmetic is double-precision elementwise (cast from float up front)
+so results are engine-comparable after 4-dp rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dvec(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    Output: (query_id, neighbor_id, cosine) — self-matches excluded.
+    Ranking is by 4-dp-rounded cosine with neighbor-id tiebreak, making
+    the k-selection deterministic and oracle-comparable.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("cvec")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("__rn").alias("rank"))
+    )
+
+
+def sign_bucket(vec: Column, nbits: int = 8) -> Column:
+    """LSH bucket key: concatenated sign bits of the first nbits components."""
+    return F.concat_ws(
+        "", *[F.when(vec[i] >= 0, F.lit("1")).otherwise(F.lit("0")) for i in range(nbits)]
+    )
+
+
+def bucketed_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign bucket.
+
+    The equi-join on bucket key replaces the cross join — this is the
+    100 TB path: corpus bucketed once (writable as a bucketed table),
+    each query probes one bucket.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _dvec(F.col(vec_col)).alias("cvec"),
+        sign_bucket(F.col(vec_col), nbits).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _dvec(F.col(vec_col)).alias("qvec"),
+        sign_bucket(F.col(vec_col), nbits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("__rn").alias("rank"))
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t),
+    bucketed by sign-LSH so only same-bucket pairs are scored. Vectors
+    with cosine ≥ 0.95 almost always agree on high-|value| sign bits, so
+    recall loss concentrates near the threshold — the standard trade."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        _dvec(F.col(vec_col)).alias("v"),
+        sign_bucket(F.col(vec_col), nbits).alias("bucket"),
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,5 @@
+"""Query catalogs. Importing this package registers every catalog module
+into the shared REGISTRY (catalog = reference surface, catalog_scale =
+LLM-data-pipeline scale operators)."""
+
+from reddit_tech_jobs_data_pipeline_spark.plans import catalog, catalog_scale  # noqa: F401

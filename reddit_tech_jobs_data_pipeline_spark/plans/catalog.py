@@ -474,4 +474,7 @@ def running_total_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def get_registry() -> dict[str, QuerySpec]:
+    # import for side effect: registers the scale-extension catalog
+    from reddit_tech_jobs_data_pipeline_spark.plans import catalog_scale  # noqa: F401
+
     return dict(REGISTRY)

@@ -1,0 +1,383 @@
+"""Scale-extension catalog: dedup families, similarity search, text
+analysis — the LLM-data-pipeline operators (BASELINE.json north star),
+each with a DuckDB oracle replicating the same deterministic algorithm.
+
+Near-dup queries run on a corpus synthesized in-query (documents ∪
+perturbed copies of every 10th doc) because the driver's synthetic docs
+are word salads with no natural near-duplicates — the perturbed copies
+give the operators real positives to find, identically on both engines.
+
+MinHash / SimHash / banding oracles are generated SQL: same md5-based
+hash family, same band keys, same verification joins. That is the point —
+the algorithms are deterministic, so the oracle can replicate them
+exactly rather than approximate them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reddit_tech_jobs_data_pipeline_spark.functions import text as textfn
+from reddit_tech_jobs_data_pipeline_spark.operators import dedup, similarity
+from reddit_tech_jobs_data_pipeline_spark.plans.catalog import register, _t
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '')"
+
+# documents ∪ perturbed copies (id+100000, two tokens appended)
+_CORPUS_SQL = """
+  corpus AS (
+    SELECT doc_id AS id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS id, text || ' zz yy' AS text
+    FROM documents WHERE doc_id % 10 = 0
+  )
+"""
+
+# 3-gram shingle edge list over the corpus (distinct per doc)
+_SHINGLE_SQL = f"""
+  toks AS (SELECT id, {_TOKS} AS ws FROM corpus),
+  sh AS (
+    SELECT id, unnest(list_distinct(list_transform(
+      generate_series(1, greatest(length(ws) - 2, 0)),
+      i -> array_to_string(ws[i:i+2], ' ')))) AS shingle
+    FROM toks WHERE length(ws) >= 3
+  )
+"""
+
+
+def _corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"), "text")
+    copies = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("id"),
+            F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
+        )
+    )
+    return docs.unionByName(copies)
+
+
+# ===========================================================================
+# Text analysis — stats, quality, language ID, fingerprint
+# ===========================================================================
+
+_LANGS = sorted(textfn.DEFAULT_LANG_MARKERS)  # de, en, es, fr
+_STOP_SQL = "['" + "','".join(textfn.DEFAULT_STOPWORDS) + "']"
+
+
+def _lang_score_sql(code: str) -> str:
+    kws = "['" + "','".join(textfn.DEFAULT_LANG_MARKERS[code]) + "']"
+    return f"length(list_filter(ws, t -> list_contains({kws}, t)))"
+
+
+_LANG_CASE = f"""
+    CASE WHEN {" + ".join(_lang_score_sql(c) for c in _LANGS)} = 0 THEN 'und'
+         {"".join(
+            f"WHEN {_lang_score_sql(c)} >= greatest({', '.join(_lang_score_sql(o) for o in _LANGS[i+1:]) or '0'}) THEN '{c}' "
+            for i, c in enumerate(_LANGS[:-1])
+         )}
+         ELSE '{_LANGS[-1]}' END
+"""
+
+
+@register(
+    "text_stats",
+    f"""
+    WITH toks AS (SELECT doc_id, text, {_TOKS} AS ws FROM documents)
+    SELECT doc_id,
+      coalesce(length(text), 0) AS char_count,
+      length(ws) AS token_count,
+      length(regexp_extract_all(lower(coalesce(text,'')), '\\w{{1,4}}|[^\\w\\s]')) AS bpe_ish_tokens,
+      round(CASE WHEN length(ws) > 0
+            THEN length(list_filter(ws, t -> list_contains({_STOP_SQL}, t))) * 1.0 / length(ws)
+            ELSE 0.0 END, 4) AS stopword_ratio,
+      round(CASE WHEN coalesce(length(text),0) > 0
+            THEN length(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0 / length(text)
+            ELSE 0.0 END, 4) AS punct_ratio,
+      round(CASE WHEN length(ws) > 0
+            THEN list_aggregate(list_transform(ws, t -> length(t)), 'sum') * 1.0 / length(ws)
+            ELSE 0.0 END, 4) AS mean_token_len,
+      {_LANG_CASE} AS lang_pred
+    FROM toks
+    """,
+    tags=["text", "scale"],
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        textfn.char_count(t).alias("char_count"),
+        textfn.token_count(t).alias("token_count"),
+        F.coalesce(textfn.bpe_ish_token_count(t), F.lit(0)).alias("bpe_ish_tokens"),
+        F.round(textfn.stopword_ratio(t), 4).alias("stopword_ratio"),
+        F.round(textfn.punct_ratio(t), 4).alias("punct_ratio"),
+        F.round(textfn.mean_token_len(t), 4).alias("mean_token_len"),
+        textfn.lang_id(t).alias("lang_pred"),
+    )
+
+
+@register(
+    "quality_score_filter",
+    f"""
+    WITH toks AS (SELECT doc_id, text, {_TOKS} AS ws FROM documents),
+    scored AS (
+      SELECT doc_id,
+        (CASE WHEN length(ws) BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+        + (CASE WHEN length(ws) > 0 AND
+             length(list_filter(ws, t -> list_contains({_STOP_SQL}, t))) * 1.0 / length(ws) > 0.05
+           THEN 0.2 ELSE 0.0 END)
+        + (CASE WHEN coalesce(length(text),0) = 0 OR
+             length(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0 / length(text) < 0.2
+           THEN 0.2 ELSE 0.0 END)
+        + (CASE WHEN length(ws) > 0 AND
+             list_aggregate(list_transform(ws, t -> length(t)), 'sum') * 1.0 / length(ws)
+               BETWEEN 2.0 AND 12.0
+           THEN 0.2 ELSE 0.0 END) AS q
+      FROM toks
+    )
+    SELECT doc_id, round(q, 2) AS quality FROM scored WHERE q >= 0.6
+    """,
+    tags=["text", "filter", "scale"],
+)
+def quality_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    q = textfn.quality_score(F.col("text"))
+    return (
+        docs.select("doc_id", F.round(q, 2).alias("quality")).filter(F.col("quality") >= 0.6)
+    )
+
+
+@register(
+    "doc_fingerprint_dedup",
+    f"""
+    WITH {_CORPUS_SQL},
+    toks AS (SELECT id, {_TOKS} AS ws FROM corpus),
+    fp AS (
+      SELECT id, md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS fprint
+      FROM toks
+    )
+    SELECT id, fprint FROM (
+      SELECT id, fprint, row_number() OVER (PARTITION BY fprint ORDER BY id) AS rn
+      FROM fp
+    ) WHERE rn = 1
+    """,
+    tags=["dedup", "text", "scale"],
+)
+def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_df(spark, sf_dir)
+    out = dedup.exact_dedup(corpus, "text", "id", canonical=True)
+    return out.select("id", textfn.fingerprint("text").alias("fprint"))
+
+
+# ===========================================================================
+# Near-dup dedup: n-gram Jaccard / MinHash-LSH / SimHash
+# ===========================================================================
+
+_JACCARD_VERIFY_SQL = """
+  sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+  common AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    {candidate_filter}
+    GROUP BY a.id, b.id
+  ),
+  scored AS (
+    SELECT id_a, id_b,
+           round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.id = common.id_a
+    JOIN sizes sb ON sb.id = common.id_b
+  )
+"""
+
+
+@register(
+    "ngram_jaccard_near_dup",
+    f"""
+    WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
+    {_JACCARD_VERIFY_SQL.format(candidate_filter="")}
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.7
+    """,
+    tags=["dedup", "scale"],
+)
+def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_df(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(corpus, "text", "id", n=3, threshold=0.7)
+
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    r = num_hashes // bands
+    mh_aggs = ",\n      ".join(
+        f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(num_hashes)
+    )
+    band_keys = ",\n      ".join(
+        "md5(" + " || '|' || ".join(f"mh_{b * r + j}" for j in range(r)) + f") AS band_{b}"
+        for b in range(bands)
+    )
+    band_array = ", ".join(f"'{b}:' || band_{b}" for b in range(bands))
+    return f"""
+    sig AS (SELECT id, {mh_aggs} FROM sh GROUP BY id),
+    banded AS (SELECT id, {band_keys} FROM sig),
+    stacked AS (SELECT id, unnest([{band_array}]) AS bkey FROM banded),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM stacked a JOIN stacked b ON a.bkey = b.bkey AND a.id < b.id
+    )
+    """
+
+
+@register(
+    "minhash_lsh_near_dup",
+    f"""
+    WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
+    {_minhash_sql(16, 4)},
+    {_JACCARD_VERIFY_SQL.format(candidate_filter="JOIN cand ON cand.id_a = a.id AND cand.id_b = b.id")}
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.7
+    """,
+    tags=["dedup", "scale"],
+)
+def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_df(spark, sf_dir)
+    return dedup.minhash_lsh_dedup_pairs(
+        corpus, "text", "id", num_hashes=16, bands=4, n=3, threshold=0.7
+    )
+
+
+def _simhash_sql(width: int = 16, band_bits: int = 4, max_hamming: int = 2) -> str:
+    high = "('8','9','a','b','c','d','e','f')"
+    bit_exprs = ",\n      ".join(
+        f"""CASE WHEN list_aggregate(list_transform(hs,
+              h -> CASE WHEN substr(h, {j + 1}, 1) IN {high} THEN 1 ELSE -1 END),
+              'sum') > 0 THEN 1 ELSE 0 END AS bit_{j}"""
+        for j in range(width)
+    )
+    nbands = width // band_bits
+    band_array = ", ".join(
+        "'" + str(b) + ":' || "
+        + " || ".join(f"CAST(bit_{b * band_bits + j} AS VARCHAR)" for j in range(band_bits))
+        for b in range(nbands)
+    )
+    hamming = " + ".join(
+        f"CASE WHEN a.bit_{j} <> b.bit_{j} THEN 1 ELSE 0 END" for j in range(width)
+    )
+    return f"""
+    hashes AS (
+      SELECT id, list_transform(list_distinct(ws), t -> md5(t)) AS hs
+      FROM toks WHERE length(ws) > 0
+    ),
+    bits AS (SELECT id, {bit_exprs} FROM hashes),
+    sbanded AS (SELECT *, unnest([{band_array}]) AS bkey FROM bits),
+    spairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, {hamming} AS hamming
+      FROM sbanded a JOIN sbanded b ON a.bkey = b.bkey AND a.id < b.id
+    )
+    """
+
+
+@register(
+    "simhash_near_dup",
+    f"""
+    WITH {_CORPUS_SQL},
+    toks AS (SELECT id, {_TOKS} AS ws FROM corpus),
+    {_simhash_sql(16, 4)}
+    SELECT id_a, id_b, hamming FROM spairs WHERE hamming <= 2
+    """,
+    tags=["dedup", "scale"],
+)
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_df(spark, sf_dir)
+    return dedup.simhash_near_dup_pairs(
+        corpus, "text", "id", width=16, band_bits=4, max_hamming=2
+    )
+
+
+# ===========================================================================
+# Similarity search over embeddings
+# ===========================================================================
+
+_DVEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    WITH c AS (SELECT vec_id AS neighbor_id, {_DVEC} AS cvec FROM embeddings),
+    q AS (SELECT vec_id AS query_id, {_DVEC} AS qvec FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round({_cosine_sql("qvec", "cvec")}, 4) AS cosine
+      FROM c CROSS JOIN q WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    tags=["similarity", "scale"],
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _bucket_sql(nbits: int) -> str:
+    return " || ".join(
+        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(nbits)
+    )
+
+
+@register(
+    "ann_bucketed_topk",
+    f"""
+    WITH c AS (SELECT vec_id AS neighbor_id, {_DVEC} AS cvec,
+                      {_bucket_sql(6)} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS query_id, {_DVEC} AS qvec,
+                 {_bucket_sql(6)} AS bucket FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round({_cosine_sql("qvec", "cvec")}, 4) AS cosine
+      FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    tags=["similarity", "scale"],
+)
+def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.bucketed_ann_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, nbits=6)
+
+
+@register(
+    "embedding_near_dup",
+    f"""
+    WITH base AS (SELECT vec_id AS id, {_DVEC} AS v,
+                         {_bucket_sql(4)} AS bucket FROM embeddings)
+    SELECT a.id AS id_a, b.id AS id_b,
+           round({_cosine_sql("a.v", "b.v")}, 4) AS cosine
+    FROM base a JOIN b_alias b ON a.bucket = b.bucket AND a.id < b.id
+    WHERE round({_cosine_sql("a.v", "b.v")}, 4) >= 0.3
+    """.replace("b_alias", "base"),
+    tags=["similarity", "dedup", "scale"],
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.3, nbits=4)
