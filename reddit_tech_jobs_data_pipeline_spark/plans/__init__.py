@@ -2,4 +2,9 @@
 into the shared REGISTRY (catalog = reference surface, catalog_scale =
 LLM-data-pipeline scale operators)."""
 
-from reddit_tech_jobs_data_pipeline_spark.plans import catalog, catalog_scale  # noqa: F401
+from reddit_tech_jobs_data_pipeline_spark.plans import (  # noqa: F401
+    catalog,
+    catalog_analytics,
+    catalog_posts,
+    catalog_scale,
+)

@@ -474,7 +474,11 @@ def running_total_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def get_registry() -> dict[str, QuerySpec]:
-    # import for side effect: registers the scale-extension catalog
-    from reddit_tech_jobs_data_pipeline_spark.plans import catalog_scale  # noqa: F401
+    # import for side effect: registers the other catalog modules
+    from reddit_tech_jobs_data_pipeline_spark.plans import (  # noqa: F401
+        catalog_analytics,
+        catalog_posts,
+        catalog_scale,
+    )
 
     return dict(REGISTRY)

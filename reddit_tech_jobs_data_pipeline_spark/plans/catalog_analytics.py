@@ -1,0 +1,185 @@
+"""Analytics over the posts model + streaming + multimodal + JSON —
+the queries the reference's sink table exists to serve (SURVEY.md §2.5's
+engine-level surface: EP3 ad-hoc analytics), plus the streaming and
+multimodal operator entries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reddit_tech_jobs_data_pipeline_spark import pipeline
+from reddit_tech_jobs_data_pipeline_spark.operators import multimodal
+from reddit_tech_jobs_data_pipeline_spark.plans.catalog import _t, register
+from reddit_tech_jobs_data_pipeline_spark.plans.catalog_posts import _CORPUS_SQL, _titles_df
+from reddit_tech_jobs_data_pipeline_spark.streaming.events import (
+    run_windowed_counts_batchlike,
+)
+
+# Enriched-posts CTE (dedup + salary + position extraction only — the
+# slices these analytics need), shared by the oracle SQL below.
+_POSTS_SQL = f"""
+  {_CORPUS_SQL},
+  posts AS (
+    SELECT post_id, title, lower(title) AS lt,
+      CASE WHEN regexp_extract(lower(title), '([A-Za-z$€£]*)\\s*(\\d+(?:\\.\\d+)?)k\\s?-\\s?(\\d+(?:\\.\\d+)?)k', 2) <> ''
+           THEN CAST(regexp_extract(lower(title), '([A-Za-z$€£]*)\\s*(\\d+(?:\\.\\d+)?)k\\s?-\\s?(\\d+(?:\\.\\d+)?)k', 2) AS DOUBLE) * 1000
+      END AS lower_salary,
+      coalesce(
+        nullif(regexp_extract(title, '(?i)(Data\\s*Engineer|Machine\\s*Learning\\s*Engineer|AI\\s*Engineer|Software\\s*Engineer|Backend\\s*Engineer|Frontend\\s*Engineer|Fullstack\\s*Engineer|DevOps\\s*Engineer|Cloud\\s*Engineer|Data\\s*Scientist|Data\\s*Analyst|QA\\s*Engineer|Security\\s*Engineer|Research\\s*Scientist)', 1), ''),
+        nullif(regexp_extract(title, '(?i)(Engineer|Scientist|Manager|Developer|Architect|Analyst|Specialist|Director|Lead|Principal|Coordinator|Consultant|VP|Head)', 1), '')
+      ) AS job_position,
+      coalesce(
+        nullif(regexp_extract(title, '(?i)(Remote|Telecommute|Virtual|Home\\s*Office|Hybrid)', 1), ''),
+        nullif(regexp_extract(title, '(?i)(New\\s*York|San\\s*Francisco|California|London|Berlin|Toronto|Austin|Boston|Seattle|Chicago|Vancouver|Los\\s*Angeles|Dallas|Miami|Washington\\s*DC|Montreal|Paris|Singapore|Sydney|Zurich|Gdansk)', 1), ''),
+        nullif(regexp_extract(title, '(?i)(US|United\\s*States|Canada|UK|Germany|Australia|India|Singapore|Switzerland|France|Poland)', 1), '')
+      ) AS location,
+      list_filter(regexp_split_to_array(lower(title), '\\W+'), x -> x <> '') AS ws
+    FROM deduped
+  )
+"""
+
+_TECH_LIST_SQL = (
+    "['python','java','javascript','typescript','c++','c#','ruby','go','sql','rust',"
+    "'scala','react','angular','vue','django','flask','spring','tensorflow','pytorch',"
+    "'kubernetes','docker','aws','azure','gcp','terraform','jenkins','redis','mongodb',"
+    "'postgresql','mysql']"
+)
+
+
+def _posts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.enrich(
+        pipeline.dedup_first_seen(_titles_df(spark, sf_dir), ["post_id", "title"], "scrape_seq")
+    )
+
+
+@register(
+    "salary_percentiles_by_position",
+    f"""
+    WITH {_POSTS_SQL}
+    SELECT job_position,
+           count(lower_salary) AS n_salaries,
+           round(quantile_cont(lower_salary, 0.5), 2)  AS p50_salary,
+           round(quantile_cont(lower_salary, 0.9), 2)  AS p90_salary,
+           round(avg(lower_salary), 2)                 AS avg_salary
+    FROM posts
+    WHERE job_position IS NOT NULL AND lower_salary IS NOT NULL
+    GROUP BY job_position
+    """,
+    tags=["agg", "percentile"],
+)
+def salary_percentiles_by_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posts = _posts_df(spark, sf_dir)
+    return (
+        posts.filter(F.col("job_position").isNotNull() & F.col("lower_salary").isNotNull())
+        .groupBy("job_position")
+        .agg(
+            F.count("lower_salary").alias("n_salaries"),
+            F.round(F.expr("percentile(lower_salary, 0.5)"), 2).alias("p50_salary"),
+            F.round(F.expr("percentile(lower_salary, 0.9)"), 2).alias("p90_salary"),
+            F.round(F.avg("lower_salary"), 2).alias("avg_salary"),
+        )
+    )
+
+
+@register(
+    "technology_frequency",
+    f"""
+    WITH {_POSTS_SQL},
+    exploded AS (
+      SELECT unnest(list_filter({_TECH_LIST_SQL}::VARCHAR[],
+                    k -> list_contains(ws, k))) AS technology
+      FROM posts
+    )
+    SELECT technology, count(*) AS n_posts
+    FROM exploded GROUP BY technology
+    """,
+    tags=["agg", "array"],
+)
+def technology_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posts = _posts_df(spark, sf_dir)
+    return (
+        posts.select(F.explode("technologies").alias("technology"))
+        .groupBy("technology")
+        .agg(F.count(F.lit(1)).alias("n_posts"))
+    )
+
+
+@register(
+    "top_locations",
+    f"""
+    WITH {_POSTS_SQL}
+    SELECT location, count(*) AS n_posts
+    FROM posts WHERE location IS NOT NULL
+    GROUP BY location
+    ORDER BY n_posts DESC, location
+    LIMIT 5
+    """,
+    tags=["agg", "topk"],
+)
+def top_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posts = _posts_df(spark, sf_dir)
+    return (
+        posts.filter(F.col("location").isNotNull())
+        .groupBy("location")
+        .agg(F.count(F.lit(1)).alias("n_posts"))
+        .orderBy(F.col("n_posts").desc(), F.col("location"))
+        .limit(5)
+    )
+
+
+@register(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=["json", "agg"],
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.round(F.avg(k), 4).alias("avg_k")
+    )
+
+
+@register(
+    "streaming_window_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=["streaming"],
+)
+def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window agg run to completion over the
+    finite events input; semantics equal the batch GROUP BY, which is
+    exactly what the oracle asserts."""
+    return run_windowed_counts_batchlike(spark, sf_dir)
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id AS id,
+           (['image','audio','video'])[doc_id % 3 + 1] AS modality,
+           octet_length(encode(coalesce(text, ''))) AS n_bytes,
+           md5(coalesce(text, '')) AS content_md5
+    FROM documents
+    """,
+    tags=["multimodal", "scale"],
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: synthesize blobs from documents, extract
+    features via Arrow-batched mapInPandas (codec stubbed — see
+    operators/multimodal.py), compare the deterministic outputs."""
+    docs = _t(spark, sf_dir, "documents")
+    blobs = multimodal.synthesize_blobs(docs)
+    feats = multimodal.decode_features(blobs)
+    return feats.select("id", "modality", "n_bytes", "content_md5")

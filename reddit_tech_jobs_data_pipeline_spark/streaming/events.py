@@ -1,0 +1,117 @@
+"""Structured Streaming over the events table.
+
+The reference's ingestion is micro-batch incremental with a sink-derived
+watermark (SURVEY.md §1.1) — the batch analog of exactly this module:
+``readStream → withWatermark → windowed agg / foreachBatch merge``.
+
+Scale notes: file-source streaming with ``maxFilesPerTrigger`` gives
+bounded micro-batches; the windowed aggregation state is keyed by
+(window, event_type) — bounded cardinality, safe state store growth;
+the watermark bounds state retention for late data. The foreachBatch
+merge reuses the engine's last-writer-wins upsert so the gold table gets
+the same idempotence ON CONFLICT gave the reference.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.parquet carries TIMESTAMP(NANOS); streamed with nanosAsLong then
+# converted (same policy as sources/testdata.py).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file streaming sources require a directory: stream the sf dir with a
+    # glob filter selecting only the events file
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts/sums per event_type with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_windowed_counts_batchlike(
+    spark: SparkSession, sf_dir: str, name: str = "stream_window_counts"
+) -> DataFrame:
+    """Run the streaming aggregation to completion over the finite input
+    (availableNow trigger, complete mode into a memory sink) and return
+    the result as a normal DataFrame. Used by the catalog so the driver
+    can oracle-check streaming semantics against batch SQL."""
+    agg = windowed_counts(read_events_stream(spark, sf_dir))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # materialize before the memory sink table goes stale
+    out = spark.table(name).cache()
+    out.count()
+    q.stop()
+    return out
+
+
+def stream_upsert_to_gold(
+    spark: SparkSession,
+    sf_dir: str,
+    gold_path: str,
+    checkpoint: str,
+) -> None:
+    """foreachBatch merge: each micro-batch last-writer-wins-upserted into
+    the gold parquet by event_id — the streaming version of the
+    reference's ON CONFLICT loop (dags/dag.py:380-421)."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.merge import merge_upsert
+
+    events = read_events_stream(spark, sf_dir)
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        try:
+            old = sp.read.parquet(gold_path)
+        except Exception:  # first batch: no gold yet  # noqa: BLE001
+            old = batch.limit(0)
+        merged = merge_upsert(old, batch, ["event_id"], "ts")
+        merged.write.mode("overwrite").parquet(gold_path + "_tmp")
+        sp.read.parquet(gold_path + "_tmp").write.mode("overwrite").parquet(gold_path)
+
+    q = (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,119 @@
+"""Tests for the scale-extension operators: dedup families, similarity,
+multimodal plumbing, streaming."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_tech_jobs_data_pipeline_spark.functions import text as textfn
+from reddit_tech_jobs_data_pipeline_spark.operators import dedup, multimodal, similarity
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today extra"),  # near-dup of 1
+    (3, "completely different text about spark query engines and distributed joins"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "id long, text string")
+
+
+class TestExactDedup:
+    def test_keeps_lowest_id(self, spark):
+        out = dedup.exact_dedup(_docs(spark), "text", "id")
+        assert sorted(r.id for r in out.collect()) == [1, 2, 3]
+
+
+class TestNgramJaccard:
+    def test_near_dup_found(self, spark):
+        pairs = dedup.ngram_jaccard_pairs(_docs(spark), "text", "id", n=3, threshold=0.7)
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        assert (1, 2) in got and (1, 4) in got and (2, 4) in got
+        assert not any(3 in p for p in got)
+
+    def test_exact_dup_jaccard_one(self, spark):
+        pairs = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(_docs(spark), "text", "id").collect()
+        }
+        assert pairs[(1, 4)] == 1.0
+
+
+class TestMinhashLSH:
+    def test_finds_near_dups_not_distinct(self, spark):
+        pairs = dedup.minhash_lsh_dedup_pairs(
+            _docs(spark), "text", "id", num_hashes=16, bands=4, threshold=0.5
+        )
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        assert (1, 4) in got  # identical docs always collide in every band
+        assert not any(3 in p for p in got)
+
+
+class TestSimhash:
+    def test_identical_docs_hamming_zero(self, spark):
+        pairs = dedup.simhash_near_dup_pairs(_docs(spark), "text", "id", max_hamming=3)
+        ham = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+        assert ham.get((1, 4)) == 0
+
+
+class TestSimilarity:
+    def _emb(self, spark):
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0, 0.0]),   # closest to 1
+            (3, [0.0, 1.0, 0.0, 0.0]),
+            (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 1
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_brute_force_topk(self, spark):
+        emb = self._emb(spark)
+        out = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") == 1), k=2)
+        rows = sorted(out.collect(), key=lambda r: r.rank)
+        assert [r.neighbor_id for r in rows] == [2, 3]
+        assert rows[0].cosine == pytest.approx(0.9939, abs=1e-4)
+
+    def test_bucketed_ann_same_bucket_only(self, spark):
+        emb = self._emb(spark)
+        out = similarity.bucketed_ann_topk(emb, emb.filter(F.col("vec_id") == 1), k=3, nbits=1)
+        # nbits=1 buckets on sign of component 0: vec 4 (negative) excluded
+        assert sorted(r.neighbor_id for r in out.collect()) == [2, 3]
+
+
+class TestMultimodal:
+    def test_decode_features_plumbing(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "hello", "en", "s1", 5), (2, None, "en", "s2", 0)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        blobs = multimodal.synthesize_blobs(docs)
+        feats = {r.id: r for r in multimodal.decode_features(blobs).collect()}
+        import hashlib
+
+        assert feats[1].n_bytes == 5
+        assert feats[1].content_md5 == hashlib.md5(b"hello").hexdigest()
+        assert len(feats[1].feature) == 4
+        assert all(0 <= x <= 1 for x in feats[1].feature)
+        assert feats[2].n_bytes == 0  # NULL text -> empty payload
+
+    def test_real_decode_is_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.real_decode(b"bytes", "image")
+
+
+class TestTextFunctions:
+    def test_lang_id_markers(self, spark):
+        df = spark.createDataFrame(
+            [("the cat and the dog is here",), ("der hund ist nicht hier",), ("xyz qqq",)],
+            "text string",
+        )
+        out = [r[0] for r in df.select(textfn.lang_id("text").alias("v")).collect()]
+        assert out == ["en", "de", "und"]
+
+    def test_fingerprint_order_insensitive(self, spark):
+        df = spark.createDataFrame([("b a c",), ("c b a",), ("a b d",)], "text string")
+        fps = [r[0] for r in df.select(textfn.fingerprint("text").alias("v")).collect()]
+        assert fps[0] == fps[1] != fps[2]
