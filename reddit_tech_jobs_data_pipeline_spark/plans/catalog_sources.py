@@ -1,0 +1,132 @@
+"""Source-side operators as oracle-checked queries: HTML record parse
+(S2/S5/S4), ISO-8601 serialization casts (P7), and permissive
+corrupt-record quarantine (F5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reddit_tech_jobs_data_pipeline_spark.plans.catalog import _t, register
+from reddit_tech_jobs_data_pipeline_spark.sources.html_parse import drop_pinned, parse_post_records
+
+# deterministic HTML synthesis from documents — same construction on both
+# engines; every 25th record is the pinned/stickied one (S5)
+_HTML_SQL = """
+  '<div class="thing" data-fullname="t3_' || CAST(doc_id AS VARCHAR) || '"'
+  || CASE WHEN doc_id % 25 = 0 THEN ' data-stickied="true"' ELSE '' END
+  || ' data-author="user' || CAST(doc_id % 50 AS VARCHAR)
+  || '" data-timestamp="' || CAST(1704067200000 + doc_id * 3600000 AS VARCHAR)
+  || '" data-score="' || CAST(n_chars AS VARCHAR)
+  || '"><p class="title"><a class="title" href="https://ex.am/p/' || CAST(doc_id AS VARCHAR)
+  || '">' || substr(coalesce(text, ''), 1, 40)
+  || '</a></p><a class="comments">' || CAST(doc_id % 40 AS VARCHAR) || ' comments</a></div>'
+"""
+
+
+def _html_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    d, n = F.col("doc_id"), F.col("n_chars")
+    html = F.concat(
+        F.lit('<div class="thing" data-fullname="t3_'), d.cast("string"), F.lit('"'),
+        F.when(d % 25 == 0, F.lit(' data-stickied="true"')).otherwise(F.lit("")),
+        F.lit(' data-author="user'), (d % 50).cast("string"),
+        F.lit('" data-timestamp="'), (F.lit(1704067200000) + d * 3600000).cast("string"),
+        F.lit('" data-score="'), n.cast("string"),
+        F.lit('"><p class="title"><a class="title" href="https://ex.am/p/'), d.cast("string"),
+        F.lit('">'), F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40),
+        F.lit('</a></p><a class="comments">'), (d % 40).cast("string"),
+        F.lit(" comments</a></div>"),
+    )
+    return docs.select(html.alias("html"))
+
+
+@register(
+    "html_record_parse",
+    f"""
+    WITH pages AS (SELECT {_HTML_SQL} AS html FROM documents),
+    parsed AS (
+      SELECT
+        nullif(regexp_extract(html, 'data-fullname="([^"]*)"', 1), '') AS post_id,
+        nullif(regexp_extract(html, '<a[^>]*class="title"[^>]*>([^<]*)</a>', 1), '') AS title,
+        nullif(regexp_extract(html, '<a[^>]*class="title"[^>]*href="([^"]*)"', 1), '') AS url,
+        nullif(regexp_extract(html, 'data-author="([^"]*)"', 1), '') AS author,
+        CAST(regexp_extract(html, 'data-timestamp="([^"]*)"', 1) AS BIGINT) AS ts_ms,
+        CAST(regexp_extract(html, 'data-score="([^"]*)"', 1) AS INTEGER) AS upvotes,
+        CASE WHEN regexp_extract(trim(regexp_extract(html, '<a[^>]*class="comments"[^>]*>([^<]*)</a>', 1)), '^(\\S+)', 1) ~ '^\\d+$'
+             THEN CAST(regexp_extract(trim(regexp_extract(html, '<a[^>]*class="comments"[^>]*>([^<]*)</a>', 1)), '^(\\S+)', 1) AS INTEGER)
+             ELSE 0 END AS comments_count,
+        (regexp_extract(html, 'data-stickied="([^"]*)"', 1) = 'true') AS is_pinned
+      FROM pages
+    )
+    SELECT post_id, title, url, author, ts_ms,
+           strftime(epoch_ms(ts_ms), '%Y-%m-%dT%H:%M:%S') || 'Z' AS created_iso,
+           upvotes, comments_count
+    FROM parsed
+    WHERE NOT coalesce(is_pinned, false)
+      AND ts_ms >= 1704067200000 + 100 * 3600000
+    """,
+    tags=["source", "regex"],
+)
+def html_record_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 HTML field extraction + S5 pinned skip + S4 watermark bound +
+    P7 ISO serialization — the whole scrape-parse stage, set-oriented."""
+    from reddit_tech_jobs_data_pipeline_spark.functions.extract import ts_to_iso
+
+    parsed = parse_post_records(_html_df(spark, sf_dir))
+    out = drop_pinned(parsed)
+    wm_ms = 1704067200000 + 100 * 3600000
+    return (
+        out.withColumn("ts_ms", F.unix_millis("created_datetime"))
+        .filter(F.col("ts_ms") >= wm_ms)
+        .select(
+            "post_id",
+            "title",
+            "url",
+            "author",
+            "ts_ms",
+            ts_to_iso(F.col("created_datetime")).alias("created_iso"),
+            "upvotes",
+            "comments_count",
+        )
+    )
+
+
+@register(
+    "corrupt_record_quarantine",
+    """
+    WITH raw AS (
+      SELECT event_type,
+             CASE WHEN event_id % 13 = 0 THEN '{bad' ELSE props END AS props_raw
+      FROM events
+    ),
+    parsed AS (
+      SELECT event_type,
+             CASE WHEN json_valid(props_raw)
+                  THEN json_extract_string(props_raw, '$.k') END AS k
+      FROM raw
+    )
+    SELECT event_type,
+           count(*) FILTER (WHERE k IS NOT NULL) AS n_valid,
+           count(*) FILTER (WHERE k IS NULL)     AS n_quarantined,
+           CAST(sum(CAST(k AS INTEGER)) AS BIGINT) AS sum_k
+    FROM parsed GROUP BY event_type
+    """,
+    tags=["filter", "quality"],
+)
+def corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — per-row error tolerance as a quarantine split instead of the
+    reference's silent try/except skips (dag.py:270-272,417-419): corrupt
+    payloads are counted aside, never dropped silently."""
+    ev = _t(spark, sf_dir, "events")
+    raw = ev.withColumn(
+        "props_raw",
+        F.when(F.col("event_id") % 13 == 0, F.lit("{bad")).otherwise(F.col("props")),
+    )
+    parsed = raw.withColumn("k", F.get_json_object("props_raw", "$.k"))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.when(F.col("k").isNotNull(), 1)).alias("n_valid"),
+        F.count(F.when(F.col("k").isNull(), 1)).alias("n_quarantined"),
+        F.sum(F.col("k").cast("int")).alias("sum_k"),
+    )

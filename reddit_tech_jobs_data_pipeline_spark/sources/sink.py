@@ -1,0 +1,68 @@
+"""Gold-table sink: DDL bootstrap + date-partitioned parquet layout.
+
+Replaces the reference's Postgres DDL + btree index (S7, dags/dag.py:490-514):
+the ``created_date`` partition column + parquet column statistics serve the
+same access pattern the ``idx_posts_created_datetime`` index served —
+watermark probes (max over recent partitions) and recency filters prune to
+a handful of partitions instead of scanning the table.
+
+At 100 TB: daily partitions keep rewrite units bounded (see
+operators/merge.upsert_partitioned); a second-level bucket-by on the merge
+key (post_id) would additionally make upsert joins shuffle-free — noted
+here because vanilla parquet tables only support bucketing through the
+catalog (``bucketBy`` + saveAsTable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reddit_tech_jobs_data_pipeline_spark.operators.merge import merge_upsert
+
+PARTITION_COL = "created_date"
+
+
+def ensure_gold_table(spark: SparkSession, path: str, name: str = "posts_gold") -> None:
+    """CREATE TABLE IF NOT EXISTS analog (S7): external parquet table
+    partitioned by date, registered in the session catalog."""
+    spark.sql(
+        f"""
+        CREATE TABLE IF NOT EXISTS {name} (
+          post_id STRING, title STRING, url STRING, text STRING,
+          author STRING, subreddit STRING, created_datetime TIMESTAMP,
+          upvotes INT, comments_count INT, salary_currency STRING,
+          lower_salary DOUBLE, upper_salary DOUBLE, job_position STRING,
+          location STRING, field STRING, technologies ARRAY<STRING>,
+          ingest_ts TIMESTAMP, {PARTITION_COL} DATE
+        )
+        USING parquet
+        PARTITIONED BY ({PARTITION_COL})
+        LOCATION '{path}'
+        """
+    )
+
+
+def with_partition_col(df: DataFrame, ts_col: str = "created_datetime") -> DataFrame:
+    return df.withColumn(PARTITION_COL, F.to_date(F.col(ts_col)))
+
+
+def write_gold(df: DataFrame, path: str) -> None:
+    """Initial/full write of the partitioned layout."""
+    (
+        with_partition_col(df)
+        .write.mode("overwrite")
+        .partitionBy(PARTITION_COL)
+        .parquet(path)
+    )
+
+
+def upsert_gold(spark: SparkSession, path: str, new: DataFrame, version_col: str = "ingest_ts") -> None:
+    """S8/D2 — keyed last-writer-wins upsert touching ONLY the partitions
+    present in the incoming batch (dynamic partition overwrite)."""
+    new = with_partition_col(new)
+    touched = [r[0] for r in new.select(PARTITION_COL).distinct().collect()]
+    old = spark.read.parquet(path).filter(F.col(PARTITION_COL).isin(touched))
+    merged = merge_upsert(old, new, ["post_id"], version_col)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    merged.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(path)
