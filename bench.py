@@ -33,6 +33,12 @@ HEADLINE = [
     "events_per_day",
     "p1_salary_extract",
     "p5_technologies",
+    "posts_pipeline_e2e",
+    "json_props_extract",
+    "streaming_window_counts",
+    "minhash_lsh_near_dup",
+    "ann_cosine_topk",
+    "text_stats",
 ]
 
 

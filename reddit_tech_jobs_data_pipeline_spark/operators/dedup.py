@@ -134,6 +134,10 @@ def minhash_signatures(
     Docs with no shingles get no signature (dropped — nothing to compare).
     """
     sh = _shingle_table(df, text_col, id_col, n)
+    return minhash_signatures_from_shingles(sh, num_hashes)
+
+
+def minhash_signatures_from_shingles(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
         for i in range(num_hashes)
@@ -178,16 +182,20 @@ def minhash_lsh_dedup_pairs(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup: signatures → banding → candidates →
-    exact-Jaccard verification of candidates only."""
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, n)
-    cand = lsh_candidate_pairs(sig, num_hashes, bands)
+    exact-Jaccard verification of candidates only.
+
+    The shingle table is computed once and cached (feeds both the
+    signature aggregation and the verification). Verification joins the
+    (few) candidate pairs out to their shingles — candidates × shingle
+    equi-join — instead of materializing every shingle-co-occurring pair
+    first; at scale the candidate set is orders of magnitude smaller."""
     sh = _shingle_table(df, text_col, id_col, n).cache()
+    sig = minhash_signatures_from_shingles(sh, num_hashes)
+    cand = lsh_candidate_pairs(sig, num_hashes, bands)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
     common = (
-        a.join(b, "shingle")
-        .join(cand, ["id_a", "id_b"], "left_semi")
+        cand.join(sh.withColumnsRenamed({"id": "id_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b"}), ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
