@@ -8,4 +8,5 @@ from reddit_tech_jobs_data_pipeline_spark.plans import (  # noqa: F401
     catalog_posts,
     catalog_sources,
     catalog_scale,
+    catalog_sql,
 )

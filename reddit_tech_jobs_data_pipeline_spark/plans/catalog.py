@@ -480,6 +480,7 @@ def get_registry() -> dict[str, QuerySpec]:
         catalog_posts,
         catalog_scale,
         catalog_sources,
+        catalog_sql,
     )
 
     return dict(REGISTRY)

@@ -1,0 +1,278 @@
+"""Ad-hoc SQL analytics surface (SURVEY §3 EP3): the reference ships a
+Postgres sink + pgAdmin precisely so users can run arbitrary SQL over it.
+This module proves the engine's coverage of that surface — grouping sets,
+pivot, set operations, semi/anti joins, correlated and scalar subqueries,
+HAVING, string/date function batteries — plus the salted two-phase
+aggregation pattern (the skew-mitigation rewrite, proven equivalent to the
+plain aggregation by its oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reddit_tech_jobs_data_pipeline_spark.plans.catalog import _t, register
+
+
+@register(
+    "rollup_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=["agg", "grouping-sets"],
+)
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+    )
+
+
+@register(
+    "cube_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=["agg", "grouping-sets"],
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+    )
+
+
+@register(
+    "pivot_lineitem_status",
+    """
+    SELECT l_returnflag,
+           round(coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 0), 2) AS qty_o,
+           round(coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0), 2) AS qty_f
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=["pivot"],
+)
+def pivot_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+        .select(
+            "l_returnflag",
+            F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_o"),
+            F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_f"),
+        )
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=["join", "anti"],
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "active_suppliers_semi",
+    """
+    SELECT s_suppkey, s_name FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 45
+    )
+    """,
+    tags=["join", "semi"],
+)
+def active_suppliers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return sup.join(li, sup.s_suppkey == li.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@register(
+    "brand_type_intersect",
+    """
+    SELECT p_brand FROM part WHERE p_type = 'PROMO'
+    INTERSECT
+    SELECT p_brand FROM part WHERE p_type = 'ECONOMY'
+    """,
+    tags=["setop"],
+)
+def brand_type_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    promo = part.filter(F.col("p_type") == "PROMO").select("p_brand")
+    econ = part.filter(F.col("p_type") == "ECONOMY").select("p_brand")
+    return promo.intersect(econ)
+
+
+@register(
+    "brand_type_except",
+    """
+    SELECT p_brand FROM part WHERE p_type = 'PROMO'
+    EXCEPT
+    SELECT p_brand FROM part WHERE p_type = 'ECONOMY'
+    """,
+    tags=["setop"],
+)
+def brand_type_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    promo = part.filter(F.col("p_type") == "PROMO").select("p_brand")
+    econ = part.filter(F.col("p_type") == "ECONOMY").select("p_brand")
+    # subtract == EXCEPT (set semantics); exceptAll would keep surplus
+    # duplicate occurrences and diverge from SQL EXCEPT
+    return promo.subtract(econ)
+
+
+@register(
+    "orders_above_customer_avg",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 1.5 * (
+      SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+    )
+    """,
+    tags=["subquery", "correlated"],
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — decorrelated by Catalyst into an
+    aggregate + join; expressed here as the equivalent window rewrite
+    (one shuffle on the correlation key, no rescan)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+@register(
+    "parts_above_avg_price",
+    """
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+    """,
+    tags=["subquery", "scalar"],
+)
+def parts_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    part.createOrReplaceTempView("__part_sq")
+    return spark.sql(
+        "SELECT p_partkey, p_name FROM __part_sq "
+        "WHERE p_retailprice > (SELECT avg(p_retailprice) FROM __part_sq)"
+    )
+
+
+@register(
+    "supplier_having",
+    """
+    SELECT l_suppkey, count(*) AS n_items, round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING count(*) > 100
+    """,
+    tags=["agg", "having"],
+)
+def supplier_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .filter(F.col("n_items") > 100)
+    )
+
+
+@register(
+    "string_date_battery",
+    """
+    SELECT o_orderkey,
+           upper(o_orderpriority)                         AS prio_upper,
+           substr(o_orderpriority, 1, 1)                  AS prio_code,
+           replace(o_orderpriority, '-', '_')             AS prio_repl,
+           length(o_orderpriority)                        AS prio_len,
+           lpad(CAST(o_orderkey AS VARCHAR), 12, '0')     AS key_padded,
+           CAST(year(o_orderdate) AS INTEGER)             AS y,
+           CAST(month(o_orderdate) AS INTEGER)            AS m,
+           CAST(day(o_orderdate) AS INTEGER)              AS d,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS INTEGER) AS days_to_y2k
+    FROM orders WHERE o_orderkey % 11 = 0
+    """,
+    tags=["projection", "string", "time"],
+)
+def string_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    return orders.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias("prio_repl"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("key_padded"),
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(F.lit("2000-01-01"), F.col("o_orderdate")).alias("days_to_y2k"),
+    )
+
+
+@register(
+    "salted_agg_equivalence",
+    """
+    SELECT l_returnflag, round(sum(l_extendedprice), 2) AS total, count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=["agg", "skew"],
+)
+def salted_agg_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation pattern: salt the hot key 16 ways, partially
+    aggregate per (key, salt), then re-aggregate per key. The oracle is
+    the PLAIN aggregation — proving the rewrite is semantics-preserving.
+    (With AQE skew handling on, Spark does this automatically for joins;
+    the manual salt remains the tool for skewed aggregations.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    salted = li.withColumn("__salt", F.pmod(F.col("l_orderkey"), F.lit(16)))
+    partial = salted.groupBy("l_returnflag", "__salt").agg(
+        F.sum("l_extendedprice").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.round(F.sum("s"), 2).alias("total"), F.sum("c").alias("n")
+    )
