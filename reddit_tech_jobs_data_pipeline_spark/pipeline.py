@@ -20,10 +20,23 @@ from reddit_tech_jobs_data_pipeline_spark.functions import extract
 
 def dedup_first_seen(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
     """D1 — ``drop_duplicates(subset=keys)`` with pandas keep='first'
-    semantics made deterministic: survivor = lowest ``order_col``
-    (dag.py:322; SURVEY.md §7.4.6)."""
-    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc_nulls_last())
-    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    semantics made deterministic: survivor = row with lowest ``order_col``
+    (dag.py:322; SURVEY.md §7.4.6).
+
+    Implemented as ``min_by(struct(payload), order)`` aggregation rather
+    than a row_number window: the aggregate gets map-side partial
+    combining (each upstream task pre-reduces its duplicates), so the
+    shuffle carries one row per key per task instead of every duplicate,
+    and no per-key sort is needed. At 100 TB with heavy duplication that
+    is the difference between shuffling the corpus and shuffling the
+    distinct keys. Requires non-null ``order_col`` (min_by ignores
+    null-ordered rows)."""
+    others = [c for c in df.columns if c not in keys]
+    packed = df.groupBy(*keys).agg(
+        F.min_by(F.struct(*others), F.col(order_col)).alias("__s")
+    )
+    unpacked = packed.select(*keys, *[F.col(f"__s.{c}").alias(c) for c in others])
+    return unpacked.select(*df.columns)
 
 
 def enrich(df: DataFrame, title_col: str = "title") -> DataFrame:

@@ -8,5 +8,6 @@ from reddit_tech_jobs_data_pipeline_spark.plans import (  # noqa: F401
     catalog_posts,
     catalog_sources,
     catalog_scale,
+    catalog_sessions,
     catalog_sql,
 )

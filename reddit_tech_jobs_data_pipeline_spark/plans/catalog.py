@@ -479,6 +479,7 @@ def get_registry() -> dict[str, QuerySpec]:
         catalog_analytics,
         catalog_posts,
         catalog_scale,
+        catalog_sessions,
         catalog_sources,
         catalog_sql,
     )
