@@ -117,6 +117,19 @@ def lang_id(
     return F.when(best["score"] > 0, best["code"]).otherwise(F.lit("und"))
 
 
+def rolling_fingerprint(text: ColumnOrName, mod: int = 1_000_000_007) -> Column:
+    """Order-sensitive polynomial rolling hash over the token stream
+    (Rabin-Karp style): fold (acc*31 + h(token)) mod p, with h(token) the
+    first 32 bits of md5 — engine-agnostic (md5 + integer fold reproduce
+    bit-identically in any SQL engine). Distinguishes reorderings that the
+    canonical ``fingerprint`` deliberately collapses. Empty/NULL -> 0."""
+    toks = tokens(text)
+    th = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")  # noqa: E731
+    return F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: (acc * 31 + th(t)) % F.lit(mod)
+    )
+
+
 def fingerprint(text: ColumnOrName) -> Column:
     """Canonical document fingerprint: md5 over the sorted distinct token
     set — robust to word order and repetition, the cheap exact-near-dup

@@ -67,7 +67,7 @@ def brute_force_topk(
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
-        .select("query_id", "neighbor_id", "cosine", F.col("__rn").alias("rank"))
+        .select("query_id", "neighbor_id", "cosine", F.col("__rn").cast("long").alias("rank"))
     )
 
 
@@ -115,7 +115,7 @@ def bucketed_ann_topk(
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
-        .select("query_id", "neighbor_id", "cosine", F.col("__rn").alias("rank"))
+        .select("query_id", "neighbor_id", "cosine", F.col("__rn").cast("long").alias("rank"))
     )
 
 

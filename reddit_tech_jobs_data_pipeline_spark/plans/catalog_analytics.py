@@ -182,4 +182,6 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     blobs = multimodal.synthesize_blobs(docs)
     feats = multimodal.decode_features(blobs)
-    return feats.select("id", "modality", "n_bytes", "content_md5")
+    return feats.select(
+        "id", "modality", F.col("n_bytes").cast("long").alias("n_bytes"), "content_md5"
+    )

@@ -113,9 +113,9 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     return docs.select(
         "doc_id",
-        textfn.char_count(t).alias("char_count"),
-        textfn.token_count(t).alias("token_count"),
-        F.coalesce(textfn.bpe_ish_token_count(t), F.lit(0)).alias("bpe_ish_tokens"),
+        textfn.char_count(t).cast("long").alias("char_count"),
+        textfn.token_count(t).cast("long").alias("token_count"),
+        F.coalesce(textfn.bpe_ish_token_count(t), F.lit(0)).cast("long").alias("bpe_ish_tokens"),
         F.round(textfn.stopword_ratio(t), 4).alias("stopword_ratio"),
         F.round(textfn.punct_ratio(t), 4).alias("punct_ratio"),
         F.round(textfn.mean_token_len(t), 4).alias("mean_token_len"),
@@ -174,6 +174,27 @@ def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus_df(spark, sf_dir)
     out = dedup.exact_dedup(corpus, "text", "id", canonical=True)
     return out.select("id", textfn.fingerprint("text").alias("fprint"))
+
+
+@register(
+    "rolling_fingerprint_hash",
+    f"""
+    WITH {_CORPUS_SQL},
+    toks AS (SELECT id, {_TOKS} AS ws FROM corpus)
+    SELECT id,
+      CAST(list_reduce(
+        list_prepend(CAST(0 AS UBIGINT),
+          list_transform(ws, t -> ('0x' || substr(md5(t), 1, 8))::UBIGINT)),
+        (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS rhash
+    FROM toks
+    """,
+    tags=["text", "fingerprint", "scale"],
+)
+def rolling_fingerprint_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive Rabin-Karp rolling hash; the oracle folds the
+    identical (md5-derived, mod-p) recurrence via list_reduce."""
+    corpus = _corpus_df(spark, sf_dir)
+    return corpus.select("id", textfn.rolling_fingerprint("text").alias("rhash"))
 
 
 # ===========================================================================

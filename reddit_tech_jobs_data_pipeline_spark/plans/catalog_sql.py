@@ -244,7 +244,7 @@ def string_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("o_orderpriority").alias("prio_upper"),
         F.substring("o_orderpriority", 1, 1).alias("prio_code"),
         F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias("prio_repl"),
-        F.length("o_orderpriority").alias("prio_len"),
+        F.length("o_orderpriority").cast("long").alias("prio_len"),
         F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("key_padded"),
         F.year("o_orderdate").alias("y"),
         F.month("o_orderdate").alias("m"),
