@@ -10,4 +10,5 @@ from reddit_tech_jobs_data_pipeline_spark.plans import (  # noqa: F401
     catalog_scale,
     catalog_sessions,
     catalog_sql,
+    catalog_tpch,
 )
