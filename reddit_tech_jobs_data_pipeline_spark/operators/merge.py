@@ -71,12 +71,21 @@ def upsert_partitioned(
     touched = [r[0] for r in new.select(partition_col).distinct().collect()]
     old = spark.read.parquet(spark_table_path).filter(F.col(partition_col).isin(touched))
     merged = merge_upsert(old, new, keys, version_col)
+    # stage-then-swap: never overwrite a path the same plan still reads
+    # (file deletion would race the lazy scan)
+    staging = spark_table_path.rstrip("/") + "__staging"
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
     (
-        merged.write.mode("overwrite")
+        spark.read.parquet(staging)
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(spark_table_path)
     )
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    spark.catalog.refreshByPath(spark_table_path)
 
 
 def watermark_lower_bound(

@@ -59,10 +59,37 @@ def write_gold(df: DataFrame, path: str) -> None:
 
 def upsert_gold(spark: SparkSession, path: str, new: DataFrame, version_col: str = "ingest_ts") -> None:
     """S8/D2 — keyed last-writer-wins upsert touching ONLY the partitions
-    present in the incoming batch (dynamic partition overwrite)."""
+    present in the incoming batch (dynamic partition overwrite).
+
+    The merge result is staged to a scratch path before overwriting:
+    overwriting a path that the same plan lazily reads races file deletion
+    against the read (FAILED_READ_FILE). The stage-then-swap costs one
+    extra write of the touched partitions only — bounded by batch size,
+    not table size. (A transactional table format would make this a
+    single-commit MERGE; on vanilla parquet staging is the safe primitive.)
+
+    INVARIANT: the partition column derives from ``created_datetime``,
+    which is immutable per post_id (a post's creation time never changes;
+    the reference's ON CONFLICT upsert relies on the same fact). Updates
+    therefore always land in the partition that already holds their key.
+    A merge key whose partition attribute can change would need a
+    key→partition index or a full-key semi-join — different operator.
+    """
     new = with_partition_col(new)
     touched = [r[0] for r in new.select(PARTITION_COL).distinct().collect()]
     old = spark.read.parquet(path).filter(F.col(PARTITION_COL).isin(touched))
     merged = merge_upsert(old, new, ["post_id"], version_col)
+    staging = path.rstrip("/") + "__staging"
+    merged.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(staging)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    merged.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(path)
+    spark.read.parquet(staging).write.mode("overwrite").partitionBy(PARTITION_COL).parquet(path)
+    _rm(staging)
+    # drop the cached file listing for the path — stale entries would point
+    # readers at the overwritten part files
+    spark.catalog.refreshByPath(path)
+
+
+def _rm(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)

@@ -28,31 +28,34 @@ def test_incremental_job_lifecycle(spark, tmp_path):
     r1 = _raw(
         spark,
         [
-            ("a", "Hiring Data Engineer $100k - 120k Remote", 14, 1),
+            ("a", "Hiring Data Engineer $100k - 120k Remote", 15, 1),
             ("b", "Question about pay", 14, 2),          # filtered out
             ("c", "Backend Engineer position Berlin", 15, 3),
         ],
     )
     n1 = jobs.run_incremental(spark, r1, gold, now)
     assert n1 == 2
-    g1 = spark.read.parquet(gold)
-    assert {r.post_id for r in g1.collect()} == {"a", "c"}
+    # materialize now: the DataFrame handle would go stale after run 2
+    # overwrites the partitions underneath it
+    g1_rows = spark.read.parquet(gold).collect()
+    assert {r.post_id for r in g1_rows} == {"a", "c"}
 
-    # run 2 — same batch again: the watermark (max created = Jan 15)
-    # excludes the Jan 14 post; only the boundary row re-merges, and the
-    # upsert leaves gold unchanged — idempotence at the sink
+    # run 2 — same batch again: the watermark (max created = Jan 15 12:00)
+    # admits only the boundary rows, which re-merge to identical values —
+    # idempotence at the sink
     n2 = jobs.run_incremental(spark, r1, gold, now)
-    assert n2 == 1
-    g2 = spark.read.parquet(gold)
-    assert sorted((r.post_id, r.lower_salary) for r in g2.collect()) == sorted(
-        (r.post_id, r.lower_salary) for r in g1.collect()
+    assert n2 == 2
+    g2_rows = spark.read.parquet(gold).collect()
+    assert sorted((r.post_id, r.lower_salary) for r in g2_rows) == sorted(
+        (r.post_id, r.lower_salary) for r in g1_rows
     )
 
-    # run 3 — new post + update to an old one, later now
+    # run 3 — new post + update to an old one (rescraped: created_datetime
+    # is immutable — creation time — so it stays Jan 15, inside the window)
     r3 = _raw(
         spark,
         [
-            ("a", "Hiring Data Engineer $150k - 180k Remote", 16, 4),  # update
+            ("a", "Hiring Data Engineer $150k - 180k Remote", 15, 4),  # update
             ("d", "We are hiring a QA Engineer", 17, 5),               # new
         ],
     )
