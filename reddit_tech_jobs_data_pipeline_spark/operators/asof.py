@@ -1,0 +1,66 @@
+"""As-of join: for each left row, the most recent right row with
+right.ts <= left.ts within the same key group.
+
+Spark has no native ASOF JOIN (DuckDB/Pandas do). The scalable plan is
+NOT a range join (quadratic blowup per key) but the union trick:
+
+    union(left-tagged, right-tagged)
+    → window last_value(right payload) over (partition by key
+        order by ts, tag rows unbounded preceding..current)
+    → keep left rows
+
+One shuffle on the key, linear state, no per-key quadratic pair
+generation — survives keys with millions of rows on both sides.
+Right rows sort before left rows at equal ts, so equality matches
+(right.ts == left.ts) are included, matching ASOF semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    ts_col: str,
+    payload_cols: Sequence[str],
+    suffix: str = "_asof",
+    tiebreaker: str | None = None,
+) -> DataFrame:
+    """Left as-of join. Output = left columns + ``payload_cols`` from the
+    latest right row at-or-before each left row's ``ts_col`` (NULL when no
+    prior right row exists). ``tiebreaker`` orders right rows that share a
+    timestamp (latest wins) — required for determinism if duplicates exist."""
+    lt = left.withColumn("__tag", F.lit(1))
+    rt_cols = [*by, ts_col, *payload_cols]
+    rt = right.select(*rt_cols).withColumn("__tag", F.lit(0))
+    for c in left.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    for c in payload_cols:
+        lt = lt.withColumn(c, F.lit(None).cast(dict(rt.dtypes)[c]))
+    unioned = lt.unionByName(rt.select(*lt.columns))
+
+    order = [F.col(ts_col).asc(), F.col("__tag").asc()]
+    if tiebreaker is not None:
+        order.insert(1, F.col(tiebreaker).asc_nulls_first())
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = unioned
+    for c in payload_cols:
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.last(F.when(F.col("__tag") == 0, F.col(c)), ignorenulls=True).over(w),
+        )
+    return (
+        out.filter(F.col("__tag") == 1)
+        .drop("__tag", *payload_cols)
+    )

@@ -10,5 +10,6 @@ from reddit_tech_jobs_data_pipeline_spark.plans import (  # noqa: F401
     catalog_scale,
     catalog_sessions,
     catalog_sql,
+    catalog_stats,
     catalog_tpch,
 )

@@ -482,6 +482,7 @@ def get_registry() -> dict[str, QuerySpec]:
         catalog_sessions,
         catalog_sources,
         catalog_sql,
+        catalog_stats,
         catalog_tpch,
     )
 

@@ -117,3 +117,27 @@ class TestTextFunctions:
         df = spark.createDataFrame([("b a c",), ("c b a",), ("a b d",)], "text string")
         fps = [r[0] for r in df.select(textfn.fingerprint("text").alias("v")).collect()]
         assert fps[0] == fps[1] != fps[2]
+
+
+class TestAsofJoin:
+    def test_asof_semantics(self, spark):
+        import datetime as dt
+
+        from reddit_tech_jobs_data_pipeline_spark.operators.asof import asof_join
+
+        t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+        left = spark.createDataFrame(
+            [(1, t(10), 100), (1, t(30), 101), (2, t(5), 200)],
+            "user_id long, ts timestamp, event_id long",
+        )
+        right = spark.createDataFrame(
+            [(1, t(5), 1.0), (1, t(10), 2.0), (1, t(20), 3.0), (3, t(1), 9.0)],
+            "user_id long, ts timestamp, v double",
+        )
+        out = {
+            r.event_id: r.v_asof
+            for r in asof_join(left, right, ["user_id"], "ts", ["v"]).collect()
+        }
+        assert out[100] == 2.0  # equality match included
+        assert out[101] == 3.0  # latest at-or-before
+        assert out[200] is None  # no prior right row for user 2
