@@ -23,6 +23,25 @@ from reddit_tech_jobs_data_pipeline_spark.operators.merge import watermark_lower
 from reddit_tech_jobs_data_pipeline_spark.sources import sink
 
 
+def run_with_retries(fn, retries: int = 3, delay_s: float = 300.0, on_failure=None):
+    """O3 — job-level retry policy (reference: Airflow ``retries=3`` /
+    5-min delay / failure callback, dags/dag.py:423-441). Spark handles
+    task-level retries itself; this wraps whole-job attempts."""
+    import time
+
+    last = None
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001
+            last = e
+            if on_failure is not None:
+                on_failure(attempt, e)
+            if attempt < retries:
+                time.sleep(delay_s)
+    raise last
+
+
 def run_incremental(
     spark: SparkSession,
     raw: DataFrame,

@@ -71,3 +71,27 @@ def test_incremental_job_lifecycle(spark, tmp_path):
     n4 = jobs.run_incremental(spark, stale, gold, wm_now)
     assert n4 == 0
     assert set(r.post_id for r in spark.read.parquet(gold).collect()) == {"a", "c", "d"}
+
+
+def test_run_with_retries():
+    calls = []
+    failures = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    out = jobs.run_with_retries(
+        flaky, retries=3, delay_s=0, on_failure=lambda a, e: failures.append(a)
+    )
+    assert out == "ok" and len(calls) == 3 and failures == [0, 1]
+
+    def always_fails():
+        raise RuntimeError("permanent")
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="permanent"):
+        jobs.run_with_retries(always_fails, retries=1, delay_s=0)

@@ -141,3 +141,43 @@ class TestAsofJoin:
         assert out[100] == 2.0  # equality match included
         assert out[101] == 3.0  # latest at-or-before
         assert out[200] is None  # no prior right row for user 2
+
+
+class TestApproxDistinct:
+    def test_hll_within_tolerance(self, spark):
+        from reddit_tech_jobs_data_pipeline_spark.sources.testdata import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        row = ev.agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+        ).first()
+        assert abs(row.approx - row.exact) <= max(2, 0.05 * row.exact)
+
+
+class TestSessionWindowStreaming:
+    def test_native_session_window_matches_gap_rule(self, spark):
+        """Spark's native session_window (usable in batch AND streaming)
+        groups events within a gap — cross-check counts against the
+        batch sessionization operator on crafted data with clear gaps."""
+        import datetime as dt
+
+        from reddit_tech_jobs_data_pipeline_spark.operators.sessions import session_stats
+
+        rows = []
+        eid = 0
+        for user in (1, 2):
+            for sess_start in (0, 120, 300):  # minutes; gaps >> 30min
+                for k in range(3):
+                    rows.append((eid, user, dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=sess_start + k), 1.0))
+                    eid += 1
+        ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+
+        native = (
+            ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        native_counts = sorted((r.user_id, r.n) for r in native.collect())
+        ours = session_stats(ev, gap_minutes=30)
+        our_counts = sorted((r.user_id, r.n_events) for r in ours.collect())
+        assert native_counts == our_counts == [(1, 3)] * 3 + [(2, 3)] * 3
