@@ -66,10 +66,20 @@ def shingles(text: Column | str, n: int = 3) -> Column:
 
 
 def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, shingle) exploded pairs — the inverted-index edge list."""
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("shingle")
+    """(id, shingle) exploded pairs — the inverted-index edge list.
+
+    Tokenizes once into a materialized column before shingling (the
+    ``shingles`` expression otherwise re-evaluates the tokenizer for the
+    size guard and each slice), then explodes."""
+    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
+    k = F.size(F.col("__toks")) - (n - 1)
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+            lambda i: F.array_join(F.slice(F.col("__toks"), i, n), " "),
+        )
     )
+    return toks.filter(k >= 1).select("id", F.explode(sh).alias("shingle"))
 
 
 # ---------------------------------------------------------------------------
