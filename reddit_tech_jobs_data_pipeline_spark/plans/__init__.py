@@ -6,6 +6,7 @@ from reddit_tech_jobs_data_pipeline_spark.plans import (  # noqa: F401
     catalog,
     catalog_analytics,
     catalog_posts,
+    catalog_sampling,
     catalog_sources,
     catalog_scale,
     catalog_sessions,

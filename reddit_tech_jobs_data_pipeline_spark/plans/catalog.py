@@ -478,6 +478,7 @@ def get_registry() -> dict[str, QuerySpec]:
     from reddit_tech_jobs_data_pipeline_spark.plans import (  # noqa: F401
         catalog_analytics,
         catalog_posts,
+        catalog_sampling,
         catalog_scale,
         catalog_sessions,
         catalog_sources,

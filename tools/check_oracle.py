@@ -72,6 +72,13 @@ def main() -> int:
             print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
             failures.append(name)
             continue
+        dt_a = {c: str(spark_pd[c].dtype) for c in spark_pd.columns}
+        dt_b = {c: str(duck_pd[c].dtype) for c in duck_pd.columns}
+        dt_diff = {c: (dt_a[c], dt_b.get(c)) for c in dt_a if dt_a[c] != dt_b.get(c)}
+        if dt_diff:
+            print(f"FAIL {name}: dtype mismatch {dt_diff}")
+            failures.append(name)
+            continue
         if not a.equals(b):
             neq = (a != b).any(axis=1)
             print(f"FAIL {name}: {int(neq.sum())}/{len(a)} rows differ; first diffs:")
