@@ -17,6 +17,10 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Pin the session timezone: every catalog query's timestamp→string
+    # formatting must be UTC regardless of whose SparkSession runs it
+    # (the DuckDB oracle reads the same parquet as naive/UTC instants).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to
