@@ -48,9 +48,15 @@ def with_partition_col(df: DataFrame, ts_col: str = "created_datetime") -> DataF
 
 
 def write_gold(df: DataFrame, path: str) -> None:
-    """Initial/full write of the partitioned layout."""
+    """Initial/full write of the partitioned layout.
+
+    Rows are clustered by post_id within each date partition
+    (sortWithinPartitions): parquet row-group min/max stats on post_id
+    then prune point lookups and merge-key probes inside a partition —
+    the poor man's secondary index, free at write time."""
     (
         with_partition_col(df)
+        .sortWithinPartitions(PARTITION_COL, "post_id")
         .write.mode("overwrite")
         .partitionBy(PARTITION_COL)
         .parquet(path)
