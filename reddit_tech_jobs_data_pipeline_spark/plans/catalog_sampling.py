@@ -80,3 +80,88 @@ def daily_counts_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("v"), F.lit(0.0)).alias("total_value"),
         )
     )
+
+
+def _flip_sql(nbits: int) -> str:
+    """SQL list of probe buckets: base bucket + each one-bit flip."""
+    base = "".join(
+        f" || (CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(nbits)
+    ).lstrip(" |")
+    variants = ["b.base"]
+    for i in range(nbits):
+        variants.append(
+            f"substr(b.base, 1, {i}) || (CASE WHEN substr(b.base, {i + 1}, 1) = '1' "
+            f"THEN '0' ELSE '1' END) || substr(b.base, {i + 2}, {nbits - i - 1})"
+        )
+    return base, "[" + ", ".join(variants) + "]"
+
+
+_BASE6, _VARIANTS6 = _flip_sql(6)
+
+_ANN_MULTIPROBE_ORACLE = f"""
+    WITH c AS (SELECT vec_id AS neighbor_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
+                      {_BASE6} AS bucket
+               FROM embeddings),
+    qb AS (SELECT vec_id AS query_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec,
+                  {_BASE6} AS base
+           FROM embeddings WHERE vec_id < 20),
+    q AS (SELECT query_id, qvec, unnest({_VARIANTS6}) AS bucket
+          FROM qb b),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_dot_product(qvec, cvec) /
+                   (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(cvec, cvec))), 4)
+               AS cosine
+      FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@register("ann_multiprobe_topk", _ANN_MULTIPROBE_ORACLE, tags=["similarity", "scale"])
+def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe bucketed ANN (Hamming-1 probe fan-out): ~3× the recall
+    of single-probe at (nbits+1)× candidate cost; the oracle replicates
+    the identical probe-bucket expansion in SQL."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.similarity import bucketed_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return bucketed_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, nbits=6, probe_hamming=1
+    )
+
+
+@register(
+    "stratified_sample",
+    """
+    SELECT event_id, event_type, round(value, 2) AS value
+    FROM (
+      SELECT event_id, event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+      FROM events
+    ) WHERE rn <= 100
+    """,
+    tags=["sampling"],
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: first 100 rows per stratum in
+    md5-of-key order — a reproducible engine-independent shuffle order,
+    unlike rand(). One shuffle on the stratum key."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .select("event_id", "event_type", F.round("value", 2).alias("value"))
+    )
