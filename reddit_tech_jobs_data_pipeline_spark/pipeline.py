@@ -29,7 +29,8 @@ def dedup_first_seen(df: DataFrame, keys: list[str], order_col: str) -> DataFram
     shuffle carries one row per key per task instead of every duplicate,
     and no per-key sort is needed. At 100 TB with heavy duplication that
     is the difference between shuffling the corpus and shuffling the
-    distinct keys. Requires non-null ``order_col`` (min_by ignores
+    distinct keys. (Locally a row_number window is ~20% faster — CPU-bound
+    regime; see SCALE.md.) Requires non-null ``order_col`` (min_by ignores
     null-ordered rows)."""
     others = [c for c in df.columns if c not in keys]
     packed = df.groupBy(*keys).agg(
