@@ -78,11 +78,16 @@ def salary_bound(title: ColumnOrName, which: str, pattern: str = vocab.SALARY_PA
 # ---------------------------------------------------------------------------
 
 def first_match(title: ColumnOrName, patterns: Sequence[str]) -> Column:
-    """Try each case-insensitive pattern in order; first non-empty group-1
-    match wins (reference loop at dag.py:115-125). ``coalesce`` over
-    ``nullif(regexp_extract, '')`` encodes the priority order natively."""
+    """Try each case-insensitive pattern in order; first match wins
+    (reference loop at dag.py:115-125). ``coalesce`` over ``regexp_substr``
+    encodes the priority order natively — one regex pass per rung, NULL on
+    no-match.
+
+    Assumes each pattern is one fully-wrapping capture group (all vocab
+    patterns are), so the whole match equals group 1; a pattern with
+    content outside its group would need regexp_extract instead."""
     t = _col(title)
-    rungs = [F.nullif(F.regexp_extract(t, f"(?i){p}", 1), F.lit("")) for p in patterns]
+    rungs = [F.regexp_substr(t, F.lit(f"(?i){p}")) for p in patterns]
     return rungs[0] if len(rungs) == 1 else F.coalesce(*rungs)
 
 
