@@ -221,6 +221,65 @@ def minhash_lsh_dedup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# near-dup clusters (connected components over the pair graph)
+# ---------------------------------------------------------------------------
+
+def cluster_near_dups(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
+    """Connected components over near-dup pairs: every doc in a pair gets
+    ``cluster_id`` = the minimum doc id reachable through the pair graph
+    (the canonical survivor). Input: (id_a, id_b); output: (id, cluster_id).
+
+    Iterative min-label propagation — each round is one join + one
+    aggregation (both hash-shuffled on id), converging in
+    O(component diameter) rounds (near-dup clusters are shallow; the
+    ``max_iter`` cap is a safety rail). The loop materializes only the
+    label table per round — the DataFrame iterative-algorithm pattern
+    (GraphFrames-free). Driver-side work is one scalar convergence check
+    per round.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -319,6 +319,37 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "near_dup_clusters",
+    f"""
+    WITH RECURSIVE {_CORPUS_SQL}, {_SHINGLE_SQL},
+    {_minhash_sql(16, 4)},
+    {_JACCARD_VERIFY_SQL.format(candidate_filter="JOIN cand ON cand.id_a = a.id AND cand.id_b = b.id")},
+    pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.7),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    )
+    SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+    """,
+    tags=["dedup", "iterative", "scale"],
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH pairs → connected components → canonical cluster ids.
+    Spark side iterates min-label propagation to fixpoint; the oracle
+    reaches the same fixpoint via a recursive CTE (min reachable id)."""
+    corpus = _corpus_df(spark, sf_dir)
+    pairs = dedup.minhash_lsh_dedup_pairs(
+        corpus, "text", "id", num_hashes=16, bands=4, n=3, threshold=0.7
+    )
+    return dedup.cluster_near_dups(pairs)
+
+
 # ===========================================================================
 # Similarity search over embeddings
 # ===========================================================================

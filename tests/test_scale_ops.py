@@ -181,3 +181,13 @@ class TestSessionWindowStreaming:
         ours = session_stats(ev, gap_minutes=30)
         our_counts = sorted((r.user_id, r.n_events) for r in ours.collect())
         assert native_counts == our_counts == [(1, 3)] * 3 + [(2, 3)] * 3
+
+
+class TestClusterNearDups:
+    def test_connected_components(self, spark):
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4)],
+            "id_a long, id_b long",
+        )
+        out = {r.id: r.cluster_id for r in dedup.cluster_near_dups(pairs).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
