@@ -99,3 +99,86 @@ def collect_agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias("priorities"),
         F.countDistinct("o_custkey").alias("n_customers"),
     )
+
+
+@register(
+    "window_function_battery",
+    """
+    WITH w AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        row_number()   OVER win AS rn,
+        rank()         OVER win AS rnk,
+        dense_rank()   OVER win AS drnk,
+        CAST(ntile(4) OVER win AS BIGINT) AS quartile,
+        round(percent_rank() OVER win, 4) AS pct_rank,
+        round(cume_dist()    OVER win, 4) AS cdist,
+        round(lag(o_totalprice)  OVER win, 2) AS prev_price,
+        round(lead(o_totalprice) OVER win, 2) AS next_price,
+        round(first_value(o_totalprice) OVER win, 2) AS first_price,
+        round(nth_value(o_totalprice, 2) OVER win, 2) AS second_price
+      FROM orders
+      WINDOW win AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    )
+    SELECT o_custkey, o_orderkey, rn, rnk, drnk, quartile, pct_rank, cdist,
+           prev_price, next_price, first_price, second_price
+    FROM w WHERE o_custkey % 10 = 0
+    """,
+    tags=["window"],
+)
+def window_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    win = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    out = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(win).cast("long").alias("rn"),
+        F.rank().over(win).cast("long").alias("rnk"),
+        F.dense_rank().over(win).cast("long").alias("drnk"),
+        F.ntile(4).over(win).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(win), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(win), 4).alias("cdist"),
+        F.round(F.lag("o_totalprice").over(win), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(win), 2).alias("next_price"),
+        F.round(F.first("o_totalprice").over(win), 2).alias("first_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(win), 2).alias("second_price"),
+    )
+    return out.filter(F.col("o_custkey") % 10 == 0)
+
+
+@register(
+    "zscore_outliers",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             avg(value) AS mu,
+             stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type,
+           round(value, 2) AS value,
+           round((value - mu) / sigma, 4) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE abs((value - mu) / sigma) > 2.5
+    """,
+    tags=["stats", "quality"],
+)
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier flagging: group stats (tiny) broadcast
+    back onto the stream — the standard data-quality anomaly gate."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )
