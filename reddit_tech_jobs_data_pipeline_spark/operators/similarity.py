@@ -145,6 +145,78 @@ def bucketed_ann_topk(
     )
 
 
+def ivf_assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroid cells
+    (cosine). ``centroids`` is (cell_id, cvec) — small, broadcast; the
+    cross join is |vectors| × |cells| narrow rows, argmax via one window.
+    Scores rounded to 6 dp before ranking so cell choice is reproducible
+    across engines; exact ties break on cell_id."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        vec_col,
+        "cell_id",
+        F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("cscore"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cscore").desc(), F.col("cell_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .select(id_col, vec_col, "cell_id")
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flavored ANN: partition the corpus into centroid cells, probe
+    only the query's ``nprobe`` nearest cells.
+
+    Centroid seeding here is training-free (the first ``num_cells``
+    vectors by id) so the operator is deterministic and oracle-comparable;
+    production IVF replaces the seeding with k-means centroids — the
+    assignment/probe machinery is identical. At scale the corpus is
+    written partitioned/bucketed by cell_id, so a probe reads
+    nprobe/num_cells of the data.
+    """
+    centroids = (
+        corpus.filter(F.col(id_col) < num_cells)
+        .select(F.col(id_col).alias("cell_id"), _dvec(F.col(vec_col)).alias("cvec"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("v"))
+    q = queries.select(F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("v"))
+    c_cells = ivf_assign_cells(c, centroids, nprobe=1, id_col="neighbor_id")
+    q_cells = ivf_assign_cells(q, centroids, nprobe=nprobe, id_col="query_id")
+    scored = (
+        c_cells.withColumnRenamed("v", "cvec2")
+        .join(F.broadcast(q_cells.withColumnRenamed("v", "qvec2")), "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec2"), F.col("cvec2")), 4).alias("cosine"),
+        )
+        .distinct()  # a neighbor can meet a query through several probed cells
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("__rn").cast("long").alias("rank"))
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

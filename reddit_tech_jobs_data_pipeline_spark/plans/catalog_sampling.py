@@ -165,3 +165,63 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 100)
         .select("event_id", "event_type", F.round("value", 2).alias("value"))
     )
+
+
+_IVF_COS = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), {r})"
+)
+
+
+@register(
+    "ivf_ann_topk",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cell_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM embeddings WHERE vec_id < 8
+    ),
+    c AS (SELECT vec_id AS neighbor_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    q AS (SELECT vec_id AS query_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id < 20),
+    c_cells AS (
+      SELECT neighbor_id, v, cell_id FROM (
+        SELECT neighbor_id, v, cell_id,
+               row_number() OVER (PARTITION BY neighbor_id
+                 ORDER BY {_IVF_COS.format(a="v", b="cvec", r=6)} DESC, cell_id) AS rn
+        FROM c CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    q_cells AS (
+      SELECT query_id, v, cell_id FROM (
+        SELECT query_id, v, cell_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY {_IVF_COS.format(a="v", b="cvec", r=6)} DESC, cell_id) AS rn
+        FROM q CROSS JOIN cent
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT DISTINCT query_id, neighbor_id,
+             {_IVF_COS.format(a="q_cells.v", b="c_cells.v", r=4)} AS cosine
+      FROM c_cells JOIN q_cells USING (cell_id)
+      WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    tags=["similarity", "scale"],
+)
+def ivf_ann_topk_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell ANN (training-free centroid seeding; see
+    operators/similarity.ivf_ann_topk): nprobe=2 of 8 cells."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.similarity import ivf_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, num_cells=8, nprobe=2
+    )

@@ -154,3 +154,97 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+    tags=["tpch", "semi", "agg"],
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT round(
+             100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-06-01'
+    """,
+    tags=["tpch", "join", "agg"],
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-06-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct")
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+           round(sum_qty, 2) AS sum_qty
+    FROM (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 210
+    ) big
+    JOIN orders   ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=["tpch", "join", "having", "topk"],
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 210)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )

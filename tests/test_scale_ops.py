@@ -191,3 +191,23 @@ class TestClusterNearDups:
         )
         out = {r.id: r.cluster_id for r in dedup.cluster_near_dups(pairs).collect()}
         assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+class TestIvfAnn:
+    def test_probe_restricted_to_cells(self, spark):
+        from reddit_tech_jobs_data_pipeline_spark.operators.similarity import ivf_ann_topk
+
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),   # centroid cell 0
+            (1, [0.0, 1.0, 0.0, 0.0]),   # centroid cell 1
+            (5, [0.95, 0.05, 0.0, 0.0]),  # cell 0 member
+            (6, [0.05, 0.95, 0.0, 0.0]),  # cell 1 member
+            (7, [0.9, 0.1, 0.0, 0.0]),   # cell 0 member
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = ivf_ann_topk(
+            emb, emb.filter(F.col("vec_id") == 5), k=3, num_cells=2, nprobe=1
+        )
+        got = sorted(r.neighbor_id for r in out.collect())
+        # nprobe=1: only cell-0 members reachable (0 and 7), not cell 1
+        assert got == [0, 7]
