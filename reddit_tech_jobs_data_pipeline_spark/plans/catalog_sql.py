@@ -276,3 +276,34 @@ def salted_agg_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("l_returnflag").agg(
         F.round(F.sum("s"), 2).alias("total"), F.sum("c").alias("n")
     )
+
+
+@register(
+    "unpivot_measures",
+    """
+    WITH wide AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 2)      AS qty,
+             round(sum(l_extendedprice), 2) AS price,
+             round(sum(l_discount), 2)      AS disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, measure, value
+    FROM wide UNPIVOT (value FOR measure IN (qty, price, disc))
+    """,
+    tags=["unpivot"],
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping (unpivot/melt), the inverse of pivot."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price"),
+        F.round(F.sum("l_discount"), 2).alias("disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty", "price", "disc"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
