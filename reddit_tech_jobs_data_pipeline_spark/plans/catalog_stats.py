@@ -182,3 +182,69 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("zscore"),
         )
     )
+
+
+@register(
+    "monthly_revenue_growth",
+    """
+    WITH monthly AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS delta,
+           round((revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month) * 100, 4) AS pct_change
+    FROM monthly
+    """,
+    tags=["window", "time", "agg"],
+)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window over an aggregate: month-over-month revenue deltas. The
+    single-partition lag window is fine — input is one row per month."""
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = W.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("delta"),
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias("pct_change"),
+    )
+
+
+@register(
+    "q19_disjunctive_filter",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+       OR (p_brand = 'Brand#2' AND p_type = 'PROMO' AND l_quantity >= 20)
+       OR (p_size >= 40 AND l_discount BETWEEN 0.05 AND 0.1)
+    """,
+    tags=["tpch", "join", "filter"],
+)
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive predicates across both
+    join sides — exercises predicate normalization/pushdown through the
+    join (per-side common factors get pushed, the residual stays on the
+    join output)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 20))
+        | ((F.col("p_size") >= 40) & F.col("l_discount").between(0.05, 0.1))
+    )
+    return joined.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )

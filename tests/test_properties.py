@@ -188,3 +188,41 @@ def test_dedup_first_seen_survivor(spark, rows):
         if (pid, t) not in expect or seq < expect[(pid, t)]:
             expect[(pid, t)] = seq
     assert got == expect
+
+
+def py_tokens(text):
+    if text is None:
+        return []
+    return [t for t in re.split(r"\W+", text.lower(), flags=re.ASCII) if t != ""]
+
+
+@SETTINGS
+@given(titles=titles_strategy)
+def test_tokens_differential(spark, titles):
+    from reddit_tech_jobs_data_pipeline_spark.functions.extract import tokens
+
+    rows = _run(spark, titles, [tokens("title").alias("v")])
+    for t, r in zip(titles, rows):
+        expected = py_tokens(t) if t is not None else None
+        assert r.v == expected, repr(t)
+
+
+@SETTINGS
+@given(titles=titles_strategy)
+def test_rolling_fingerprint_differential(spark, titles):
+    import hashlib
+
+    from reddit_tech_jobs_data_pipeline_spark.functions.text import rolling_fingerprint
+
+    def py_rolling(text):
+        if text is None:
+            return None
+        acc = 0
+        for t in py_tokens(text):
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            acc = (acc * 31 + h) % 1_000_000_007
+        return acc
+
+    rows = _run(spark, titles, [rolling_fingerprint("title").alias("v")])
+    for t, r in zip(titles, rows):
+        assert r.v == py_rolling(t), repr(t)
