@@ -307,3 +307,89 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+@register(
+    "q2_min_within_group",
+    """
+    SELECT s.s_suppkey, s.s_name, n.n_name, round(s.s_acctbal, 2) AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN (
+      SELECT s_nationkey, min(s_acctbal) AS min_bal
+      FROM supplier GROUP BY s_nationkey
+    ) m ON s.s_nationkey = m.s_nationkey AND s.s_acctbal = m.min_bal
+    """,
+    tags=["join", "subquery"],
+)
+def q2_min_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: rows matching their group's minimum — aggregate
+    then join back (the decorrelated form of a correlated MIN subquery)."""
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    mins = sup.groupBy(F.col("s_nationkey").alias("nk")).agg(F.min("s_acctbal").alias("min_bal"))
+    return (
+        sup.join(
+            F.broadcast(mins),
+            (sup.s_nationkey == mins.nk) & (sup.s_acctbal == mins.min_bal),
+        )
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+
+
+@register(
+    "latest_order_per_customer",
+    """
+    SELECT o_custkey,
+           arg_max(o_orderkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) * 100000000 + o_orderkey) AS latest_orderkey,
+           strftime(max(o_orderdate), '%Y-%m-%d') AS latest_date,
+           round(arg_max(o_totalprice, CAST(floor(epoch(o_orderdate)) AS BIGINT) * 100000000 + o_orderkey), 2) AS latest_price
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    tags=["agg", "argmax"],
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / arg_max: the latest row per key as a single aggregation
+    (ties on the date broken by orderkey via the scalar composite
+    ordering key) — one shuffle, map-side combinable."""
+    orders = _t(spark, sf_dir, "orders")
+    # scalar composite ordering key (date-seconds · 1e8 + orderkey): DuckDB
+    # 1.0's arg_max has no struct-key overload
+    order_key = F.unix_timestamp("o_orderdate") * 100000000 + F.col("o_orderkey")
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", order_key).alias("latest_orderkey"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("latest_date"),
+        F.round(F.max_by("o_totalprice", order_key), 2).alias("latest_price"),
+    )
+
+
+@register(
+    "null_safe_join",
+    """
+    WITH a AS (
+      SELECT doc_id, nullif(lang, 'en') AS lang_key FROM documents WHERE doc_id % 3 = 0
+    ),
+    b AS (
+      SELECT lang AS lang_raw, nullif(lang, 'en') AS lang_key, count(*) AS n_docs
+      FROM documents GROUP BY lang
+    )
+    SELECT a.doc_id, coalesce(b.lang_raw, '?') AS matched_lang, b.n_docs
+    FROM a JOIN b ON a.lang_key IS NOT DISTINCT FROM b.lang_key
+    """,
+    tags=["join", "null-safe"],
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other — the semantics ordinary equi-joins silently drop."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.nullif("lang", F.lit("en")).alias("lang_key")
+    )
+    b = docs.groupBy(F.col("lang").alias("lang_raw")).agg(F.count(F.lit(1)).alias("n_docs")).select(
+        "lang_raw", F.nullif("lang_raw", F.lit("en")).alias("lang_key"), "n_docs"
+    )
+    return a.join(F.broadcast(b), a.lang_key.eqNullSafe(b.lang_key)).select(
+        "doc_id", F.coalesce("lang_raw", F.lit("?")).alias("matched_lang"), "n_docs"
+    )
