@@ -485,6 +485,7 @@ def get_registry() -> dict[str, QuerySpec]:
         catalog_sql,
         catalog_stats,
         catalog_tpch,
+        catalog_tpch2,
     )
 
     return dict(REGISTRY)
