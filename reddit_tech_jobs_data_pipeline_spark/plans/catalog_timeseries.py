@@ -1,0 +1,200 @@
+"""Time-series and ranked-analytics query shapes over ``events`` and the
+sales tables: OHLC daily resampling (ordered-aggregate), fixed-width
+histogram, event-sequence funnel, top-k-per-group, and a banded range
+self-join.
+
+Determinism notes: ordered aggregates (open/close) break ts ties with
+``event_id`` on both engines; ranked top-k orders on the ROUNDED measure
+with a key tiebreaker; histogram buckets use plain floor arithmetic
+because DuckDB lacks ``width_bucket`` — identical doubles floor
+identically in both engines.
+
+Scale notes (SCALE.md): OHLC and the funnel are single-shuffle
+aggregations on (day,type)/user_id; the range join shuffles both sides
+on user_id and applies the time band as a post-join filter — at 100 TB
+add a coarse time-bucket equi-key (date) to the join key to bound the
+per-key cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reddit_tech_jobs_data_pipeline_spark.plans.catalog import _t, register
+
+
+@register(
+    "ohlc_daily",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           round(first(value ORDER BY ts, event_id), 2) AS open,
+           round(max(value), 2)                          AS high,
+           round(min(value), 2)                          AS low,
+           round(last(value ORDER BY ts, event_id), 2)   AS close,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+    """,
+    tags=["timeseries", "agg"],
+)
+def ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # open/close = min_by/max_by over a (ts, event_id) struct — Spark
+    # orders structs lexicographically, matching the oracle's
+    # first(... ORDER BY ts, event_id)
+    ev = _t(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+        .agg(
+            F.round(F.min_by("value", key), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", key), 2).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+@register(
+    "price_histogram",
+    """
+    SELECT CAST(least(floor(o_totalprice / 25000.0), 19) AS INTEGER) AS bucket,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=["agg", "histogram"],
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 25000.0), F.lit(19)).cast("int")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "conversion_funnel",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view'     THEN ts END) AS first_view,
+             max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+           CAST(sum(CASE WHEN first_view IS NOT NULL
+                          AND last_purchase > first_view THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+    FROM per_user
+    """,
+    tags=["timeseries", "funnel", "agg"],
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two-stage sequence funnel (view → later purchase) as conditional
+    # min/max per user — one shuffle, no self-join
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "last_purchase"
+        ),
+    )
+    viewed = F.col("first_view").isNotNull()
+    converted = viewed & (F.col("last_purchase") > F.col("first_view"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(viewed.cast("long")).alias("n_viewed"),
+        F.sum(converted.cast("long")).alias("n_converted"),
+    )
+
+
+@register(
+    "top3_parts_per_brand",
+    """
+    SELECT p_brand, l_partkey, revenue, rn
+    FROM (
+      SELECT p_brand, l_partkey, revenue,
+             CAST(row_number() OVER (PARTITION BY p_brand
+                                     ORDER BY revenue DESC, l_partkey) AS BIGINT) AS rn
+      FROM (
+        SELECT p_brand, l_partkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, l_partkey
+      )
+    ) WHERE rn <= 3
+    ORDER BY p_brand, rn
+    """,
+    tags=["window", "topk", "join"],
+)
+def top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rank on the ROUNDED revenue so cross-engine summation-order noise
+    # can't reorder near-ties; l_partkey makes the order total
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    per_part = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("revenue").desc(), F.col("l_partkey"))
+    return (
+        per_part.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .orderBy("p_brand", "rn")
+    )
+
+
+@register(
+    "error_purchase_range_join",
+    """
+    SELECT e1.user_id AS user_id, count(*) AS n_pairs
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e1.event_type = 'error'
+     AND e2.event_type = 'purchase'
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+    GROUP BY e1.user_id
+    ORDER BY user_id
+    """,
+    tags=["join", "range", "timeseries"],
+)
+def error_purchase_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # banded range self-join: equi-shuffle on user_id, band predicate as
+    # join condition (Catalyst evaluates it inside the sort-merge join)
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id"), F.col("ts").alias("err_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("buy_ts")
+    )
+    pairs = errors.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("buy_ts") > F.col("err_ts"))
+        & (F.col("buy_ts") <= F.col("err_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
