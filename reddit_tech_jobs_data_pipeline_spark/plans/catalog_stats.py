@@ -248,3 +248,145 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "revenue_trend_regression",
+    """
+    WITH daily AS (
+      SELECT n_name,
+             CAST(EXTRACT(epoch FROM date_trunc('day', o_orderdate)) / 86400 AS DOUBLE) AS day_num,
+             sum(o_totalprice) AS day_revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT n_name,
+           round(regr_slope(day_revenue, day_num), 4)     AS slope,
+           round(regr_intercept(day_revenue, day_num), 2) AS intercept,
+           round(regr_r2(day_revenue, day_num), 4)        AS r2,
+           count(*) AS n_days
+    FROM daily
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    tags=["stats", "regression", "agg"],
+)
+def revenue_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-nation linear trend of daily revenue — native regr_* aggregates
+    # (Spark ≥3.4), no UDF; two shuffles: (nation, day) partial-agg then
+    # nation regression
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    daily = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            (F.unix_timestamp(F.date_trunc("day", "o_orderdate")) / 86400)
+            .cast("double")
+            .alias("day_num"),
+        )
+        .agg(F.sum("o_totalprice").alias("day_revenue"))
+    )
+    return (
+        daily.groupBy("n_name")
+        .agg(
+            F.round(F.regr_slope("day_revenue", "day_num"), 4).alias("slope"),
+            F.round(F.regr_intercept("day_revenue", "day_num"), 2).alias("intercept"),
+            F.round(F.regr_r2("day_revenue", "day_num"), 4).alias("r2"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "grouping_sets_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    ORDER BY gid, o_orderstatus, o_orderpriority
+    """,
+    tags=["agg", "grouping-sets"],
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explicit GROUPING SETS via the SQL API (DataFrame API only exposes
+    # rollup/cube); same Catalyst Expand operator underneath
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY gid, o_orderstatus, o_orderpriority
+        """
+    )
+
+
+@register(
+    "mode_event_type_per_user",
+    """
+    SELECT user_id, event_type AS modal_type, n
+    FROM (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rn
+      FROM (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type
+      )
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+    tags=["agg", "window", "mode"],
+)
+def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic mode: count-argmax with lexicographic tiebreak
+    # (built-in F.mode breaks ties arbitrarily — not oracle-safe)
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"), "n")
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "approx_distinct_accuracy",
+    """
+    SELECT count(DISTINCT o_custkey) AS exact_customers,
+           true AS approx_within_5pct
+    FROM orders
+    """,
+    tags=["agg", "sketch"],
+)
+def approx_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HLL++ sketch exercised with a verifiable contract: the catalog
+    # result carries the exact count plus a bound-check flag, because the
+    # raw estimate differs across engines' sketch implementations
+    orders = _t(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("__approx"),
+    )
+    within = (
+        F.abs(F.col("__approx") - F.col("exact_customers"))
+        <= 0.05 * F.col("exact_customers")
+    ).alias("approx_within_5pct")
+    return agg.select("exact_customers", within)
