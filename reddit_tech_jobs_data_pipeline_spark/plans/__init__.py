@@ -5,6 +5,8 @@ LLM-data-pipeline scale operators)."""
 from reddit_tech_jobs_data_pipeline_spark.plans import (  # noqa: F401
     catalog,
     catalog_analytics,
+    catalog_behavior,
+    catalog_corpus,
     catalog_posts,
     catalog_sampling,
     catalog_sources,
@@ -12,5 +14,7 @@ from reddit_tech_jobs_data_pipeline_spark.plans import (  # noqa: F401
     catalog_sessions,
     catalog_sql,
     catalog_stats,
+    catalog_timeseries,
     catalog_tpch,
+    catalog_tpch2,
 )

@@ -477,6 +477,8 @@ def get_registry() -> dict[str, QuerySpec]:
     # import for side effect: registers the other catalog modules
     from reddit_tech_jobs_data_pipeline_spark.plans import (  # noqa: F401
         catalog_analytics,
+        catalog_behavior,
+        catalog_corpus,
         catalog_posts,
         catalog_sampling,
         catalog_scale,

@@ -1,0 +1,294 @@
+"""User-behavior and robust-statistics query shapes: cohort retention,
+event-type transition bigrams, a Pearson correlation matrix, MAD (median
+absolute deviation) outliers, blocked fuzzy matching via edit distance,
+and a Pareto-frontier (skyline) query.
+
+These extend the reference's analytics surface (reference dashboards slice
+job posts by month/technology — dags/dag.py builds the time dimension at
+dag.py:430-460) with the behavioral shapes a training-data pipeline needs
+over event logs.
+
+Determinism notes:
+* cohort offsets use month arithmetic on month-truncated dates — integral
+  in both engines (Spark ``months_between`` is exact for month starts,
+  DuckDB ``date_diff('month', …)`` counts boundaries);
+* MAD thresholds compare doubles produced by IDENTICAL arithmetic on both
+  sides (exact median, same constant multipliers) so the inequality cannot
+  disagree;
+* edit distance is integer-valued — no rounding needed;
+* the skyline uses only comparisons on values read from parquet (no
+  arithmetic), so dominance is bit-exact across engines.
+
+Scale notes (SCALE.md): cohort/transition/corr are single-shuffle
+aggregations; the fuzzy join is blocked on p_brand (quadratic only within
+a block — at 100 TB add a length-band second key); the skyline avoids the
+quadratic NOT-EXISTS by reducing to per-size minima (|sizes| rows) and a
+broadcast join back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reddit_tech_jobs_data_pipeline_spark.plans.catalog import _t, register
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH ue AS (
+      SELECT user_id, date_trunc('week', ts) AS w
+      FROM events GROUP BY 1, 2
+    ), c AS (
+      SELECT user_id, w, min(w) OVER (PARTITION BY user_id) AS cohort FROM ue
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cohort, w) / 7 AS BIGINT) AS week_offset,
+           count(DISTINCT user_id) AS n_users
+    FROM c GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=["behavior", "retention", "window"],
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention matrix: users grouped by first-active week
+    (cohort; the synthetic events span one month, so weekly granularity
+    gives a real matrix), counted per weeks-since-cohort offset. Both
+    engines truncate weeks to Monday, so day-diff/7 is integral.
+
+    Plan: distinct (user, week) pairs first (collapses the event volume
+    by ~|events per user-week|), then a user-partitioned window min for
+    the cohort — one shuffle on user_id, reused by the window and the
+    final partial-aggregated count-distinct."""
+    ev = _t(spark, sf_dir, "events")
+    ue = ev.select("user_id", F.date_trunc("week", "ts").alias("w")).distinct()
+    cohort = F.min("w").over(Window.partitionBy("user_id"))
+    return (
+        ue.withColumn("cohort", cohort)
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("w"), F.col("cohort")) / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
+    "event_type_transitions",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS curr_type, count(*) AS n
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=["behavior", "window", "markov"],
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event stream
+    (ties broken by event_id for a total order). One shuffle on user_id
+    for the lag window; the bigram count partial-aggregates map-side."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("curr_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prev_type", "curr_type")
+    )
+
+
+@register(
+    "correlation_matrix",
+    """
+    SELECT 'quantity~extendedprice' AS pair,
+           round(corr(l_quantity, l_extendedprice), 4) AS r FROM lineitem
+    UNION ALL
+    SELECT 'quantity~discount', round(corr(l_quantity, l_discount), 4) FROM lineitem
+    UNION ALL
+    SELECT 'quantity~tax', round(corr(l_quantity, l_tax), 4) FROM lineitem
+    UNION ALL
+    SELECT 'extendedprice~discount', round(corr(l_extendedprice, l_discount), 4) FROM lineitem
+    UNION ALL
+    SELECT 'extendedprice~tax', round(corr(l_extendedprice, l_tax), 4) FROM lineitem
+    UNION ALL
+    SELECT 'discount~tax', round(corr(l_discount, l_tax), 4) FROM lineitem
+    ORDER BY pair
+    """,
+    tags=["stats", "agg"],
+)
+def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem measures.
+
+    Spark computes all six coefficients in ONE aggregation pass (the
+    oracle's UNION ALL re-scans per pair — fine for an oracle, wrong at
+    100 TB), then unpivots the 1×6 row with ``stack``."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    short = {"l_quantity": "quantity", "l_extendedprice": "extendedprice",
+             "l_discount": "discount", "l_tax": "tax"}
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    agg = li.agg(
+        *[
+            F.round(F.corr(a, b), 4).alias(f"{short[a]}~{short[b]}")
+            for a, b in pairs
+        ]
+    )
+    stack_args = ", ".join(f"'{short[a]}~{short[b]}', `{short[a]}~{short[b]}`" for a, b in pairs)
+    return agg.selectExpr(f"stack({len(pairs)}, {stack_args}) AS (pair, r)").orderBy("pair")
+
+
+@register(
+    "mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY 1
+    ), dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.event_id, d.event_type, round(d.value, 2) AS value,
+           round(0.6745 * (d.value - d.med) / m.mad, 4) AS robust_z
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE abs(d.value - d.med) > 3.5 / 0.6745 * m.mad
+    ORDER BY d.event_id
+    """,
+    tags=["stats", "quality", "outliers"],
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier gate: |value - median| > 3.5σ̂ where σ̂ = MAD/0.6745
+    (Iglewicz-Hosteller modified z-score). Unlike the z-score gate this is
+    insensitive to the outliers it is hunting.
+
+    Two exact-median aggregations (each a shuffle on event_type, but the
+    per-type stats are tiny) broadcast back onto the stream. The filter
+    constant 3.5/0.6745 is the same double on both engines, so the
+    inequality is bit-identical."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > F.lit(3.5 / 0.6745) * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round(F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"), 4).alias(
+                "robust_z"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "fuzzy_name_pairs",
+    """
+    SELECT a.p_partkey AS p1, b.p_partkey AS p2,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ORDER BY p1, p2
+    """,
+    tags=["dedup", "fuzzy", "join"],
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-match: candidate pairs share a blocking key
+    (p_brand) and survive an edit-distance gate — the classic
+    entity-resolution shape (reference dedups posts by exact URL only,
+    dags/dag.py:383; this is its fuzzy generalization).
+
+    The equi-join on the block key shuffles once; levenshtein runs only
+    within blocks (quadratic per block, not global). At 100 TB shrink
+    blocks with a second key (name length band: |len(a)-len(b)| > 2 can
+    never pass an edit-distance-2 gate)."""
+    part = _t(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("p1"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name1"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("p2"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name2"),
+    )
+    dist = F.levenshtein("name1", "name2")
+    return (
+        a.join(b, "brand")
+        .filter(F.col("p1") < F.col("p2"))
+        .filter(dist <= 2)
+        .select("p1", "p2", dist.cast("long").alias("dist"))
+        .orderBy("p1", "p2")
+    )
+
+
+@register(
+    "skyline_parts",
+    """
+    SELECT a.p_partkey, round(a.p_retailprice, 2) AS price, a.p_size AS size
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    ORDER BY a.p_partkey
+    """,
+    tags=["skyline", "analytics"],
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (cheapest price, largest size). The oracle is the
+    textbook quadratic NOT EXISTS; Spark reduces it to per-size minima:
+
+      frontier(a) ⇔ a.price = min(price | size = a.size)
+                  ∧ a.price < min(price | size > a.size)
+
+    The size-level table is |distinct sizes| rows, so the running min over
+    strictly-larger sizes is a window on a tiny frame and the verdict
+    joins back via broadcast — O(n) + tiny, vs O(n²) dominance pairs.
+    Ties (same size, same minimal price) stay on the frontier in both
+    formulations (dominance requires one strict inequality)."""
+    part = _t(spark, sf_dir, "part")
+    per_size = part.groupBy("p_size").agg(F.min("p_retailprice").alias("min_price"))
+    w = Window.orderBy(F.col("p_size").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier_sizes = (
+        per_size.withColumn("min_price_larger", F.min("min_price").over(w))
+        .filter(
+            F.col("min_price_larger").isNull()
+            | (F.col("min_price") < F.col("min_price_larger"))
+        )
+        .select(
+            F.col("p_size").alias("fs_size"),
+            F.col("min_price").alias("fs_min_price"),
+        )
+    )
+    return (
+        part.join(
+            F.broadcast(frontier_sizes),
+            (part.p_size == F.col("fs_size"))
+            & (part.p_retailprice == F.col("fs_min_price")),
+        )
+        .select(
+            "p_partkey",
+            F.round("p_retailprice", 2).alias("price"),
+            F.col("p_size").alias("size"),
+        )
+        .orderBy("p_partkey")
+    )

@@ -1,0 +1,257 @@
+"""Corpus/IR query shapes over ``documents``: TF-IDF term ranking, an
+inverted index, token co-occurrence, and concentration analytics
+(revenue deciles + Gini) over the sales tables.
+
+These are the retrieval-side counterparts of the dedup/quality operators
+in catalog_scale.py — together they cover the index-build and scoring
+stages of a training-data / search pipeline. The tokenizer is the shared
+reference-faithful one (functions/extract.tokens ≡ the oracle's
+``regexp_split_to_array(lower(text), '\\W+')`` with empties dropped —
+reference semantics at utils/common_words.py equivalent, see
+functions/extract.py:110).
+
+Determinism notes:
+* TF-IDF ranks on the ROUNDED score with a term tiebreaker (playbook
+  rule: never order on unrounded doubles across engines); idf = ln(N/df)
+  where N/df is the same double in both engines;
+* posting lists are sorted then joined to one string;
+* deciles use ntile over a total order (spend DESC, custkey);
+* Gini normalizes a summation by n²·mean before rounding, absorbing
+  cross-engine summation-order noise.
+
+Scale notes (SCALE.md): tf/df/postings are groupBy shuffles on term —
+skew lives in stopword-like terms; salt or drop top-df terms at 100 TB.
+Co-occurrence joins exploded tokens on doc_id (bounded per-doc fan-out).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reddit_tech_jobs_data_pipeline_spark.functions.extract import tokens
+from reddit_tech_jobs_data_pipeline_spark.plans.catalog import _t, register
+from reddit_tech_jobs_data_pipeline_spark.plans.catalog_scale import _TOKS
+
+
+def _tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, tf) for non-null-text docs — one explode + one
+    groupBy; shared by the IR queries."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+_TF_SQL = f"""
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_TOKS}) AS term
+            FROM documents WHERE text IS NOT NULL)
+      GROUP BY 1, 2
+"""
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH tf AS ({_TF_SQL}),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * ln((SELECT n FROM n) * 1.0 / df.df), 4) AS tfidf
+      FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term, tf, tfidf
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY tfidf DESC, term) AS rk FROM scored)
+    WHERE rk <= 3
+    ORDER BY doc_id, tfidf DESC, term
+    """,
+    tags=["text", "ir", "tfidf"],
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. df is computed from the tf
+    relation (already one row per doc×term, so count(*) IS the document
+    frequency); N (docs with ≥1 token) is a 1-row agg broadcast into the
+    score. Ranking orders on the rounded score so both engines agree."""
+    tf = _tf(spark, sf_dir)
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.count_distinct("doc_id").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 4))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "tfidf")
+        .orderBy("doc_id", F.col("tfidf").desc(), "term")
+    )
+
+
+@register(
+    "inverted_index",
+    f"""
+    WITH tf AS ({_TF_SQL})
+    SELECT term,
+           count(*) AS n_docs,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM tf GROUP BY term ORDER BY term
+    """,
+    tags=["text", "ir", "index"],
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting lists per term: doc count, collection frequency, and the
+    sorted doc_id list serialized to one string. collect_list is
+    unordered in a distributed agg, so the list is array_sort'ed before
+    joining — same total order as the oracle's ORDER BY inside
+    string_agg. At 100 TB cap posting length (top-df terms are skew)."""
+    tf = _tf(spark, sf_dir)
+    postings = F.array_join(
+        F.transform(F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")),
+        ",",
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tf").alias("total_tf"),
+            postings.alias("postings"),
+        )
+        .orderBy("term")
+    )
+
+
+@register(
+    "token_cooccurrence_topk",
+    f"""
+    WITH tf AS ({_TF_SQL})
+    SELECT a.term AS term1, b.term AS term2, count(*) AS n_docs
+    FROM tf a JOIN tf b ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY 1, 2
+    ORDER BY n_docs DESC, term1, term2
+    LIMIT 20
+    """,
+    tags=["text", "ir", "cooccurrence"],
+)
+def token_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 token pairs by document co-occurrence. The pair space is
+    generated by an equi-join on doc_id (per-doc quadratic, globally
+    linear in Σ|doc_vocab|²); counts are integers so the top-k needs only
+    the lexicographic tiebreaker."""
+    tf = _tf(spark, sf_dir)
+    a = tf.select("doc_id", F.col("term").alias("term1"))
+    b = tf.select("doc_id", F.col("term").alias("term2"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("term1") < F.col("term2"))
+        .groupBy("term1", "term2")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), "term1", "term2")
+        .limit(20)
+    )
+
+
+@register(
+    "revenue_decile_share",
+    """
+    WITH spend AS (
+      SELECT c_custkey, round(sum(o_totalprice), 2) AS spend
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1
+    ), tiled AS (
+      SELECT c_custkey, spend,
+             ntile(10) OVER (ORDER BY spend DESC, c_custkey) AS decile
+      FROM spend
+    )
+    SELECT decile, count(*) AS n_customers,
+           round(sum(spend), 2) AS revenue,
+           round(sum(spend) / (SELECT sum(spend) FROM spend), 4) AS share
+    FROM tiled GROUP BY decile ORDER BY decile
+    """,
+    tags=["analytics", "window", "concentration"],
+)
+def revenue_decile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: customers ntile'd into spend deciles
+    (total order: rounded spend DESC, custkey), each decile's share of
+    total. The global-sort window is the scale bottleneck — at 100 TB
+    replace ntile with percentile-bucketing on a sampled CDF."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    spend = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    tiled = spend.withColumn(
+        "decile",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("spend").desc(), "c_custkey"))
+        .cast("long"),
+    )
+    total = spend.agg(F.sum("spend").alias("total"))
+    return (
+        tiled.groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.sum("spend").alias("rev"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            F.round("rev", 2).alias("revenue"),
+            F.round(F.col("rev") / F.col("total"), 4).alias("share"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "revenue_gini",
+    """
+    WITH spend AS (
+      SELECT c_custkey, round(sum(o_totalprice), 2) AS spend
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1
+    ), ranked AS (
+      SELECT spend,
+             row_number() OVER (ORDER BY spend, c_custkey) AS i,
+             count(*) OVER () AS n
+      FROM spend
+    )
+    SELECT round(sum((2.0 * i - n - 1) * spend) / (max(n) * sum(spend)), 4) AS gini,
+           CAST(max(n) AS BIGINT) AS n_customers
+    FROM ranked
+    """,
+    tags=["analytics", "concentration"],
+)
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend via the sorted-rank identity
+    G = Σ(2i-n-1)·xᵢ / (n·Σx). One global-sort window (rank), then a
+    scalar aggregation; the big normalizer absorbs summation-order noise
+    before the 4-dp round."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    spend = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    w = Window.orderBy("spend", "c_custkey")
+    ranked = spend.select(
+        "spend",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.round(
+            F.sum((2.0 * F.col("i") - F.col("n") - 1) * F.col("spend"))
+            / (F.max("n") * F.sum("spend")),
+            4,
+        ).alias("gini"),
+        F.max("n").cast("long").alias("n_customers"),
+    )
