@@ -480,6 +480,7 @@ def get_registry() -> dict[str, QuerySpec]:
         catalog_behavior,
         catalog_corpus,
         catalog_posts,
+        catalog_quality,
         catalog_sampling,
         catalog_scale,
         catalog_sessions,

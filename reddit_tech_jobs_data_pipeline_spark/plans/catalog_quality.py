@@ -1,0 +1,451 @@
+"""Statistical-quality and profiling query shapes: Shannon entropy,
+chi-squared independence, Welch's t-test, the Kolmogorov-Smirnov
+statistic, time-weighted averages, gaps-and-islands runs, single-pass
+table profiling, and ratio-to-report shares.
+
+These are the distribution-monitoring operators a training-data pipeline
+runs continuously (drift detection, A/B gating, corpus audits) — the
+statistical complement to the dedup/quality gates in catalog_scale.py.
+The reference's analytics stop at frequency dashboards (dags/dag.py
+aggregates post counts by month/technology at dag.py:430-460); these
+generalize that to distributional comparisons.
+
+Determinism notes (playbook rules):
+* every statistic is computed with IDENTICAL arithmetic on both engines
+  (same operand order, same constants), so the doubles agree to ~1 ulp
+  and a 4-dp round is safe;
+* time weights are integer microseconds — Spark's loader truncates the
+  parquet NANOS timestamps to µs exactly like DuckDB (sources/
+  testdata.py), so ``unix_micros`` ≡ ``epoch_us`` bit-for-bit;
+* KS cumulative counts are integers over distinct values (no ties inside
+  a window frame), and IEEE division of identical integers is exact-
+  deterministic, so the max-of-abs-diffs agrees before rounding;
+* the profile emits numeric min/max as rounded doubles and string/date
+  min/max as strings — never double→string casts (engine formatting
+  differs).
+
+Scale notes (SCALE.md): entropy/TWAP/islands are one shuffle on user_id
+(windows + final agg share the partitioning); chi²/t-test/KS reduce to
+tiny keyed aggregates; the profile reads the table ONCE for all columns
+(the oracle's UNION ALL re-scans per column — wrong at 100 TB); KS's
+global-sort window is over |distinct values| rows — at 100 TB bin the
+ECDF (fixed-width histogram) instead of exact sorting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reddit_tech_jobs_data_pipeline_spark.plans.catalog import _t, register
+
+
+@register(
+    "user_event_entropy",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+    ), w AS (
+      SELECT user_id, n, sum(n) OVER (PARTITION BY user_id) AS tot FROM c
+    )
+    SELECT user_id,
+           round(-sum((n * 1.0 / tot) * ln(n * 1.0 / tot)), 4) AS entropy,
+           CAST(count(*) AS BIGINT) AS n_types
+    FROM w GROUP BY user_id ORDER BY user_id
+    """,
+    tags=["stats", "entropy", "drift"],
+)
+def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    standard per-key diversity/drift signal. One shuffle on user_id: the
+    (user, type) count, the per-user total (window sum), and the final
+    per-user aggregation all share the partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").over(Window.partitionBy("user_id"))
+    p = F.col("n") / F.col("tot")
+    return (
+        c.withColumn("tot", tot)
+        .groupBy("user_id")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 4).alias("entropy"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "chi_squared_type_bucket",
+    """
+    WITH o AS (
+      SELECT event_type AS t,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) // 25 AS b,
+             count(*) AS o
+      FROM events GROUP BY 1, 2
+    ), e AS (
+      SELECT o,
+             sum(o) OVER (PARTITION BY t) AS rt,
+             sum(o) OVER (PARTITION BY b) AS ct,
+             sum(o) OVER () AS n, t, b
+      FROM o
+    )
+    SELECT round(sum((o - rt * ct * 1.0 / n) * (o - rt * ct * 1.0 / n)
+                     / (rt * ct * 1.0 / n)), 4) AS chi2,
+           CAST((count(DISTINCT t) - 1) * (count(DISTINCT b) - 1) AS BIGINT) AS dof
+    FROM e
+    """,
+    tags=["stats", "chisq", "drift"],
+)
+def chi_squared_type_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared independence test of event_type × props-k
+    quartile bucket. The contingency table is tiny (|types|×|buckets|
+    cells), so the marginals are window sums over it — no re-scan of the
+    fact table, and the expected-count arithmetic is ordered identically
+    on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    o = ev.groupBy(
+        F.col("event_type").alias("t"), F.floor(k / 25).alias("b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    cell = o.select(
+        "t",
+        "b",
+        "o",
+        F.sum("o").over(Window.partitionBy("t")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("b")).alias("ct"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    exp = F.col("rt") * F.col("ct") * F.lit(1.0) / F.col("n")
+    dev = F.col("o") - exp
+    return cell.agg(
+        F.round(F.sum(dev * dev / exp), 4).alias("chi2"),
+        ((F.count_distinct("t") - 1) * (F.count_distinct("b") - 1))
+        .cast("long")
+        .alias("dof"),
+    )
+
+
+@register(
+    "welch_ttest_click_view",
+    """
+    WITH s AS (
+      SELECT count(*) FILTER (WHERE event_type = 'click') AS n1,
+             avg(value) FILTER (WHERE event_type = 'click') AS m1,
+             var_samp(value) FILTER (WHERE event_type = 'click') AS v1,
+             count(*) FILTER (WHERE event_type = 'view') AS n2,
+             avg(value) FILTER (WHERE event_type = 'view') AS m2,
+             var_samp(value) FILTER (WHERE event_type = 'view') AS v2
+      FROM events WHERE event_type IN ('click', 'view')
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(m1 - m2, 4) AS mean_diff,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+           round((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+                 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                    + (v2 / n2) * (v2 / n2) / (n2 - 1)), 2) AS dof
+    FROM s
+    """,
+    tags=["stats", "abtest"],
+)
+def welch_ttest_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test comparing `value` between the
+    click and view arms — the A/B-gating primitive. ONE conditional-
+    aggregation pass produces both arms' (n, mean, var); the statistic
+    and Welch-Satterthwaite dof are scalar arithmetic on that single
+    row, ordered identically in both engines."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "view"))
+
+    def arm(t: str, agg, col="value"):
+        return agg(F.when(F.col("event_type") == t, F.col(col)))
+
+    s = ev.agg(
+        arm("click", F.count).alias("n1"),
+        arm("click", F.avg).alias("m1"),
+        arm("click", F.var_samp).alias("v1"),
+        arm("view", F.count).alias("n2"),
+        arm("view", F.avg).alias("m2"),
+        arm("view", F.var_samp).alias("v2"),
+    )
+    se1 = F.col("v1") / F.col("n1")
+    se2 = F.col("v2") / F.col("n2")
+    return s.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(F.col("m1") - F.col("m2"), 4).alias("mean_diff"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2), 4).alias("t_stat"),
+        F.round(
+            (se1 + se2) * (se1 + se2)
+            / (se1 * se1 / (F.col("n1") - 1) + se2 * se2 / (F.col("n2") - 1)),
+            2,
+        ).alias("dof"),
+    )
+
+
+@register(
+    "ks_statistic_click_view",
+    """
+    WITH s AS (
+      SELECT value,
+             count(*) FILTER (WHERE event_type = 'click') AS ca,
+             count(*) FILTER (WHERE event_type = 'view') AS cb
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY value
+    ), c AS (
+      SELECT sum(ca) OVER (ORDER BY value) AS cuma,
+             sum(cb) OVER (ORDER BY value) AS cumb,
+             sum(ca) OVER () AS ta,
+             sum(cb) OVER () AS tb
+      FROM s
+    )
+    SELECT round(max(abs(cuma * 1.0 / ta - cumb * 1.0 / tb)), 4) AS ks,
+           CAST(max(ta) AS BIGINT) AS n1, CAST(max(tb) AS BIGINT) AS n2
+    FROM c
+    """,
+    tags=["stats", "drift", "window"],
+)
+def ks_statistic_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic (max ECDF gap) between the
+    click and view value distributions — the nonparametric drift gate.
+    Grouping by value first makes the window frame tie-free, so both
+    engines' running sums agree exactly; the cumulative counts are
+    integers and the CDF division is IEEE-exact per row. At 100 TB the
+    global-sort window over distinct values becomes a binned ECDF."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "view"))
+    s = ev.groupBy("value").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("ca"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("cb"),
+    )
+    run = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    c = s.select(
+        F.sum("ca").over(run).alias("cuma"),
+        F.sum("cb").over(run).alias("cumb"),
+        F.sum("ca").over(tot).alias("ta"),
+        F.sum("cb").over(tot).alias("tb"),
+    )
+    gap = F.abs(
+        F.col("cuma") * F.lit(1.0) / F.col("ta")
+        - F.col("cumb") * F.lit(1.0) / F.col("tb")
+    )
+    return c.agg(
+        F.round(F.max(gap), 4).alias("ks"),
+        F.max("ta").cast("long").alias("n1"),
+        F.max("tb").cast("long").alias("n2"),
+    )
+
+
+@register(
+    "time_weighted_value",
+    """
+    WITH s AS (
+      SELECT user_id, value,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               - epoch_us(ts) AS w
+      FROM events
+    )
+    SELECT user_id,
+           round(sum(value * w) / sum(w), 4) AS twap,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM s WHERE w IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+    tags=["timeseries", "window"],
+)
+def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each reading is held
+    until the next event, weighted by the interval in integer
+    microseconds. Spark's ns→µs truncation matches DuckDB's, so
+    ``unix_micros`` ≡ ``epoch_us`` and the weights are bit-identical.
+    One shuffle on user_id shared by the lead window and the final agg."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    weighted = ev.select(
+        "user_id",
+        "value",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("w"),
+    ).filter(F.col("w").isNotNull())
+    return (
+        weighted.groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * F.col("w")) / F.sum("w"), 4).alias("twap"),
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "event_type_runs",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rk
+      FROM events
+    )
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS run_len,
+           CAST(min(rn) AS BIGINT) AS start_rn
+    FROM s GROUP BY user_id, event_type, rn - rk
+    HAVING count(*) >= 3
+    ORDER BY user_id, start_rn
+    """,
+    tags=["window", "islands", "sessionize"],
+)
+def event_type_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of ≥3 consecutive same-type events
+    per user. The oracle uses the classic rn−rk difference trick (two
+    window partitionings); Spark instead derives the run id with a
+    lag-change flag + running sum so ALL windows and the final agg share
+    the single user_id partitioning — one shuffle instead of two."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+            F.sum(chg).over(run).alias("run_id"),
+        )
+        .groupBy("user_id", "event_type", "run_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("run_len"),
+            F.min("rn").cast("long").alias("start_rn"),
+        )
+        .filter(F.col("run_len") >= 3)
+        .select("user_id", "event_type", "run_len", "start_rn")
+        .orderBy("user_id", "start_rn")
+    )
+
+
+@register(
+    "orders_profile",
+    """
+    SELECT 'o_custkey' AS col, count(*) AS n_rows,
+           count(*) - count(o_custkey) AS n_nulls,
+           count(DISTINCT o_custkey) AS n_distinct,
+           CAST(min(o_custkey) AS DOUBLE) AS min_num,
+           CAST(max(o_custkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           round(min(o_totalprice), 2), round(max(o_totalprice), 2), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus), NULL, NULL,
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority), NULL, NULL,
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate), NULL, NULL,
+           strftime(min(o_orderdate), '%Y-%m-%d'), strftime(max(o_orderdate), '%Y-%m-%d')
+    FROM orders
+    ORDER BY col
+    """,
+    tags=["profiling", "quality"],
+)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-profiling summary of `orders`: per column the row
+    count, null count, exact distinct count, and min/max (numerics as
+    rounded doubles, strings/dates as strings — never double→string,
+    engine formatting differs). Spark computes ALL columns' statistics in
+    ONE scan (multi-distinct is planned via Expand) and unpivots the
+    1-row aggregate; the oracle's UNION ALL re-scans per column, which is
+    exactly the anti-pattern this operator replaces at 100 TB."""
+    orders = _t(spark, sf_dir, "orders")
+    num_cols = {"o_custkey": 0, "o_totalprice": 2}
+    str_cols = ["o_orderstatus", "o_orderpriority"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in list(num_cols) + str_cols + ["o_orderdate"]:
+        aggs += [
+            F.count(c).alias(f"{c}__cnt"),
+            F.count_distinct(c).alias(f"{c}__nd"),
+        ]
+    for c in num_cols:
+        aggs += [
+            F.round(F.min(c).cast("double"), 2).alias(f"{c}__min"),
+            F.round(F.max(c).cast("double"), 2).alias(f"{c}__max"),
+        ]
+    for c in str_cols:
+        aggs += [F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max")]
+    aggs += [
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("o_orderdate__min"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("o_orderdate__max"),
+    ]
+    one = orders.agg(*aggs)
+    rows = []
+    for c in list(num_cols) + str_cols + ["o_orderdate"]:
+        is_num = c in num_cols
+        rows.append(
+            "named_struct("
+            f"'col', '{c}', "
+            "'n_rows', n_rows, "
+            f"'n_nulls', n_rows - `{c}__cnt`, "
+            f"'n_distinct', `{c}__nd`, "
+            f"'min_num', {f'`{c}__min`' if is_num else 'CAST(NULL AS DOUBLE)'}, "
+            f"'max_num', {f'`{c}__max`' if is_num else 'CAST(NULL AS DOUBLE)'}, "
+            f"'min_str', {'CAST(NULL AS STRING)' if is_num else f'`{c}__min`'}, "
+            f"'max_str', {'CAST(NULL AS STRING)' if is_num else f'`{c}__max`'})"
+        )
+    return (
+        one.select(F.explode(F.expr(f"array({', '.join(rows)})")).alias("p"))
+        .select("p.*")
+        .orderBy("col")
+    )
+
+
+@register(
+    "nation_revenue_share",
+    """
+    WITH nr AS (
+      SELECT r_name AS region, n_name AS nation,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation, revenue,
+           round(revenue / sum(revenue) OVER (PARTITION BY region), 4) AS share
+    FROM nr ORDER BY region, nation
+    """,
+    tags=["analytics", "window", "ratio"],
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's revenue.
+    The dimension joins broadcast (nation/region are tiny); the share
+    window runs over the ~|nations| aggregate rows, and dividing the
+    ROUNDED revenues keeps the 4-dp share identical across engines."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    nr = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    share = F.col("revenue") / F.sum("revenue").over(Window.partitionBy("region"))
+    return nr.select(
+        "region", "nation", "revenue", F.round(share, 4).alias("share")
+    ).orderBy("region", "nation")
