@@ -479,6 +479,7 @@ def get_registry() -> dict[str, QuerySpec]:
         catalog_analytics,
         catalog_behavior,
         catalog_corpus,
+        catalog_etl,
         catalog_posts,
         catalog_quality,
         catalog_sampling,

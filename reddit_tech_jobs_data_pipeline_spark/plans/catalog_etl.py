@@ -1,0 +1,214 @@
+"""Warehouse-maintenance query shapes: SCD Type 2 dimension build,
+time-range rolling windows, sketch aggregates with tolerance-band
+oracles, and a regexp-extract-all battery.
+
+The reference's sink is a flat last-writer-wins upsert (`dags/dag.py:
+380-421`) — it keeps no history. SCD2 is the standard generalization a
+warehouse needs: collapse a change log into versioned rows with
+validity intervals. The rolling-revenue shape generalizes the
+reference's created_datetime index scan (`dags/dag.py:511`) to windowed
+trailing aggregates; the regexp battery generalizes its re.findall
+tokenizer (`dags/dag.py:132-140`) to bulk extraction.
+
+Determinism notes (playbook rules):
+* SCD2 ordering uses (o_orderdate, o_orderkey) — a total order — so
+  lag/lead agree across engines; interval bounds are emitted as
+  yyyy-MM-dd strings, never timestamp dtypes;
+* the rolling sum adds day-level revenues that are ALREADY rounded to
+  2 dp, so frame-order differences are ~1 ulp and the outer 2-dp round
+  is safe;
+* sketches (HyperLogLog distinct, t-digest-style approx percentile)
+  cannot hash-match an exact oracle; instead the Spark side emits the
+  EXACT statistic plus a boolean "approx within 10% of exact" check,
+  and the oracle emits the exact value plus literal TRUE — the sketch
+  is verified, not just smoke-tested (weaker than equality, but
+  deterministic: both sketch implementations are deterministic
+  functions of the data);
+* regexp battery guards NULL text identically on both sides and joins
+  arrays to '|' strings (list-representation differences).
+
+Scale notes (SCALE.md): SCD2 is one shuffle on the business key —
+windows and the change-collapse filter share it; the rolling window is
+one shuffle on custkey over pre-aggregated day rows; sketches are the
+POINT at 100 TB — approx_count_distinct and approx_percentile are
+single-pass, mergeable, fixed-memory partial aggregates where the exact
+forms need a full shuffle of distinct values; regexp extraction is
+embarrassingly parallel JVM codegen (no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reddit_tech_jobs_data_pipeline_spark.plans.catalog import _t, register
+
+
+@register(
+    "scd2_customer_priority",
+    """
+    WITH ordered AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders
+    ), chg AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      FROM ordered WHERE prev IS NULL OR prev <> o_orderpriority
+    )
+    SELECT o_custkey AS custkey, o_orderpriority AS priority,
+           strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+           strftime(lead(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             '%Y-%m-%d') AS valid_to,
+           lead(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             IS NULL AS is_current
+    FROM chg ORDER BY custkey, valid_from, priority
+    """,
+    tags=["etl", "scd2", "window"],
+)
+def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 build: treat each customer's order stream as a change
+    log of their o_orderpriority attribute, collapse consecutive
+    no-change rows, and emit versioned rows with [valid_from, valid_to)
+    intervals and an is_current flag. Replaces the reference's
+    history-destroying upsert (dag.py:380-421) with full history. One
+    shuffle on o_custkey — the lag, the change filter, and the lead all
+    share the partitioning."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = (
+        orders.select(
+            "o_custkey",
+            "o_orderpriority",
+            "o_orderdate",
+            "o_orderkey",
+            F.lag("o_orderpriority").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority")))
+        .drop("prev")
+    )
+    vt = F.lead("o_orderdate").over(w)
+    return chg.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(vt, "yyyy-MM-dd").alias("valid_to"),
+        vt.isNull().alias("is_current"),
+    ).orderBy("custkey", "valid_from", "priority")
+
+
+@register(
+    "rolling_7d_revenue",
+    """
+    WITH d AS (
+      SELECT o_custkey AS custkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS day,
+             CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS dnum,
+             round(sum(o_totalprice), 2) AS day_rev
+      FROM orders GROUP BY 1, 2, 3
+    )
+    SELECT custkey, day, day_rev,
+           round(sum(day_rev) OVER (
+             PARTITION BY custkey ORDER BY dnum
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_7d
+    FROM d ORDER BY custkey, day
+    """,
+    tags=["timeseries", "window", "range-frame"],
+)
+def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day revenue per customer via a RANGE frame over
+    integer day numbers — a time-range window, not a row-count one
+    (days with no orders still shrink the frame). Pre-aggregating to
+    (customer, day) first bounds the window input to one row per day,
+    and the frame sums 2-dp-rounded day revenues so engine frame-order
+    differences stay ~1 ulp. One shuffle on custkey shared by the
+    day-level agg and the window."""
+    orders = _t(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("dnum"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("day_rev"))
+    w = Window.partitionBy("custkey").orderBy("dnum").rangeBetween(-6, 0)
+    return d.select(
+        "custkey",
+        "day",
+        "day_rev",
+        F.round(F.sum("day_rev").over(w), 2).alias("rev_7d"),
+    ).orderBy("custkey", "day")
+
+
+@register(
+    "sketch_tolerance_battery",
+    """
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS hll_within_10pct,
+           round(quantile_cont(value, 0.5), 4) AS median_value,
+           TRUE AS apx_median_within_10pct
+    FROM events
+    """,
+    tags=["sketch", "approx", "scale"],
+)
+def sketch_tolerance_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates verified against their exact counterparts in
+    one pass: HyperLogLog++ distinct users (approx_count_distinct, rsd
+    0.05) and t-digest-style approx median (approx_percentile, accuracy
+    10000) must land within 10% of the exact statistics computed in the
+    SAME aggregation. The oracle checks the exact values and the
+    literal-TRUE band flags. At 100 TB the sketches are the production
+    path — single-pass, mergeable, fixed-memory partial aggregates —
+    and this query is the continuous calibration check against them."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("hll"),
+        F.expr("percentile(value, 0.5D)").alias("med"),
+        F.expr("approx_percentile(value, 0.5D, 10000)").alias("apx"),
+    )
+    return s.select(
+        "exact_users",
+        (
+            F.abs(F.col("hll") - F.col("exact_users"))
+            <= 0.1 * F.col("exact_users")
+        ).alias("hll_within_10pct"),
+        F.round("med", 4).alias("median_value"),
+        (F.abs(F.col("apx") - F.col("med")) <= 0.1 * F.abs(F.col("med"))).alias(
+            "apx_median_within_10pct"
+        ),
+    )
+
+
+@register(
+    "regex_extract_all_battery",
+    """
+    SELECT doc_id,
+           array_to_string(regexp_extract_all(text, '[A-Za-z]{5,}'), '|')
+             AS long_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]{5,}')) AS BIGINT)
+             AS n_tokens,
+           CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z]{5,}')))
+             AS BIGINT) AS n_distinct
+    FROM documents WHERE text IS NOT NULL
+    ORDER BY doc_id
+    """,
+    tags=["text", "regex", "extract"],
+)
+def regex_extract_all_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk regexp extraction: ALL matches of a pattern per document
+    (the reference's re.findall at dag.py:132-140 generalized from
+    first-match ladders), plus match and distinct-match counts. The
+    pattern sticks to the regex subset Java and RE2-ish dialects agree
+    on (character classes + bounded repetition). Pure JVM codegen — no
+    Python in the loop — and embarrassingly parallel at any scale."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.regexp_extract_all("text", F.lit("[A-Za-z]{5,}"), 0)
+    return docs.select(
+        "doc_id",
+        F.array_join(toks, "|").alias("long_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    ).orderBy("doc_id")
