@@ -8,6 +8,7 @@ from reddit_tech_jobs_data_pipeline_spark.plans import (  # noqa: F401
     catalog_behavior,
     catalog_corpus,
     catalog_etl,
+    catalog_hof,
     catalog_posts,
     catalog_quality,
     catalog_sampling,

@@ -480,6 +480,7 @@ def get_registry() -> dict[str, QuerySpec]:
         catalog_behavior,
         catalog_corpus,
         catalog_etl,
+        catalog_hof,
         catalog_posts,
         catalog_quality,
         catalog_sampling,
