@@ -198,3 +198,41 @@ def error_purchase_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "locf_forward_fill",
+    """
+    SELECT event_id, user_id,
+           round(last_value(CASE WHEN event_type = 'purchase' THEN value END
+                            IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             4) AS last_purchase_value
+    FROM events ORDER BY user_id, event_id
+    """,
+    tags=["timeseries", "window", "imputation"],
+)
+def locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward imputation: every event carries
+    the user's most recent purchase value (NULL before the first
+    purchase) — the standard sparse-signal densification for feature
+    pipelines. Spark's `last(..., ignorenulls=True)` over a running
+    frame ≡ DuckDB's `last_value(... IGNORE NULLS)`; the (ts, event_id)
+    ordering is total so both engines pick the same carried row. One
+    shuffle on user_id; the carried value is data, not arithmetic, so
+    the round is representational only."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    observed = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.last(observed, ignorenulls=True).over(w), 4).alias(
+            "last_purchase_value"
+        ),
+    ).orderBy("user_id", "event_id")

@@ -115,3 +115,41 @@ def stream_upsert_to_gold(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming deduplication by event_id with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps a key only until the
+    watermark passes it, so state is O(keys per watermark horizon), not
+    O(all keys ever) — the streaming analog of the reference's
+    ON CONFLICT DO NOTHING idempotence (dags/dag.py:380-421). At-least-
+    once upstream delivery (retried scrapes, replayed micro-batches)
+    becomes exactly-once downstream."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_dedup_stream_batchlike(
+    spark: SparkSession, src_dir: str, schema, name: str = "stream_dedup"
+) -> DataFrame:
+    """Run the streaming dedup to completion over a finite directory of
+    parquet files (append mode into a memory sink)."""
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        dedup_stream(raw)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).cache()
+    out.count()
+    q.stop()
+    return out

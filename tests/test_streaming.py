@@ -98,3 +98,21 @@ class TestStatefulSessionizer:
         open_seq = {u: max(s for (uu, s) in expect if uu == u) for u in (1, 2, 3)}
         expect_closed = {k: v for k, v in expect.items() if k[1] < open_seq[k[0]]}
         assert got == expect_closed
+
+
+class TestStreamingDedup:
+    def test_duplicated_stream_dedups_to_distinct_ids(self, spark, tmp_path):
+        """Two copies of the events table streamed through
+        dropDuplicatesWithinWatermark must come out as one: at-least-once
+        in, exactly-once out."""
+        src = str(tmp_path / "dup_src")
+        ev = load_table(spark, SF, "events")
+        ev.write.mode("overwrite").parquet(src)
+        ev.write.mode("append").parquet(src)
+        assert spark.read.parquet(src).count() == 2 * ev.count()
+
+        out = sev.run_dedup_stream_batchlike(
+            spark, src, spark.read.parquet(src).schema, name="t_stream_dedup"
+        )
+        assert out.count() == ev.count()
+        assert out.select("event_id").distinct().count() == ev.count()
