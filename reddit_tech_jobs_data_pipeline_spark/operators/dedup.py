@@ -133,26 +133,40 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+# Largest 32-bit prime: the modulus of the derived hash family. Products
+# stay < 16 * 2^32 + 2^32 ≈ 2^36, far inside BIGINT (no ANSI overflow).
+_MH_PRIME = 4294967291
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, n: int = 3
 ) -> DataFrame:
     """(id, mh_0..mh_{k-1}) — per-doc MinHash signature.
 
-    Hash family: h_i(s) = md5(i || '|' || s), minimum taken in hex-string
-    order. One explode + one groupBy(id) with k min-aggregates (map-side
-    partial aggregation keeps the shuffle at k×32 bytes per doc).
-    Docs with no shingles get no signature (dropped — nothing to compare).
+    Hash family (Kirsch-Mitzenmacher double hashing): ONE md5 per
+    shingle, split into two 32-bit words w1/w2, then
+    h_i(s) = (w1 + i*w2) mod p with p the largest 32-bit prime — k
+    derived hashes for the price of one digest. Versus k independent
+    md5s this cuts the per-shingle hash cost k× and shrinks the shuffle
+    from k×32-byte hex strings to k×8-byte longs. One explode + one
+    groupBy(id) with k min-aggregates (map-side partial aggregation).
+    Docs with no shingles get no signature (dropped — nothing to
+    compare).
     """
     sh = _shingle_table(df, text_col, id_col, n)
     return minhash_signatures_from_shingles(sh, num_hashes)
 
 
 def minhash_signatures_from_shingles(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
+    digest = F.md5(F.col("shingle"))
+    w1 = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+    w2 = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long")
+    hashed = sh.select("id", w1.alias("w1"), w2.alias("w2"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
+        F.min((F.col("w1") + F.lit(i) * F.col("w2")) % F.lit(_MH_PRIME)).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -160,20 +174,21 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Candidate pairs from LSH banding: signature split into ``bands``
     bands of r = num_hashes/bands rows; docs sharing any band key meet.
-    Band key is md5 of the band's concatenated minhashes — uniform, so
-    the self-join key distributes evenly."""
+    Band key is xxhash64 of (band index, the band's minhashes) — an
+    8-byte uniform join key (vs a 32-char digest string), so the
+    self-join shuffles a quarter of the bytes and compares longs."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     band_cols = [
-        F.md5(F.concat_ws("|", *[F.col(f"mh_{b * r + j}") for j in range(r)])).alias(f"band_{b}")
+        F.xxhash64(F.lit(b), *[F.col(f"mh_{b * r + j}") for j in range(r)]).alias(
+            f"band_{b}"
+        )
         for b in range(bands)
     ]
     banded = sig.select("id", *band_cols)
     stacked = banded.select(
         "id",
-        F.explode(
-            F.array(*[F.concat(F.lit(f"{b}:"), F.col(f"band_{b}")) for b in range(bands)])
-        ).alias("bkey"),
+        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("bkey"),
     )
     a = stacked.select(F.col("id").alias("id_a"), "bkey")
     b = stacked.select(F.col("id").alias("id_b"), "bkey")

@@ -234,19 +234,29 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    # Kirsch-Mitzenmacher family, mirroring operators/dedup.py: one md5
+    # per shingle, w1/w2 = its first two 32-bit words, h_i = (w1 + i*w2)
+    # mod p. The band key here is the plain concatenation of the band's
+    # minhash values (Spark uses xxhash64 of the same values — any
+    # injective-on-equality keying yields identical candidates).
     r = num_hashes // bands
     mh_aggs = ",\n      ".join(
-        f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(num_hashes)
+        f"min((w1 + {i} * w2) % 4294967291) AS mh_{i}" for i in range(num_hashes)
     )
-    band_keys = ",\n      ".join(
-        "md5(" + " || '|' || ".join(f"mh_{b * r + j}" for j in range(r)) + f") AS band_{b}"
+    band_array = ", ".join(
+        "'" + str(b) + ":' || "
+        + " || '|' || ".join(f"CAST(mh_{b * r + j} AS VARCHAR)" for j in range(r))
         for b in range(bands)
     )
-    band_array = ", ".join(f"'{b}:' || band_{b}" for b in range(bands))
     return f"""
-    sig AS (SELECT id, {mh_aggs} FROM sh GROUP BY id),
-    banded AS (SELECT id, {band_keys} FROM sig),
-    stacked AS (SELECT id, unnest([{band_array}]) AS bkey FROM banded),
+    shw AS (
+      SELECT id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS w1,
+             ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS w2
+      FROM sh
+    ),
+    sig AS (SELECT id, {mh_aggs} FROM shw GROUP BY id),
+    stacked AS (SELECT id, unnest([{band_array}]) AS bkey FROM sig),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM stacked a JOIN stacked b ON a.bkey = b.bkey AND a.id < b.id
