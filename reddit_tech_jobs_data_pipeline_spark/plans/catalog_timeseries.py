@@ -236,3 +236,77 @@ def locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_purchase_value"
         ),
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "linear_interpolate_value",
+    """
+    WITH s AS (
+      SELECT event_id, user_id, epoch_us(ts) AS tu,
+        last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END
+                   IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        first_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END
+                    IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM events
+    )
+    SELECT event_id, user_id,
+           round(CASE WHEN nt = pt THEN pv
+                      ELSE pv + (nv - pv) * ((tu - pt) / (nt - pt)) END,
+                 4) AS interp_value
+    FROM s ORDER BY user_id, event_id
+    """,
+    tags=["timeseries", "window", "imputation"],
+)
+def linear_interpolate_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of the purchase-value signal at every event
+    time: blend the nearest purchase before and after by the elapsed-
+    time fraction (NULL outside the observed range) — LOCF's smooth
+    sibling for feature densification. Time runs in integer
+    microseconds, the blend fraction is one IEEE division of identical
+    integers, and the arithmetic is ordered identically on both
+    engines. One shuffle on user_id; the forward and backward
+    ignore-nulls windows share it."""
+    ev = _t(spark, sf_dir, "events")
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    is_p = F.col("event_type") == "purchase"
+    tu = F.unix_micros("ts")
+    pv = F.last(F.when(is_p, F.col("value")), ignorenulls=True).over(fwd)
+    pt = F.last(F.when(is_p, tu), ignorenulls=True).over(fwd)
+    nv = F.first(F.when(is_p, F.col("value")), ignorenulls=True).over(bwd)
+    nt = F.first(F.when(is_p, tu), ignorenulls=True).over(bwd)
+    s = ev.select(
+        "event_id",
+        "user_id",
+        tu.alias("tu"),
+        pv.alias("pv"),
+        pt.alias("pt"),
+        nv.alias("nv"),
+        nt.alias("nt"),
+    )
+    interp = F.when(F.col("nt") == F.col("pt"), F.col("pv")).otherwise(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * ((F.col("tu") - F.col("pt")) / (F.col("nt") - F.col("pt")))
+    )
+    return s.select(
+        "event_id", "user_id", F.round(interp, 4).alias("interp_value")
+    ).orderBy("user_id", "event_id")
