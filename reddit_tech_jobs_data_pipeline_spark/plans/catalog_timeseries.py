@@ -310,3 +310,52 @@ def linear_interpolate_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "event_id", "user_id", F.round(interp, 4).alias("interp_value")
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "hopping_window_counts",
+    """
+    WITH h AS (
+      SELECT event_type, value,
+             make_timestamp((epoch_us(ts) // 1800000000 - i) * 1800000000)
+               AS wstart
+      FROM events, unnest([0, 1]) AS t(i)
+      WHERE epoch_us(ts) >= (epoch_us(ts) // 1800000000 - i) * 1800000000
+        AND epoch_us(ts) <
+            (epoch_us(ts) // 1800000000 - i) * 1800000000 + 3600000000
+    )
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM h GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=["timeseries", "window", "hopping", "streaming-semantics"],
+)
+def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation — 1-hour windows every 30
+    minutes, so each event lands in width/slide = 2 windows. Spark's
+    native `window(ts, width, slide)` expands the assignment inside
+    codegen (the same operator Structured Streaming uses, here in
+    batch); the oracle replicates the epoch-aligned window starts with
+    integer-microsecond arithmetic and a 2-element unnest. Window
+    starts stay tz-naive on both engines (make_timestamp, not
+    to_timestamp). One shuffle on (window, event_type)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
