@@ -1,0 +1,59 @@
+"""Data-quality validation checks as composable one-row DataFrames.
+
+The reference pipeline's only quality mechanisms are per-row try/except
+skips and a validity filter (SURVEY.md §2.3 F5/F3). This module is the
+engine-level generalization: declarative constraint checks (uniqueness,
+referential integrity, null rate, accepted values, ranges) that each
+produce a ``(check_name, violations)`` row, unioned into one report.
+
+Scale notes: predicate checks compile to a single conditional aggregate
+→ one pass over the table, map-side partial aggregation, no shuffle of
+data rows (only of per-partition partial counts). Uniqueness is
+count-vs-distinct (one hash aggregate on the key). Referential
+integrity is a LEFT ANTI join — broadcast when the parent's key set
+fits (dimension tables), shuffle-hash otherwise; at 100 TB prefer
+storing parents bucketed by key so the anti join co-locates.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _report(name: str, violations: Column) -> list[Column]:
+    return [
+        F.lit(name).alias("check_name"),
+        F.coalesce(violations, F.lit(0)).cast("long").alias("violations"),
+    ]
+
+
+def predicate_check(df: DataFrame, name: str, bad: Column) -> DataFrame:
+    """Count rows where ``bad`` holds (nulls in ``bad`` count as OK)."""
+    return df.agg(*_report(name, F.sum(F.when(bad, 1).otherwise(0))))
+
+
+def unique_check(df: DataFrame, name: str, *cols: str) -> DataFrame:
+    """Violations = rows in excess of one per distinct key tuple."""
+    return df.agg(
+        *_report(name, F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols]))
+    )
+
+
+def fk_check(
+    child: DataFrame, parent: DataFrame, name: str, child_key: str, parent_key: str
+) -> DataFrame:
+    """Violations = child rows whose key has no match in parent (orphans)."""
+    orphans = child.join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        on=child_key,
+        how="left_anti",
+    )
+    return orphans.agg(*_report(name, F.count(F.lit(1))))
+
+
+def suite(checks: list[DataFrame]) -> DataFrame:
+    """Union per-check reports into one (check_name, violations) table."""
+    return reduce(lambda a, b: a.unionByName(b), checks)

@@ -1,0 +1,79 @@
+"""Iterative graph traversal as DataFrame joins.
+
+The reference pipeline has no graph operators; this generalizes its
+relational surface (SURVEY.md §2) to the iterative-algorithm shape a
+training-data pipeline needs (e.g. connected components over near-dup
+pairs, supply-chain reachability). Spark has no recursive CTE, so
+breadth-first search is a driver-side loop of joins — each level is one
+shuffle join against the (deduplicated) edge list; min-hop semantics
+come from a final group-by, which makes the loop insensitive to
+duplicate paths.
+
+Scale notes (100 TB design point): the edge list is the big side and is
+re-joined every level, so repartition it once by ``src`` and persist —
+every level's join then reuses the same partitioning (one-time shuffle).
+Frontiers are usually small → broadcast. For deep traversals,
+``localCheckpoint`` the frontier every few levels to truncate lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bfs_min_hops(
+    edges: DataFrame,
+    seed: int,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Min-hop distance from ``seed`` to every node within ``max_hops``.
+
+    ``edges`` is a directed edge list (undirected graphs: pass both
+    directions). Returns (node, hops) with hops = shortest path length,
+    0 for the seed itself. Matches the SQL ``WITH RECURSIVE`` +
+    ``GROUP BY node → min(depth)`` formulation exactly.
+    """
+    spark = edges.sparkSession
+    edges = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+
+    frontier = spark.range(1).select(F.lit(seed).cast("long").alias("node"))
+    levels = [frontier.withColumn("depth", F.lit(0))]
+    for depth in range(1, max_hops + 1):
+        # frontier is small relative to edges → broadcast it so each level
+        # is a map-side join against the (already shuffled-once) edge list
+        frontier = (
+            edges.join(F.broadcast(frontier), edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        levels.append(frontier.withColumn("depth", F.lit(depth)))
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.groupBy("node").agg(F.min("depth").cast("int").alias("hops"))
+
+
+def cooccurrence_edges(
+    df: DataFrame, group_col: str, node_col: str
+) -> DataFrame:
+    """Undirected co-occurrence edge list: nodes sharing a group value.
+
+    E.g. suppliers sharing a part (group=l_partkey, node=l_suppkey).
+    Distinct pairs, both directions, self-loops removed. The self-join is
+    keyed on the group column so it shuffles once on that key; at scale a
+    hot group (a part supplied by thousands of suppliers) quadratically
+    explodes — cap or salt hot groups upstream if the group-size
+    distribution is skewed.
+    """
+    a = df.select(F.col(group_col).alias("g"), F.col(node_col).alias("src")).distinct()
+    b = a.select("g", F.col("src").alias("dst"))
+    return (
+        a.join(b, "g")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )

@@ -481,6 +481,7 @@ def get_registry() -> dict[str, QuerySpec]:
         catalog_corpus,
         catalog_etl,
         catalog_hof,
+        catalog_pipelineops,
         catalog_posts,
         catalog_quality,
         catalog_sampling,

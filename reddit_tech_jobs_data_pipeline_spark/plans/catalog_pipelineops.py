@@ -1,0 +1,379 @@
+"""Pipeline-engineering catalog: data-quality validation, snapshot CDC
+diff, incremental aggregate maintenance, heavy hitters, iterative graph
+BFS (recursive-CTE oracle), RFM segmentation, and sequence-pattern
+matching over event streams.
+
+These generalize the reference's ETL surface (SURVEY.md §2.3 F5 error
+tolerance → DQ suite; §2.4 D2 keyed merge → CDC diff; §2.5 A1
+incremental watermark → incremental aggregate maintenance) into the
+operators a production lakehouse pipeline runs around every load.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reddit_tech_jobs_data_pipeline_spark.operators import dq
+from reddit_tech_jobs_data_pipeline_spark.operators.graph import (
+    bfs_min_hops,
+    cooccurrence_edges,
+)
+from reddit_tech_jobs_data_pipeline_spark.plans.catalog import register, _t
+
+
+# ===========================================================================
+# Data-quality validation suite (generalizes F5 per-row tolerance)
+# ===========================================================================
+@register(
+    "dq_validation_suite",
+    """
+    SELECT 'orders_pk_unique' AS check_name,
+           count(*) - count(DISTINCT o_orderkey) AS violations FROM orders
+    UNION ALL
+    SELECT 'orders_custkey_not_null', count(*) FILTER (o_custkey IS NULL) FROM orders
+    UNION ALL
+    SELECT 'orders_status_accepted',
+           count(*) FILTER (o_orderstatus NOT IN ('P','O','F')) FROM orders
+    UNION ALL
+    SELECT 'orders_date_in_range',
+           count(*) FILTER (o_orderdate < TIMESTAMP '1992-01-01'
+                            OR o_orderdate > TIMESTAMP '2005-01-01') FROM orders
+    UNION ALL
+    SELECT 'lineitem_discount_in_range',
+           count(*) FILTER (l_discount < 0 OR l_discount > 1) FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_quantity_positive',
+           count(*) FILTER (l_quantity <= 0) FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk', count(*) FROM lineitem
+    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'orders_custkey_fk', count(*) FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    """,
+    tags=["dq", "etl"],
+)
+def dq_validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    return dq.suite(
+        [
+            dq.unique_check(orders, "orders_pk_unique", "o_orderkey"),
+            dq.predicate_check(
+                orders, "orders_custkey_not_null", F.col("o_custkey").isNull()
+            ),
+            dq.predicate_check(
+                orders,
+                "orders_status_accepted",
+                ~F.col("o_orderstatus").isin("P", "O", "F"),
+            ),
+            dq.predicate_check(
+                orders,
+                "orders_date_in_range",
+                (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") > F.lit("2005-01-01").cast("timestamp")),
+            ),
+            dq.predicate_check(
+                lineitem,
+                "lineitem_discount_in_range",
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+            ),
+            dq.predicate_check(
+                lineitem, "lineitem_quantity_positive", F.col("l_quantity") <= 0
+            ),
+            dq.fk_check(lineitem, orders, "lineitem_orderkey_fk", "l_orderkey", "o_orderkey"),
+            dq.fk_check(orders, customer, "orders_custkey_fk", "o_custkey", "c_custkey"),
+        ]
+    )
+
+
+# ===========================================================================
+# Snapshot CDC diff (generalizes D2 keyed merge: what changed between runs)
+# ===========================================================================
+_CDC_SQL = """
+    old AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0),
+    new AS (SELECT o_orderkey,
+                   o_totalprice + CASE WHEN o_orderkey % 3 = 0 THEN 100 ELSE 0 END
+                     AS o_totalprice
+            FROM orders WHERE o_orderkey % 5 <> 0)
+"""
+
+
+@register(
+    "snapshot_cdc_diff",
+    f"""
+    WITH {_CDC_SQL}
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           count(*) AS cnt
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice <> n.o_totalprice
+    GROUP BY 1
+    """,
+    tags=["cdc", "etl"],
+)
+def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 3 == 0, 100).otherwise(0)
+        ).alias("o_totalprice"),
+    )
+    j = old.alias("o").join(
+        new.alias("n"), F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer"
+    )
+    return (
+        j.withColumn(
+            "change_type",
+            F.when(F.col("o.o_orderkey").isNull(), "insert")
+            .when(F.col("n.o_orderkey").isNull(), "delete")
+            .otherwise("update"),
+        )
+        .filter(
+            F.col("o.o_orderkey").isNull()
+            | F.col("n.o_orderkey").isNull()
+            | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+        )
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ===========================================================================
+# Incremental aggregate maintenance (generalizes A1 watermark increments):
+# base aggregate + delta batch merged == full recompute (the oracle)
+# ===========================================================================
+@register(
+    "incremental_agg_monthly_revenue",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS revenue,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+    tags=["incremental", "etl"],
+)
+def incremental_agg_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark side computes the answer INCREMENTALLY — a pre-cutoff base
+    # aggregate merged with a post-cutoff delta aggregate (decimal sums →
+    # exact, associative, so the merge is bit-identical to recompute);
+    # the oracle recomputes directly. Matching proves the maintenance
+    # algebra: sum/count are mergeable partials.
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+
+    def monthly(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month")
+        ).agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+
+    base = monthly(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = monthly(orders.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("month")
+        .agg(F.sum("rev").alias("rev"), F.sum("n_orders").alias("n_orders"))
+        .select(
+            "month",
+            F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+            "n_orders",
+        )
+    )
+
+
+# ===========================================================================
+# Heavy hitters: tokens with frequency > total/200 (exact, two aggregates)
+# ===========================================================================
+_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '')"
+
+
+@register(
+    "heavy_hitter_tokens",
+    f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents)
+    SELECT token, count(*) AS cnt FROM tok GROUP BY token
+    HAVING count(*) > (SELECT count(*) FROM tok) / 200.0
+    """,
+    tags=["text", "scale"],
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"\W+"), lambda x: x != ""
+                )
+            ).alias("token")
+        )
+    )
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(total))
+        .filter(F.col("cnt") > F.col("total") / 200.0)
+        .select("token", "cnt")
+    )
+
+
+# ===========================================================================
+# Iterative BFS over the supplier co-supply graph; recursive-CTE oracle
+# ===========================================================================
+@register(
+    "bfs_supplier_reachability",
+    """
+    WITH RECURSIVE
+    edges AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey <> b.l_suppkey
+    ),
+    reach(node, depth) AS (
+      SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
+      UNION ALL
+      SELECT e.dst, r.depth + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.depth < 2
+    )
+    SELECT node, CAST(min(depth) AS INTEGER) AS hops FROM reach GROUP BY node
+    """,
+    tags=["graph", "iterative"],
+)
+def bfs_supplier_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(lineitem, "l_partkey", "l_suppkey")
+    return bfs_min_hops(edges, seed=1, max_hops=2)
+
+
+# ===========================================================================
+# RFM customer segmentation (ntile quartiles, deterministic tiebreaks)
+# ===========================================================================
+@register(
+    "rfm_segmentation",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', max(o_orderdate),
+                  (SELECT max(o_orderdate) FROM orders)) AS INTEGER) AS recency_days,
+             count(*) AS frequency,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT *,
+             ntile(4) OVER (ORDER BY recency_days ASC, o_custkey) AS r_score,
+             ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+             ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+      FROM rfm
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           CAST(r_score AS INTEGER) AS r_score,
+           CAST(f_score AS INTEGER) AS f_score,
+           CAST(m_score AS INTEGER) AS m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS segment
+    FROM scored
+    """,
+    tags=["analytics", "segmentation"],
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
+    rfm = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("monetary"),
+        )
+        .join(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("anchor", "last_order").cast("int").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = rfm.select(
+        "*",
+        F.ntile(4)
+        .over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+        .alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
+
+
+# ===========================================================================
+# Sequence-pattern match (MATCH_RECOGNIZE-lite): per-user event-initial
+# string, regex funnel view→click→purchase in order
+# ===========================================================================
+@register(
+    "funnel_sequence_match",
+    """
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+           regexp_matches(seq, 'v.*c.*p') AS matched
+    FROM seqs
+    """,
+    tags=["sequence", "behavior"],
+)
+def funnel_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    seqs = (
+        events.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts"),
+                        F.col("event_id"),
+                        F.substring("event_type", 1, 1).alias("i"),
+                    )
+                )
+            ).alias("arr")
+        )
+        .select(
+            "user_id",
+            F.concat_ws("", F.transform(F.col("arr"), lambda x: x["i"])).alias("seq"),
+        )
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("long").alias("seq_len"),
+        F.col("seq").rlike("v.*c.*p").alias("matched"),
+    )

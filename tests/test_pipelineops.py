@@ -1,0 +1,69 @@
+"""Unit tests for the pipeline-engineering operators: graph BFS,
+DQ validation checks, CDC diff semantics (catalog_pipelineops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reddit_tech_jobs_data_pipeline_spark.operators import dq
+from reddit_tech_jobs_data_pipeline_spark.operators.graph import (
+    bfs_min_hops,
+    cooccurrence_edges,
+)
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+class TestBfs:
+    def test_chain_min_hops(self, spark):
+        # 1 -> 2 -> 3 -> 4 plus a shortcut 1 -> 3: min-hop must win
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (1, 3)], "src long, dst long"
+        )
+        got = _rows(bfs_min_hops(edges, seed=1, max_hops=3))
+        assert got == {(1, 0), (2, 1), (3, 1), (4, 2)}
+
+    def test_hop_bound_truncates(self, spark):
+        edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        got = _rows(bfs_min_hops(edges, seed=1, max_hops=1))
+        assert got == {(1, 0), (2, 1)}
+
+    def test_cycle_terminates(self, spark):
+        edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+        got = _rows(bfs_min_hops(edges, seed=1, max_hops=4))
+        assert got == {(1, 0), (2, 1)}
+
+    def test_cooccurrence_undirected_no_selfloop(self, spark):
+        df = spark.createDataFrame(
+            [(10, 1), (10, 2), (20, 2), (20, 3), (30, 9)], "g long, n long"
+        )
+        got = _rows(cooccurrence_edges(df, "g", "n"))
+        assert got == {(1, 2), (2, 1), (2, 3), (3, 2)}
+
+
+class TestDq:
+    def test_predicate_and_unique(self, spark):
+        df = spark.createDataFrame(
+            [(1, 5.0), (1, -2.0), (2, None)], "k long, v double"
+        )
+        report = dq.suite(
+            [
+                dq.unique_check(df, "k_unique", "k"),
+                dq.predicate_check(df, "v_nonneg", F.col("v") < 0),
+                dq.predicate_check(df, "v_not_null", F.col("v").isNull()),
+            ]
+        )
+        assert _rows(report) == {("k_unique", 1), ("v_nonneg", 1), ("v_not_null", 1)}
+
+    def test_fk_orphans(self, spark):
+        child = spark.createDataFrame([(1,), (2,), (9,), (9,)], "fk long")
+        parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+        got = _rows(dq.fk_check(child, parent, "fk_ok", "fk", "pk"))
+        assert got == {("fk_ok", 2)}
+
+    def test_clean_table_reports_zero(self, spark):
+        df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
+        got = _rows(dq.predicate_check(df, "v_pos", F.col("v") <= 0))
+        assert got == {("v_pos", 0)}
