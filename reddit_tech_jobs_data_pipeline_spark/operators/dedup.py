@@ -129,6 +129,87 @@ def ngram_jaccard_pairs(
     return out
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """All pairs with shingle Jaccard ≥ num/den — AllPairs/PPJoin-style
+    prefix filtering, exactly equal to the exhaustive inverted-index join.
+
+    Rationale at scale: the plain shingle self-join explodes on frequent
+    shingles (a shingle shared by d docs yields d² candidate rows). Under
+    a single global token order (rarest shingle first), any pair with
+    J(A,B) ≥ t must share ≥ ceil(t·|A|) shingles, so it must collide
+    within each side's first |A| - ceil(t·|A|) + 1 shingles (Bayardo et
+    al., WWW'07 "Scaling Up All Pairs Similarity Search" — public
+    algorithm). Joining only those prefixes shrinks the index by ~t of
+    each doc and, because prefixes hold the *rarest* shingles, removes
+    precisely the high-frequency join keys that drive the quadratic blow-
+    up. A size filter (den·|B| ≥ num·|A| both ways) prunes the rest.
+    Candidates are then verified exactly against full sorted shingle
+    arrays. No false negatives: the prefix bound is a theorem, not a
+    heuristic — the catalog checks this by sharing the exhaustive oracle.
+
+    The threshold is a rational num/den so ceil(t·n) is integer-exact
+    ((num·n + den - 1) DIV den): float ceil(0.7·10) = ceil(7.0000000001)
+    = 8 would silently shorten prefixes and drop true pairs.
+    """
+    sh = _shingle_table(df, text_col, id_col, n).cache()
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.asc("df_"), F.asc("shingle"))
+            ),
+        )
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    )
+    # prefix length = n_sh - ceil(t*n_sh) + 1, integer-exact
+    min_overlap = (F.col("n_sh") * threshold_num + threshold_den - 1).cast(
+        "long"
+    ) / threshold_den
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n_sh") - F.floor(min_overlap) + 1
+    ).select("id", "shingle", "n_sh")
+
+    a = prefix.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"})
+    b = prefix.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"})
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("n_b") * threshold_den >= F.col("n_a") * threshold_num)
+            & (F.col("n_a") * threshold_den >= F.col("n_b") * threshold_num)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    arrays = sh.groupBy("id").agg(F.array_sort(F.collect_set("shingle")).alias("arr"))
+    out = (
+        cand.join(arrays.select(F.col("id").alias("id_a"), F.col("arr").alias("arr_a")), "id_a")
+        .join(arrays.select(F.col("id").alias("id_b"), F.col("arr").alias("arr_b")), "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("arr_a", "arr_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("arr_a") + F.size("arr_b") - F.col("n_common")),
+        )
+        # double comparison, same as ngram_jaccard_pairs / the SQL oracle
+        # (the prefix+size PRUNING is integer-exact; the final threshold
+        # test must match the oracle's float semantics bit-for-bit)
+        .filter(F.col("jaccard") >= threshold_num / threshold_den)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

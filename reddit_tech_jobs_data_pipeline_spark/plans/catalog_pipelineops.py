@@ -231,6 +231,51 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Schema evolution: old snapshot lacks a column added later; unionByName
+# with allowMissingColumns back-fills NULL (parquet mergeSchema semantics)
+# ===========================================================================
+@register(
+    "schema_evolution_union",
+    """
+    WITH unioned AS (
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+      FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+    )
+    SELECT coalesce(o_orderpriority, '<missing>') AS priority,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS revenue
+    FROM unioned GROUP BY 1
+    """,
+    tags=["schema", "etl"],
+)
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+    old = orders.filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderdate") >= cutoff).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    evolved = old.unionByName(new, allowMissingColumns=True)
+    return (
+        evolved.groupBy(
+            F.coalesce("o_orderpriority", F.lit("<missing>")).alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+# ===========================================================================
 # Iterative BFS over the supplier co-supply graph; recursive-CTE oracle
 # ===========================================================================
 @register(

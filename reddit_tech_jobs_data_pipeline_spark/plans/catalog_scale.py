@@ -233,6 +233,26 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(corpus, "text", "id", n=3, threshold=0.7)
 
 
+@register(
+    "jaccard_prefix_filter_join",
+    f"""
+    WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
+    {_JACCARD_VERIFY_SQL.format(candidate_filter="")}
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.7
+    """,
+    tags=["dedup", "scale"],
+)
+def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs/PPJoin prefix-filtered set-similarity join. The oracle is
+    the EXHAUSTIVE inverted-index join — matching it proves the prefix +
+    size pruning is lossless while joining only each doc's rarest
+    shingles (the scale path: no quadratic fan-out on hot shingles)."""
+    corpus = _corpus_df(spark, sf_dir)
+    return dedup.prefix_filter_jaccard_pairs(
+        corpus, "text", "id", n=3, threshold_num=7, threshold_den=10
+    )
+
+
 def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
     # Kirsch-Mitzenmacher family, mirroring operators/dedup.py: one md5
     # per shingle, w1/w2 = its first two 32-bit words, h_i = (w1 + i*w2)

@@ -42,6 +42,43 @@ class TestNgramJaccard:
         assert pairs[(1, 4)] == 1.0
 
 
+class TestPrefixFilterJaccard:
+    def test_equals_exhaustive_join(self, spark):
+        """Prefix filtering is lossless: identical pairs AND scores vs the
+        exhaustive inverted-index join, at a threshold (0.7) where float
+        ceil would miscompute prefix lengths (ceil(0.7*10) -> 8)."""
+        docs = _docs(spark)
+        exhaustive = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "text", "id", n=3, threshold=0.7
+            ).collect()
+        }
+        pruned = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.prefix_filter_jaccard_pairs(
+                docs, "text", "id", n=3, threshold_num=7, threshold_den=10
+            ).collect()
+        }
+        assert pruned == exhaustive
+        assert pruned  # non-vacuous: the near-dup cluster is present
+
+    def test_low_threshold_wider_recall(self, spark):
+        got = {
+            (r.id_a, r.id_b)
+            for r in dedup.prefix_filter_jaccard_pairs(
+                _docs(spark), "text", "id", n=3, threshold_num=1, threshold_den=2
+            ).collect()
+        }
+        want = {
+            (r.id_a, r.id_b)
+            for r in dedup.ngram_jaccard_pairs(
+                _docs(spark), "text", "id", n=3, threshold=0.5
+            ).collect()
+        }
+        assert got == want
+
+
 class TestMinhashLSH:
     def test_finds_near_dups_not_distinct(self, spark):
         pairs = dedup.minhash_lsh_dedup_pairs(
