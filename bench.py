@@ -43,6 +43,12 @@ HEADLINE = [
     "minhash_lsh_near_dup",
     "ann_cosine_topk",
     "text_stats",
+    "dq_validation_suite",
+    "rfm_segmentation",
+    "heavy_hitter_tokens",
+    "funnel_sequence_match",
+    "jaccard_prefix_filter_join",
+    "bfs_supplier_reachability",
 ]
 
 
