@@ -19,6 +19,7 @@ from reddit_tech_jobs_data_pipeline_spark.operators.graph import (
     bfs_min_hops,
     cooccurrence_edges,
 )
+from reddit_tech_jobs_data_pipeline_spark.operators.spatial import grid_radius_join
 from reddit_tech_jobs_data_pipeline_spark.plans.catalog import register, _t
 
 
@@ -303,6 +304,38 @@ def bfs_supplier_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem")
     edges = cooccurrence_edges(lineitem, "l_partkey", "l_suppkey")
     return bfs_min_hops(edges, seed=1, max_hops=2)
+
+
+# ===========================================================================
+# Grid-blocked spatial radius join: all customer-point pairs within r,
+# cell blocking (equi-join) vs the oracle's exhaustive O(n²) — lossless.
+# Points are synthesized deterministically from c_custkey (pure modular
+# arithmetic, no trig → bit-identical doubles on both engines).
+# ===========================================================================
+@register(
+    "spatial_radius_join",
+    """
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             ((c_custkey * 37) % 400) / 10.0 AS x,
+             ((c_custkey * 91) % 400) / 10.0 AS y
+      FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)), 4) AS dist
+    FROM pts a JOIN pts b
+      ON a.id < b.id
+     AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 2.25
+    """,
+    tags=["spatial", "scale"],
+)
+def spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 37) % 400 / 10.0).alias("x"),
+        ((F.col("c_custkey") * 91) % 400 / 10.0).alias("y"),
+    )
+    return grid_radius_join(pts, "id", "x", "y", radius=1.5)
 
 
 # ===========================================================================
