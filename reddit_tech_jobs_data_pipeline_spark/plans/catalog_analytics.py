@@ -14,6 +14,7 @@ from reddit_tech_jobs_data_pipeline_spark.operators import multimodal
 from reddit_tech_jobs_data_pipeline_spark.plans.catalog import _t, register
 from reddit_tech_jobs_data_pipeline_spark.plans.catalog_posts import _CORPUS_SQL, _titles_df
 from reddit_tech_jobs_data_pipeline_spark.streaming.events import (
+    run_interval_join_batchlike,
     run_windowed_counts_batchlike,
 )
 
@@ -162,6 +163,25 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finite events input; semantics equal the batch GROUP BY, which is
     exactly what the oracle asserts."""
     return run_windowed_counts_batchlike(spark, sf_dir)
+
+
+@register(
+    "streaming_interval_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS delay_sec
+    FROM events c JOIN events p ON c.user_id = p.user_id
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    tags=["streaming"],
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner interval join run to completion over the
+    finite input; inner-join semantics equal the batch range self-join
+    the oracle runs — watermarks only bound STATE, they drop no rows of
+    a finite in-order replay."""
+    return run_interval_join_batchlike(spark, sf_dir)
 
 
 @register(

@@ -117,6 +117,77 @@ def stream_upsert_to_gold(
     q.awaitTermination()
 
 
+def interval_join_stream(
+    events: DataFrame,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner interval join: each click joined to the same
+    user's purchases within ``max_delay`` after it.
+
+    Both sides carry an event-time watermark and the join condition
+    bounds purchase_ts to [click_ts, click_ts + max_delay], so Spark can
+    derive state-expiry for BOTH sides (a click older than watermark +
+    max_delay can never match a future purchase and is evicted; ditto
+    purchases) — without the time bound the join state grows forever.
+    That bounded-state property is the whole point at 100 TB/day stream
+    volumes; the join itself hash-partitions both sides on user_id.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"user_id = p_user_id AND purchase_ts >= click_ts"
+            f" AND purchase_ts <= click_ts + INTERVAL {max_delay}"
+        ),
+    )
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")).alias(
+            "delay_sec"
+        ),
+    )
+
+
+def run_interval_join_batchlike(
+    spark: SparkSession, sf_dir: str, name: str = "stream_interval_join"
+) -> DataFrame:
+    """Run the stream-stream interval join to completion over the finite
+    events input (append mode into a memory sink)."""
+    joined = interval_join_stream(read_events_stream(spark, sf_dir))
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).cache()
+    out.count()
+    q.stop()
+    return out
+
+
 def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming deduplication by event_id with bounded state:
     ``dropDuplicatesWithinWatermark`` keeps a key only until the

@@ -34,6 +34,37 @@ class TestWindowedCounts:
         assert a == b
 
 
+class TestStreamStreamIntervalJoin:
+    def test_matches_batch_range_join(self, spark):
+        out = sev.run_interval_join_batchlike(spark, SF, name="t_stream_ij")
+        ev = load_table(spark, SF, "events")
+        c = ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+        )
+        p = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("pu"),
+            F.col("ts").alias("pts"),
+        )
+        batch = (
+            c.join(
+                p,
+                (F.col("user_id") == F.col("pu"))
+                & (F.col("pts") >= F.col("cts"))
+                & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+            )
+            .select(
+                "click_id",
+                "purchase_id",
+                "user_id",
+                (F.unix_timestamp("pts") - F.unix_timestamp("cts")).alias("delay_sec"),
+            )
+        )
+        a = {tuple(r) for r in out.collect()}
+        b = {tuple(r) for r in batch.collect()}
+        assert a == b and a  # identical and non-vacuous
+
+
 class TestForeachBatchUpsert:
     def test_stream_merges_into_gold(self, spark, tmp_path):
         gold = str(tmp_path / "gold_events")
