@@ -1,0 +1,107 @@
+"""Lloyd's k-means as iterative DataFrame operations.
+
+The scale-out clustering primitive a training-data pipeline uses for
+corpus bucketing / IVF coarse quantizers (operators/similarity.py
+ivf_ann_topk uses training-free cells; this is the trained variant).
+No MLlib, no RDDs: assignment is a broadcast join against the (tiny)
+centroid table + an argmin window; the update step folds member vectors
+element-wise.
+
+Determinism contract (what lets the DuckDB oracle match bit-for-bit):
+* init = the k lowest-vec_id vectors (no RNG);
+* every per-vector fold (distance, member-sum) is a SEQUENTIAL left
+  fold in a fixed order — `F.aggregate` over `zip_with` for distances,
+  and member vectors folded in vec_id order — so both engines execute
+  the identical IEEE-754 operation sequence; no rounding is needed
+  anywhere inside the loop;
+* argmin tie-break by (dist, cid).
+
+Scale notes (100 TB): the assignment join broadcasts k·dim doubles —
+trivially small; the shuffle is the per-cluster update aggregation.
+The ordered collect_list fold here is the *oracle-parity* update; at
+real scale swap it for posexplode → groupBy(cid, dim) → sum (order-free
+partial aggregation, FP-error-tolerant) — same algorithm, commutative
+reduction. Iterations are driver-side loop unrolling (k-means iteration
+count is small and fixed); localCheckpoint the assignment every few
+iterations to truncate lineage on deep runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    # sequential left fold: bit-identical to the oracle's list_reduce
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest centroid per vector: broadcast the centroid table, score
+    every (vector, centroid) pair, keep the argmin (tie → lowest cid)."""
+    scored = vecs.join(F.broadcast(centroids)).withColumn(
+        "dist", _sq_dist(F.col("v"), F.col("cvec"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+
+
+def update_centroids(assigned: DataFrame, dim: int) -> DataFrame:
+    """Element-wise mean per cluster, folding members in vec_id order
+    (sequential, oracle-parity; see module docstring for the
+    commutative at-scale variant)."""
+    zeros = F.array_repeat(F.lit(0.0), dim)
+    grouped = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vec_id").alias("vid_sum"),
+        F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("members"),
+    )
+    summed = F.aggregate(
+        F.transform(F.col("members"), lambda m: m["v"]),
+        zeros,
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+    )
+    return grouped.select(
+        "cid",
+        "n",
+        "vid_sum",
+        F.transform(summed, lambda s: s / F.col("n")).alias("cvec"),
+    )
+
+
+def lloyd_kmeans(
+    emb: DataFrame,
+    k: int,
+    dim: int,
+    iterations: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``iterations`` rounds of assign+update from the deterministic
+    init; returns (cid, n, vid_sum, cvec). Clusters that lose all
+    members drop out (k shrinks) — deterministic on both engines."""
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    w = Window.orderBy("vec_id")
+    centroids = (
+        vecs.orderBy("vec_id")
+        .limit(k)
+        .select((F.row_number().over(w) - 1).alias("cid"), F.col("v").alias("cvec"))
+    )
+    state = None
+    for _ in range(iterations):
+        assigned = assign_clusters(vecs, centroids)
+        state = update_centroids(assigned, dim)
+        centroids = state.select("cid", "cvec")
+    return state

@@ -463,3 +463,86 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup_pairs(emb, threshold=0.3, nbits=4)
+
+
+# ===========================================================================
+# Lloyd k-means (2 unrolled iterations) — iterative ML clustering with an
+# EXACT oracle: every float fold is a sequential left fold in a fixed
+# order on both engines, so no rounding is needed inside the loop.
+# ===========================================================================
+
+def _kmeans_sql(k: int, dim: int, iters: int) -> str:
+    rng = f"range(1, {dim + 1})"
+    zeros = f"list_transform({rng}, i -> 0.0)"
+    dist = (
+        f"list_reduce(list_transform({rng},"
+        " j -> (v[j]-cvec[j])*(v[j]-cvec[j])), (p, q) -> p + q)"
+    )
+    parts = [
+        "vecs AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"""c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
+      FROM vecs ORDER BY vec_id LIMIT {k}
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""a{i} AS (
+      SELECT vec_id, v, cid, {dist} AS dist
+      FROM vecs CROSS JOIN c{i - 1}
+    ),
+    s{i} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM a{i}
+      ) WHERE rn = 1
+    ),
+    u{i} AS (
+      SELECT cid, count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS vid_sum,
+             list_reduce(
+               list_prepend({zeros}, list(v ORDER BY vec_id)),
+               (acc, x) -> list_transform({rng}, j -> acc[j] + x[j])) AS vsum
+      FROM s{i} GROUP BY cid
+    ),
+    c{i} AS (
+      SELECT cid, n, vid_sum, list_transform(vsum, s -> s / n) AS cvec FROM u{i}
+    )"""
+        )
+    sep = ",\n    "
+    return f"""
+    WITH {sep.join(parts)}
+    SELECT CAST(cid AS INTEGER) AS cid, n AS n_members, vid_sum,
+           round(sqrt(list_reduce(list_transform(cvec, x -> x * x),
+                                  (p, q) -> p + q)), 4) AS centroid_norm
+    FROM c{iters}
+    """
+
+
+@register(
+    "kmeans_lloyd_clusters",
+    _kmeans_sql(k=8, dim=64, iters=2),
+    tags=["ml", "iterative", "scale"],
+)
+def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations over the embeddings, deterministic init
+    (lowest-vec_id vectors), sequential-fold arithmetic ⇒ the oracle's
+    unrolled SQL matches bit-for-bit pre-round. See operators/kmeans.py
+    for the at-scale (commutative-reduction) variant of the update."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.kmeans import lloyd_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = lloyd_kmeans(emb, k=8, dim=64, iterations=2)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("cvec"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return out.select(
+        F.col("cid").cast("int").alias("cid"),
+        F.col("n").alias("n_members"),
+        "vid_sum",
+        F.round(norm, 4).alias("centroid_norm"),
+    )

@@ -1,0 +1,48 @@
+"""Lloyd k-means operator: hand-checkable assignments, stability on a
+converged configuration, empty-cluster drop-out."""
+
+from __future__ import annotations
+
+from reddit_tech_jobs_data_pipeline_spark.operators.kmeans import lloyd_kmeans
+
+# two tight groups far apart in 2-D; ids 1,2 seed the two centroids
+PTS = [
+    (1, [0.0, 0.0]),
+    (2, [10.0, 10.0]),
+    (3, [0.5, 0.0]),
+    (4, [0.0, 0.5]),
+    (5, [10.5, 10.0]),
+    (6, [10.0, 10.5]),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(PTS, "vec_id long, embedding array<double>")
+
+
+class TestLloydKmeans:
+    def test_two_well_separated_clusters(self, spark):
+        out = lloyd_kmeans(_df(spark), k=2, dim=2, iterations=2).collect()
+        by_cid = {r.cid: r for r in out}
+        assert set(by_cid) == {0, 1}
+        # cluster 0 seeded at (0,0) gathers ids {1,3,4}; cluster 1 the rest
+        assert by_cid[0].n == 3 and by_cid[0].vid_sum == 1 + 3 + 4
+        assert by_cid[1].n == 3 and by_cid[1].vid_sum == 2 + 5 + 6
+        # centroid of {(0,0),(0.5,0),(0,0.5)} = (1/6, 1/6)
+        assert [round(v, 6) for v in by_cid[0].cvec] == [round(1 / 6, 6)] * 2
+
+    def test_converged_config_is_fixed_point(self, spark):
+        one = lloyd_kmeans(_df(spark), k=2, dim=2, iterations=2).collect()
+        three = lloyd_kmeans(_df(spark), k=2, dim=2, iterations=3).collect()
+        assert sorted((r.cid, r.n, r.vid_sum) for r in one) == sorted(
+            (r.cid, r.n, r.vid_sum) for r in three
+        )
+
+    def test_empty_cluster_drops_out(self, spark):
+        # k = n: every point is its own centroid; with a duplicate point,
+        # one centroid captures both copies and one cluster goes empty
+        pts = [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [5.0, 5.0])]
+        df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+        out = lloyd_kmeans(df, k=3, dim=2, iterations=2).collect()
+        assert len(out) == 2  # the orphaned duplicate centroid vanished
+        assert sorted(r.n for r in out) == [1, 2]
