@@ -57,6 +57,66 @@ def bfs_min_hops(
     return out.groupBy("node").agg(F.min("depth").cast("int").alias("hops"))
 
 
+def pagerank(edges: DataFrame, damping: float = 0.85, iterations: int = 3) -> DataFrame:
+    """PageRank over a directed edge list, unrolled ``iterations`` times.
+
+    Deterministic to the bit against an unrolled-SQL oracle: incoming
+    contributions are folded SEQUENTIALLY in src order (not a
+    commutative float sum), so both engines execute the same IEEE
+    operation sequence — the same recipe as operators/kmeans.py. Nodes
+    are the distinct edge endpoints; a node with no out-edges would be
+    dangling, but the co-occurrence graphs this engine builds are
+    symmetric (every node has out-degree ≥ 1).
+
+    Scale notes (100 TB): rank and out-degree are one row per node —
+    broadcastable against the edge list, which shuffles once on src and
+    is reused every iteration; the per-iteration aggregation is the only
+    repeated shuffle. The ordered fold is oracle-parity; at scale sum
+    contributions commutatively (map-side partial agg) and accept FP
+    reorder noise.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    pr = nodes.join(F.broadcast(n)).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
+    )
+    for _ in range(iterations):
+        contribs = (
+            edges.join(F.broadcast(pr), edges.src == pr.node)
+            .join(F.broadcast(outdeg), "src")
+            .select("src", "dst", (F.col("pr") / F.col("outdeg")).alias("contrib"))
+        )
+        summed = (
+            contribs.groupBy("dst")
+            .agg(F.array_sort(F.collect_list(F.struct("src", "contrib"))).alias("cs"))
+            .select(
+                F.col("dst").alias("node"),
+                F.aggregate(
+                    F.transform(F.col("cs"), lambda c: c["contrib"]),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("in_sum"),
+            )
+        )
+        pr = (
+            nodes.join(summed, "node", "left")
+            .join(F.broadcast(n))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("n_nodes")
+                    + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return pr
+
+
 def cooccurrence_edges(
     df: DataFrame, group_col: str, node_col: str
 ) -> DataFrame:

@@ -455,3 +455,74 @@ def funnel_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("seq").cast("long").alias("seq_len"),
         F.col("seq").rlike("v.*c.*p").alias("matched"),
     )
+
+
+# ===========================================================================
+# PageRank (3 unrolled iterations) on the supplier co-supply graph —
+# bit-exact oracle via sequential src-ordered contribution folds and
+# explicit DOUBLE literals (DuckDB parses bare 0.85 as DECIMAL).
+# ===========================================================================
+
+_PR_EDGES_SQL = """
+    edges AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey <> b.l_suppkey
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT count(*) AS n_nodes FROM nodes),
+    outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)
+"""
+
+
+def _pagerank_sql(iterations: int) -> str:
+    d = "CAST(0.85 AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    parts = [
+        f"p0 AS (SELECT node, {one} / n_nodes AS pr FROM nodes CROSS JOIN nn)"
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""c{i} AS (
+      SELECT e.src, e.dst, p.pr / o.outdeg AS contrib
+      FROM edges e JOIN p{i - 1} p ON p.node = e.src
+      JOIN outdeg o ON o.src = e.src
+    ),
+    s{i} AS (
+      SELECT dst AS node,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(contrib ORDER BY src)),
+                         (a, b) -> a + b) AS in_sum
+      FROM c{i} GROUP BY dst
+    ),
+    p{i} AS (
+      SELECT n.node,
+             ({one} - {d}) / nn.n_nodes
+               + {d} * coalesce(s.in_sum, CAST(0.0 AS DOUBLE)) AS pr
+      FROM nodes n LEFT JOIN s{i} s ON s.node = n.node CROSS JOIN nn
+    )"""
+        )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {_PR_EDGES_SQL},
+    {body}
+    SELECT node, round(pr, 6) AS pagerank FROM p{iterations}
+    """
+
+
+@register(
+    "pagerank_suppliers",
+    _pagerank_sql(iterations=3),
+    tags=["graph", "iterative"],
+)
+def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three PageRank iterations over the supplier co-supply graph; the
+    oracle unrolls the identical recurrence (sequential src-ordered
+    folds — see operators/graph.pagerank for the at-scale variant)."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.graph import pagerank
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(lineitem, "l_partkey", "l_suppkey")
+    pr = pagerank(edges, damping=0.85, iterations=3)
+    return pr.select("node", F.round("pr", 6).alias("pagerank"))

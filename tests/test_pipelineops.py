@@ -9,6 +9,7 @@ from reddit_tech_jobs_data_pipeline_spark.operators import dq
 from reddit_tech_jobs_data_pipeline_spark.operators.graph import (
     bfs_min_hops,
     cooccurrence_edges,
+    pagerank,
 )
 
 
@@ -41,6 +42,26 @@ class TestBfs:
         )
         got = _rows(cooccurrence_edges(df, "g", "n"))
         assert got == {(1, 2), (2, 1), (2, 3), (3, 2)}
+
+
+class TestPagerank:
+    def test_regular_graph_uniform(self, spark):
+        # 3-cycle in both directions: every node symmetric -> pr = 1/3
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3)], "src long, dst long"
+        )
+        got = {r.node: r.pr for r in pagerank(edges, iterations=3).collect()}
+        assert all(abs(v - 1 / 3) < 1e-12 for v in got.values())
+        assert set(got) == {1, 2, 3}
+
+    def test_hub_outranks_leaves(self, spark):
+        # star: leaves all point at the hub (and hub back, so no dangling)
+        edges = spark.createDataFrame(
+            [(2, 1), (3, 1), (4, 1), (1, 2), (1, 3), (1, 4)], "src long, dst long"
+        )
+        got = {r.node: r.pr for r in pagerank(edges, iterations=3).collect()}
+        assert got[1] > got[2] == got[3] == got[4]
+        assert abs(sum(got.values()) - 1.0) < 1e-9  # conserved (no dangling)
 
 
 class TestDq:
