@@ -241,3 +241,54 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ivf_trained_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_cells: int = 8,
+    nprobe: int = 2,
+    train_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with TRAINED centroids: the coarse quantizer is
+    operators/kmeans.lloyd_kmeans (deterministic init, sequential-fold
+    arithmetic), then the same cell-assignment / nprobe-probe machinery
+    as ivf_ann_topk. This is the production IVF shape — k-means cells
+    follow the data distribution, so cell populations are balanced and
+    probes recall more true neighbors than seeded cells at equal cost.
+
+    At 100 TB: train on a sample (the quantizer needs only statistical
+    coverage), broadcast the k·dim centroid table, write the corpus
+    bucketed by cell_id so a probe reads nprobe/num_cells of the data.
+    """
+    from reddit_tech_jobs_data_pipeline_spark.operators.kmeans import lloyd_kmeans
+
+    centroids = lloyd_kmeans(
+        corpus, k=num_cells, dim=dim, iterations=train_iters,
+        id_col=id_col, vec_col=vec_col,
+    ).select(F.col("cid").alias("cell_id"), "cvec")
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("v"))
+    q = queries.select(F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("v"))
+    c_cells = ivf_assign_cells(c, centroids, nprobe=1, id_col="neighbor_id")
+    q_cells = ivf_assign_cells(q, centroids, nprobe=nprobe, id_col="query_id")
+    scored = (
+        c_cells.withColumnRenamed("v", "cvec2")
+        .join(F.broadcast(q_cells.withColumnRenamed("v", "qvec2")), "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec2"), F.col("cvec2")), 4).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("__rn").cast("long").alias("rank"))
+    )

@@ -471,7 +471,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order on both engines, so no rounding is needed inside the loop.
 # ===========================================================================
 
-def _kmeans_sql(k: int, dim: int, iters: int) -> str:
+def _kmeans_parts(k: int, dim: int, iters: int) -> list[str]:
     rng = f"range(1, {dim + 1})"
     zeros = f"list_transform({rng}, i -> 0.0)"
     dist = (
@@ -509,9 +509,13 @@ def _kmeans_sql(k: int, dim: int, iters: int) -> str:
       SELECT cid, n, vid_sum, list_transform(vsum, s -> s / n) AS cvec FROM u{i}
     )"""
         )
+    return parts
+
+
+def _kmeans_sql(k: int, dim: int, iters: int) -> str:
     sep = ",\n    "
     return f"""
-    WITH {sep.join(parts)}
+    WITH {sep.join(_kmeans_parts(k, dim, iters))}
     SELECT CAST(cid AS INTEGER) AS cid, n AS n_members, vid_sum,
            round(sqrt(list_reduce(list_transform(cvec, x -> x * x),
                                   (p, q) -> p + q)), 4) AS centroid_norm
@@ -545,4 +549,70 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_members"),
         "vid_sum",
         F.round(norm, 4).alias("centroid_norm"),
+    )
+
+
+# ===========================================================================
+# Trained IVF ANN: k-means coarse quantizer (exact fragment above)
+# feeding the cell-probe search — the production IVF composition.
+# ===========================================================================
+
+def _ivf_trained_sql(k: int, dim: int, iters: int, nprobe: int, topk: int) -> str:
+    cos6 = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    cos4 = cos6.replace(", 6)", ", 4)")
+    sep = ",\n    "
+    return f"""
+    WITH {sep.join(_kmeans_parts(k, dim, iters))},
+    cent AS (SELECT cid AS cell_id, cvec FROM c{iters}),
+    cq AS (SELECT vec_id AS neighbor_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+    qq AS (SELECT vec_id AS query_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 20),
+    c_cells AS (
+      SELECT neighbor_id, v, cell_id FROM (
+        SELECT neighbor_id, v, cell_id,
+               row_number() OVER (PARTITION BY neighbor_id
+                 ORDER BY {cos6.format(a="v", b="cvec")} DESC, cell_id) AS rn
+        FROM cq CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    q_cells AS (
+      SELECT query_id, v, cell_id FROM (
+        SELECT query_id, v, cell_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY {cos6.format(a="v", b="cvec")} DESC, cell_id) AS rn
+        FROM qq CROSS JOIN cent
+      ) WHERE rn <= {nprobe}
+    ),
+    scored AS (
+      SELECT DISTINCT query_id, neighbor_id,
+             {cos4.format(a="q_cells.v", b="c_cells.v")} AS cosine
+      FROM c_cells JOIN q_cells USING (cell_id)
+      WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {topk}
+    """
+
+
+@register(
+    "ivf_trained_ann_topk",
+    _ivf_trained_sql(k=8, dim=64, iters=2, nprobe=2, topk=5),
+    tags=["similarity", "ml", "scale"],
+)
+def ivf_trained_ann_topk_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN whose coarse quantizer is the trained k-means (bit-exact
+    centroids on both engines), nprobe=2 of 8 cells, top-5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_trained_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 20),
+        k=5, num_cells=8, nprobe=2, train_iters=2, dim=64,
     )

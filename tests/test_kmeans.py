@@ -20,6 +20,29 @@ def _df(spark):
     return spark.createDataFrame(PTS, "vec_id long, embedding array<double>")
 
 
+class TestTrainedIvf:
+    def test_query_finds_own_cluster(self, spark):
+        from reddit_tech_jobs_data_pipeline_spark.operators.similarity import (
+            ivf_trained_ann_topk,
+        )
+
+        # two angular clusters (no zero vectors — cosine is undefined there)
+        pts = [
+            (1, [1.0, 0.1]),
+            (2, [0.1, 1.0]),
+            (3, [1.0, 0.2]),
+            (4, [0.9, 0.1]),
+            (5, [0.1, 0.9]),
+            (6, [0.2, 1.0]),
+        ]
+        corpus = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+        queries = corpus.filter("vec_id = 3")  # x-axis cluster
+        out = ivf_trained_ann_topk(
+            corpus, queries, k=2, num_cells=2, nprobe=1, train_iters=2, dim=2
+        ).collect()
+        assert {r.neighbor_id for r in out} == {1, 4}
+
+
 class TestLloydKmeans:
     def test_two_well_separated_clusters(self, spark):
         out = lloyd_kmeans(_df(spark), k=2, dim=2, iterations=2).collect()
