@@ -100,3 +100,61 @@ def decode_features(blobs: DataFrame, dim: int = 4) -> DataFrame:
             )
 
     return blobs.mapInPandas(_batches, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_md5", T.StringType(), True),
+    ]
+)
+
+
+def _n_frames(modality: str, n_bytes: int) -> int:
+    # deterministic stand-in for codec-reported frame/window counts:
+    # videos sample 1-4 frames by payload size, audio gets 2 windows,
+    # images are single-frame
+    if modality == "video":
+        return 1 + n_bytes % 4
+    if modality == "audio":
+        return 2
+    return 1
+
+
+def frame_sample(blobs: DataFrame) -> DataFrame:
+    """1 blob → N frame rows (the fan-out shape of video frame sampling
+    / audio windowing), Arrow-batched. The per-frame decode is stubbed
+    (md5 of payload + frame index — see real_decode); the 1→N row
+    production, schema contract, and batch iteration are the real
+    mapInPandas plumbing a codec would plug into.
+
+    At 100 TB the fan-out multiplies row counts ~4×, not byte counts
+    (frames here are references, not materialized rasters) — repartition
+    AFTER sampling if downstream per-frame work is heavy, so the
+    explode doesn't concentrate hot videos on one task.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, mods, idxs, hashes = [], [], [], []
+            for _id, mod, content in zip(pdf["id"], pdf["modality"], pdf["content"]):
+                payload = content or b""
+                for i in range(_n_frames(mod, len(payload))):
+                    ids.append(_id)
+                    mods.append(mod)
+                    idxs.append(i)
+                    hashes.append(
+                        hashlib.md5(payload + b"#" + str(i).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "modality": pd.Series(mods, dtype="object"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_md5": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return blobs.mapInPandas(_batches, schema=FRAME_SCHEMA)

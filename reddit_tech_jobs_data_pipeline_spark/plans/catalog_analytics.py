@@ -195,6 +195,40 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=["multimodal", "scale"],
 )
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH blobs AS (
+      SELECT doc_id AS id,
+             (['image','audio','video'])[doc_id % 3 + 1] AS modality,
+             coalesce(text, '') AS payload
+      FROM documents
+    ),
+    counted AS (
+      SELECT id, modality, payload,
+             CASE modality
+               WHEN 'video' THEN 1 + octet_length(encode(payload)) % 4
+               WHEN 'audio' THEN 2
+               ELSE 1 END AS n_frames
+      FROM blobs
+    )
+    SELECT id, modality,
+           CAST(unnest(generate_series(0, n_frames - 1)) AS INTEGER) AS frame_idx,
+           md5(payload || '#' || CAST(unnest(generate_series(0, n_frames - 1)) AS VARCHAR))
+             AS frame_md5
+    FROM counted
+    """,
+    tags=["multimodal", "scale"],
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame / audio-window fan-out (1 blob → N frame rows) via
+    Arrow-batched mapInPandas; the oracle replicates the deterministic
+    frame-count rule and per-frame hash with generate_series."""
+    docs = _t(spark, sf_dir, "documents")
+    blobs = multimodal.synthesize_blobs(docs)
+    return multimodal.frame_sample(blobs)
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: synthesize blobs from documents, extract
     features via Arrow-batched mapInPandas (codec stubbed — see
