@@ -117,6 +117,31 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iterations: int = 3) -> Da
     return pr
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph.
+
+    ``edges`` must be canonical (u < v, distinct). The classic two-join
+    enumeration: wedge (a<b<c via (a,b),(b,c)) closed by probing (a,c).
+    Ordering endpoints first means each triangle is enumerated exactly
+    once — and, at scale, it is THE cost lever: joining only ordered
+    edges caps wedge fan-out by each node's higher-degree neighbors
+    (the standard degree-ordering trick halves the quadratic hub blow-up;
+    for power-law graphs order by (degree, id) instead of raw id).
+    Two shuffle joins on node keys; triangles then explode to 3 rows
+    for the per-node count — a map-side-combined aggregation.
+    """
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+
+
 def cooccurrence_edges(
     df: DataFrame, group_col: str, node_col: str
 ) -> DataFrame:

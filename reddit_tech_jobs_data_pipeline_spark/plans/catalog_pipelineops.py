@@ -526,3 +526,55 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = cooccurrence_edges(lineitem, "l_partkey", "l_suppkey")
     pr = pagerank(edges, damping=0.85, iterations=3)
     return pr.select("node", F.round("pr", 6).alias("pagerank"))
+
+
+# ===========================================================================
+# Triangle counting on a deterministic sparse graph over part keys
+# (chain + skip edges: (k, k+1) always, (k, k+2) when k % 3 <> 0 —
+# sparse at every SF, unlike the near-complete co-supply graph).
+# ===========================================================================
+
+_TRI_EDGES_SQL = """
+    ks AS (SELECT p_partkey AS k, (SELECT max(p_partkey) FROM part) AS mx FROM part),
+    edges AS (
+      SELECT k AS src, k + 1 AS dst FROM ks WHERE k + 1 <= mx
+      UNION ALL
+      SELECT k AS src, k + 2 AS dst FROM ks WHERE k % 3 <> 0 AND k + 2 <= mx
+    )
+"""
+
+
+@register(
+    "triangle_counts_parts",
+    f"""
+    WITH {_TRI_EDGES_SQL},
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.src = e1.dst
+      JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    corners AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node, count(*) AS n_tri FROM corners GROUP BY node
+    """,
+    tags=["graph"],
+)
+def triangle_counts_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once triangle enumeration (ordered edges, wedge + probe)
+    vs the identical three-way join in SQL."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.graph import triangle_counts
+
+    part = _t(spark, sf_dir, "part")
+    mx = part.agg(F.max("p_partkey").alias("mx"))
+    ks = part.select(F.col("p_partkey").alias("k")).join(F.broadcast(mx))
+    chain = ks.filter(F.col("k") + 1 <= F.col("mx")).select(
+        F.col("k").alias("src"), (F.col("k") + 1).alias("dst")
+    )
+    skip = ks.filter((F.col("k") % 3 != 0) & (F.col("k") + 2 <= F.col("mx"))).select(
+        F.col("k").alias("src"), (F.col("k") + 2).alias("dst")
+    )
+    return triangle_counts(chain.unionByName(skip))

@@ -10,6 +10,7 @@ from reddit_tech_jobs_data_pipeline_spark.operators.graph import (
     bfs_min_hops,
     cooccurrence_edges,
     pagerank,
+    triangle_counts,
 )
 
 
@@ -62,6 +63,20 @@ class TestPagerank:
         got = {r.node: r.pr for r in pagerank(edges, iterations=3).collect()}
         assert got[1] > got[2] == got[3] == got[4]
         assert abs(sum(got.values()) - 1.0) < 1e-9  # conserved (no dangling)
+
+
+class TestTriangles:
+    def test_k4_counts(self, spark):
+        # complete graph on 4 nodes: C(4,3)=4 triangles, each node in 3
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)], "src long, dst long"
+        )
+        got = {r.node: r.n_tri for r in triangle_counts(edges).collect()}
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_triangle_free_graph_empty(self, spark):
+        edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+        assert triangle_counts(edges).count() == 0
 
 
 class TestDq:
