@@ -578,3 +578,45 @@ def triangle_counts_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").alias("src"), (F.col("k") + 2).alias("dst")
     )
     return triangle_counts(chain.unionByName(skip))
+
+
+# ===========================================================================
+# Clamped running balance — NOT window-expressible (state is clamped at
+# every step): applyInPandas sequential scan vs recursive-CTE oracle.
+# ===========================================================================
+@register(
+    "capped_running_balance",
+    """
+    WITH RECURSIVE
+    ev AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    bal(user_id, event_id, rn, b) AS (
+      SELECT user_id, event_id, rn,
+             greatest(CAST(0.0 AS DOUBLE),
+                      least(CAST(100.0 AS DOUBLE), value - CAST(50.0 AS DOUBLE)))
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.event_id, e.rn,
+             greatest(CAST(0.0 AS DOUBLE),
+                      least(CAST(100.0 AS DOUBLE),
+                            b.b + e.value - CAST(50.0 AS DOUBLE)))
+      FROM bal b JOIN ev e ON e.user_id = b.user_id AND e.rn = b.rn + 1
+    )
+    SELECT event_id, user_id, round(b, 4) AS balance FROM bal
+    """,
+    tags=["sequential", "escape-hatch"],
+)
+def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped recurrence bal_t = clamp(bal_{t-1} + value_t - 50) per
+    user: the grouped-map (applyInPandas) escape hatch doing genuinely
+    sequential per-key work, bit-identical to the recursive CTE."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.sequential import (
+        capped_running_balance as _crb,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    out = _crb(events, cap=100.0, drift=-50.0, floor=0.0)
+    return out.select("event_id", "user_id", F.round("balance", 4).alias("balance"))

@@ -79,6 +79,32 @@ class TestTriangles:
         assert triangle_counts(edges).count() == 0
 
 
+class TestCappedRunningBalance:
+    def test_clamps_both_ends(self, spark):
+        import datetime as dt
+
+        from reddit_tech_jobs_data_pipeline_spark.operators.sequential import (
+            capped_running_balance,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, t0, 7, 130.0),                          # 0+130-50=80
+            (2, t0 + dt.timedelta(minutes=1), 7, 120.0),  # 80+70=150 -> cap 100
+            (3, t0 + dt.timedelta(minutes=2), 7, 10.0),   # 100-40=60
+            (4, t0 + dt.timedelta(minutes=3), 7, 0.0),    # 60-50=10
+            (5, t0 + dt.timedelta(minutes=4), 7, 0.0),    # 10-50 -> floor 0
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, value double"
+        )
+        got = {
+            r.event_id: r.balance
+            for r in capped_running_balance(ev, cap=100.0, drift=-50.0).collect()
+        }
+        assert got == {1: 80.0, 2: 100.0, 3: 60.0, 4: 10.0, 5: 0.0}
+
+
 class TestDq:
     def test_predicate_and_unique(self, spark):
         df = spark.createDataFrame(
