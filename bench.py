@@ -49,6 +49,14 @@ HEADLINE = [
     "funnel_sequence_match",
     "jaccard_prefix_filter_join",
     "bfs_supplier_reachability",
+    "pagerank_suppliers",
+    "triangle_counts_parts",
+    "kmeans_lloyd_clusters",
+    "ivf_trained_ann_topk",
+    "spatial_radius_join",
+    "capped_running_balance",
+    "streaming_interval_join",
+    "multimodal_frame_sample",
 ]
 
 

@@ -195,6 +195,18 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=["multimodal", "scale"],
 )
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: synthesize blobs from documents, extract
+    features via Arrow-batched mapInPandas (codec stubbed — see
+    operators/multimodal.py), compare the deterministic outputs."""
+    docs = _t(spark, sf_dir, "documents")
+    blobs = multimodal.synthesize_blobs(docs)
+    feats = multimodal.decode_features(blobs)
+    return feats.select(
+        "id", "modality", F.col("n_bytes").cast("long").alias("n_bytes"), "content_md5"
+    )
+
+
 @register(
     "multimodal_frame_sample",
     """
@@ -227,15 +239,3 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     blobs = multimodal.synthesize_blobs(docs)
     return multimodal.frame_sample(blobs)
-
-
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column plumbing: synthesize blobs from documents, extract
-    features via Arrow-batched mapInPandas (codec stubbed — see
-    operators/multimodal.py), compare the deterministic outputs."""
-    docs = _t(spark, sf_dir, "documents")
-    blobs = multimodal.synthesize_blobs(docs)
-    feats = multimodal.decode_features(blobs)
-    return feats.select(
-        "id", "modality", F.col("n_bytes").cast("long").alias("n_bytes"), "content_md5"
-    )

@@ -157,9 +157,13 @@ def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1
     )
     SELECT d.event_id, d.event_type, round(d.value, 2) AS value,
-           round(0.6745 * (d.value - d.med) / m.mad, 4) AS robust_z
+           -- explicit half-up via floor: engine round() implementations
+           -- disagree on 1-ulp round-half boundaries (seen at sf0.1)
+           floor(CAST(0.6745 AS DOUBLE) * (d.value - d.med) / m.mad * 10000
+                 + CAST(0.5 AS DOUBLE)) / 10000 AS robust_z
     FROM dev d JOIN mad m USING (event_type)
-    WHERE abs(d.value - d.med) > 3.5 / 0.6745 * m.mad
+    WHERE abs(d.value - d.med)
+          > CAST(3.5 AS DOUBLE) / CAST(0.6745 AS DOUBLE) * m.mad
     ORDER BY d.event_id
     """,
     tags=["stats", "quality", "outliers"],
@@ -186,9 +190,16 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "event_type",
             F.round("value", 2).alias("value"),
-            F.round(F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"), 4).alias(
-                "robust_z"
-            ),
+            (
+                F.floor(
+                    F.lit(0.6745)
+                    * (F.col("value") - F.col("med"))
+                    / F.col("mad")
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("robust_z"),
         )
         .orderBy("event_id")
     )
