@@ -37,7 +37,13 @@ def bfs_min_hops(
     ``GROUP BY node → min(depth)`` formulation exactly.
     """
     spark = edges.sparkSession
-    edges = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # the edge list is referenced once per level — persist it, or the
+    # (potentially expensive) edge derivation re-executes every level
+    edges = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .cache()
+    )
 
     frontier = spark.range(1).select(F.lit(seed).cast("long").alias("node"))
     levels = [frontier.withColumn("depth", F.lit(0))]
@@ -75,10 +81,15 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iterations: int = 3) -> Da
     contributions commutatively (map-side partial agg) and accept FP
     reorder noise.
     """
+    # edges feed every iteration plus nodes/outdeg — persist once; the
+    # co-occurrence derivation upstream is a join far costlier than the
+    # cached footprint (src/dst pairs)
+    edges = edges.cache()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .cache()
     )
     n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
