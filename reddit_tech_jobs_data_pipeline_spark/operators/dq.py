@@ -45,7 +45,13 @@ def unique_check(df: DataFrame, name: str, *cols: str) -> DataFrame:
 def fk_check(
     child: DataFrame, parent: DataFrame, name: str, child_key: str, parent_key: str
 ) -> DataFrame:
-    """Violations = child rows whose key has no match in parent (orphans)."""
+    """Violations = child rows whose key has no match in parent (orphans).
+
+    NULL child keys count as orphans (the anti join matches nothing for
+    them) — the same semantics as a correlated ``NOT EXISTS``; oracle SQL
+    must use NOT EXISTS, not ``NOT IN`` (whose three-valued logic skips
+    NULL child keys and yields zero violations if the parent set has a
+    NULL)."""
     orphans = child.join(
         parent.select(F.col(parent_key).alias(child_key)).distinct(),
         on=child_key,

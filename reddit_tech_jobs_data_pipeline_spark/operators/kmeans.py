@@ -89,6 +89,8 @@ def lloyd_kmeans(
     """Run ``iterations`` rounds of assign+update from the deterministic
     init; returns (cid, n, vid_sum, cvec). Clusters that lose all
     members drop out (k shrinks) — deterministic on both engines."""
+    if iterations < 1:
+        raise ValueError("lloyd_kmeans requires iterations >= 1 (state is produced by the update step)")
     vecs = emb.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),

@@ -47,11 +47,11 @@ from reddit_tech_jobs_data_pipeline_spark.plans.catalog import register, _t
     SELECT 'lineitem_quantity_positive',
            count(*) FILTER (l_quantity <= 0) FROM lineitem
     UNION ALL
-    SELECT 'lineitem_orderkey_fk', count(*) FROM lineitem
-    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    SELECT 'lineitem_orderkey_fk', count(*) FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
     UNION ALL
-    SELECT 'orders_custkey_fk', count(*) FROM orders
-    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    SELECT 'orders_custkey_fk', count(*) FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
     """,
     tags=["dq", "etl"],
 )

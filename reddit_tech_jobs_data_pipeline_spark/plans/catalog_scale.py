@@ -210,7 +210,11 @@ _JACCARD_VERIFY_SQL = """
     GROUP BY a.id, b.id
   ),
   scored AS (
+    -- jaccard_raw feeds the threshold test (the Spark operators filter the
+    -- UNROUNDED score, then round for display — both sides must threshold
+    -- the same value or scores in [t - 5e-5, t) diverge at the boundary)
     SELECT id_a, id_b,
+           n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) AS jaccard_raw,
            round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
     FROM common
     JOIN sizes sa ON sa.id = common.id_a
@@ -224,7 +228,7 @@ _JACCARD_VERIFY_SQL = """
     f"""
     WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
     {_JACCARD_VERIFY_SQL.format(candidate_filter="")}
-    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.7
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard_raw >= 0.7
     """,
     tags=["dedup", "scale"],
 )
@@ -238,7 +242,7 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
     {_JACCARD_VERIFY_SQL.format(candidate_filter="")}
-    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.7
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard_raw >= 0.7
     """,
     tags=["dedup", "scale"],
 )
@@ -290,7 +294,7 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
     WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
     {_minhash_sql(16, 4)},
     {_JACCARD_VERIFY_SQL.format(candidate_filter="JOIN cand ON cand.id_a = a.id AND cand.id_b = b.id")}
-    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.7
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard_raw >= 0.7
     """,
     tags=["dedup", "scale"],
 )
@@ -355,7 +359,7 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE {_CORPUS_SQL}, {_SHINGLE_SQL},
     {_minhash_sql(16, 4)},
     {_JACCARD_VERIFY_SQL.format(candidate_filter="JOIN cand ON cand.id_a = a.id AND cand.id_b = b.id")},
-    pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.7),
+    pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard_raw >= 0.7),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION SELECT id_b, id_a FROM pairs
