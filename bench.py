@@ -76,11 +76,15 @@ def main() -> None:
     for name in names:
         materialize(reg[name].spark(spark, sf_dir))
 
-    # Operators that .cache()/localCheckpoint internally register plans in
-    # the CacheManager; without clearing, the timed pass would substitute
-    # the warm-up's already-materialized InMemoryRelations and under-report.
-    # Clearing between timed queries also stops cache reuse ACROSS queries
-    # that share sub-plans (e.g. the shingle table) and bounds cache memory.
+    # Operators that .cache()/persist() internally register plans in the
+    # CacheManager; without clearing, the timed pass would substitute the
+    # warm-up's already-materialized InMemoryRelations and under-report.
+    # Clearing between timed queries also stops cache-plan reuse ACROSS
+    # queries that share sub-plans (e.g. the shingle table) and bounds
+    # cached-plan memory. localCheckpoint blocks are RDD storage, NOT
+    # CacheManager entries — clearCache() doesn't free them — but they
+    # can't be substituted either: each pass rebuilds the DataFrame, which
+    # computes fresh checkpoints, so the timed pass stays honest.
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}

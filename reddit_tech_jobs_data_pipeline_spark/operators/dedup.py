@@ -106,7 +106,10 @@ def ngram_jaccard_pairs(
     if max_df is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
         sh = sh.join(freq.filter(F.col("df_") <= max_df), "shingle").drop("df_")
-    sh = sh.cache()
+    # eager localCheckpoint, not .cache(): same intra-query reuse (sizes +
+    # both join sides read the materialized table), but the blocks are
+    # GC-cleaned with the DataFrame instead of leaking in the CacheManager
+    sh = sh.localCheckpoint()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -158,7 +161,7 @@ def prefix_filter_jaccard_pairs(
     ((num·n + den - 1) DIV den): float ceil(0.7·10) = ceil(7.0000000001)
     = 8 would silently shorten prefixes and drop true pairs.
     """
-    sh = _shingle_table(df, text_col, id_col, n).cache()
+    sh = _shingle_table(df, text_col, id_col, n).localCheckpoint()
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
     ranked = (
         sh.join(freq, "shingle")
@@ -290,12 +293,12 @@ def minhash_lsh_dedup_pairs(
     """Full MinHash-LSH near-dup: signatures → banding → candidates →
     exact-Jaccard verification of candidates only.
 
-    The shingle table is computed once and cached (feeds both the
+    The shingle table is computed once and materialized (feeds both the
     signature aggregation and the verification). Verification joins the
     (few) candidate pairs out to their shingles — candidates × shingle
     equi-join — instead of materializing every shingle-co-occurring pair
     first; at scale the candidate set is orders of magnitude smaller."""
-    sh = _shingle_table(df, text_col, id_col, n).cache()
+    sh = _shingle_table(df, text_col, id_col, n).localCheckpoint()
     sig = minhash_signatures_from_shingles(sh, num_hashes)
     cand = lsh_candidate_pairs(sig, num_hashes, bands)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -333,17 +336,24 @@ def cluster_near_dups(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
     (GraphFrames-free). Driver-side work is one scalar convergence check
     per round.
     """
+    # localCheckpoint, not cache: a .cache() only short-circuits physical
+    # execution — the LOGICAL plan still re-derives the full lineage every
+    # round, so an unrolled loop's plan grows O(iterations²) (the round-2
+    # plan audit measured 2016 scans / 768 exchanges for this operator).
+    # Eager localCheckpoint materializes each round AND truncates the plan
+    # to a leaf, keeping analysis O(1) per round; the checkpoint blocks are
+    # ContextCleaner-GC'd with the DataFrame, so nothing leaks past the call.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .cache()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
-        .cache()
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -359,7 +369,7 @@ def cluster_near_dups(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
                     "cluster_id"
                 ),
             )
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -368,7 +378,6 @@ def cluster_near_dups(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -424,7 +433,7 @@ def simhash_near_dup_pairs(
     assert width % band_bits == 0
     nbands = width // band_bits
     base = df.select(F.col(id_col).alias("id"), simhash_bits(text_col, width).alias("bits"))
-    base = base.cache()
+    base = base.localCheckpoint()
     banded = base.select(
         "id",
         "bits",

@@ -44,42 +44,67 @@ def bfs_min_hops(
         .distinct()
         .cache()
     )
+    try:
+        frontier = spark.range(1).select(F.lit(seed).cast("long").alias("node"))
+        levels = [frontier.withColumn("depth", F.lit(0))]
+        for depth in range(1, max_hops + 1):
+            # frontier is small relative to edges → broadcast it so each
+            # level is a map-side join against the once-shuffled edge list;
+            # checkpoint every few levels so deep traversals don't re-run
+            # all prior levels per broadcast or grow an unbounded plan
+            frontier = (
+                edges.join(F.broadcast(frontier), edges.src == frontier.node)
+                .select(F.col("dst").alias("node"))
+                .distinct()
+            )
+            if depth % 3 == 0:
+                frontier = frontier.localCheckpoint()
+            levels.append(frontier.withColumn("depth", F.lit(depth)))
 
-    frontier = spark.range(1).select(F.lit(seed).cast("long").alias("node"))
-    levels = [frontier.withColumn("depth", F.lit(0))]
-    for depth in range(1, max_hops + 1):
-        # frontier is small relative to edges → broadcast it so each level
-        # is a map-side join against the (already shuffled-once) edge list
-        frontier = (
-            edges.join(F.broadcast(frontier), edges.src == frontier.node)
-            .select(F.col("dst").alias("node"))
-            .distinct()
-        )
-        levels.append(frontier.withColumn("depth", F.lit(depth)))
-
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.unionByName(lv)
-    return out.groupBy("node").agg(F.min("depth").cast("int").alias("hops"))
+        out = levels[0]
+        for lv in levels[1:]:
+            out = out.unionByName(lv)
+        out = out.groupBy("node").agg(F.min("depth").cast("int").alias("hops"))
+        # eager localCheckpoint materializes the result so the edge cache
+        # can be released NOW — no InMemoryRelation outlives the call;
+        # the checkpoint blocks are ContextCleaner-GC'd with the DataFrame
+        return out.localCheckpoint()
+    finally:
+        edges.unpersist()
 
 
-def pagerank(edges: DataFrame, damping: float = 0.85, iterations: int = 3) -> DataFrame:
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 3,
+    commutative: bool = False,
+) -> DataFrame:
     """PageRank over a directed edge list, unrolled ``iterations`` times.
 
-    Deterministic to the bit against an unrolled-SQL oracle: incoming
-    contributions are folded SEQUENTIALLY in src order (not a
-    commutative float sum), so both engines execute the same IEEE
-    operation sequence — the same recipe as operators/kmeans.py. Nodes
-    are the distinct edge endpoints; a node with no out-edges would be
-    dangling, but the co-occurrence graphs this engine builds are
-    symmetric (every node has out-degree ≥ 1).
+    Two numerically-distinct modes sharing one skeleton:
 
-    Scale notes (100 TB): rank and out-degree are one row per node —
-    broadcastable against the edge list, which shuffles once on src and
-    is reused every iteration; the per-iteration aggregation is the only
-    repeated shuffle. The ordered fold is oracle-parity; at scale sum
-    contributions commutatively (map-side partial agg) and accept FP
-    reorder noise.
+    ``commutative=False`` (oracle parity, default): deterministic to the
+    bit against an unrolled-SQL oracle — incoming contributions are
+    folded SEQUENTIALLY in src order (not a commutative float sum), so
+    both engines execute the same IEEE operation sequence, the same
+    recipe as operators/kmeans.py. A hub node's whole in-neighborhood
+    becomes one ``collect_list`` array, and the rank table is broadcast
+    per iteration — fine at test SF, NOT the 100 TB plan.
+
+    ``commutative=True`` (scale mode): plain ``F.sum`` over contributions
+    — map-side partial aggregation, no per-node array, no skew
+    amplification — and the rank table joins the edge list by hash
+    (Spark/AQE may still elect broadcast when it fits, but nothing
+    REQUIRES the rank table to fit on one machine). Out-degree is
+    attached to the edge list once before the loop, so each iteration is
+    exactly two shuffles (join on src, agg on dst) over a once-
+    checkpointed edge table. Ranks differ from the ordered fold only by
+    float reassociation noise (~1e-15 relative); tests pin both paths
+    against each other under tolerance.
+
+    Nodes are the distinct edge endpoints; a node with no out-edges
+    would be dangling, but the co-occurrence graphs this engine builds
+    are symmetric (every node has out-degree ≥ 1).
     """
     # edges feed every iteration plus nodes/outdeg — persist once; the
     # co-occurrence derivation upstream is a join far costlier than the
@@ -91,41 +116,67 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iterations: int = 3) -> Da
         .distinct()
         .cache()
     )
-    n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    pr = nodes.join(F.broadcast(n)).select(
-        "node", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
-    )
-    for _ in range(iterations):
-        contribs = (
-            edges.join(F.broadcast(pr), edges.src == pr.node)
-            .join(F.broadcast(outdeg), "src")
-            .select("src", "dst", (F.col("pr") / F.col("outdeg")).alias("contrib"))
+    try:
+        n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+        outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        pr = nodes.join(F.broadcast(n)).select(
+            "node", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
         )
-        summed = (
-            contribs.groupBy("dst")
-            .agg(F.array_sort(F.collect_list(F.struct("src", "contrib"))).alias("cs"))
-            .select(
-                F.col("dst").alias("node"),
-                F.aggregate(
-                    F.transform(F.col("cs"), lambda c: c["contrib"]),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("in_sum"),
+        if commutative:
+            # out-degree is loop-invariant: attach it to the edge list ONCE
+            # (one join) instead of re-joining every iteration; the
+            # checkpoint materializes the (src, dst, outdeg) table that
+            # every iteration re-reads partition-local
+            edges_w = edges.join(outdeg, "src").localCheckpoint()
+        for _ in range(iterations):
+            if commutative:
+                summed = (
+                    edges_w.join(pr, edges_w.src == pr.node)
+                    .select("dst", (F.col("pr") / F.col("outdeg")).alias("contrib"))
+                    .groupBy("dst")
+                    .agg(F.sum("contrib").alias("in_sum"))
+                    .select(F.col("dst").alias("node"), "in_sum")
+                )
+            else:
+                contribs = (
+                    edges.join(F.broadcast(pr), edges.src == pr.node)
+                    .join(F.broadcast(outdeg), "src")
+                    .select("src", "dst", (F.col("pr") / F.col("outdeg")).alias("contrib"))
+                )
+                summed = (
+                    contribs.groupBy("dst")
+                    .agg(F.array_sort(F.collect_list(F.struct("src", "contrib"))).alias("cs"))
+                    .select(
+                        F.col("dst").alias("node"),
+                        F.aggregate(
+                            F.transform(F.col("cs"), lambda c: c["contrib"]),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ).alias("in_sum"),
+                    )
+                )
+            pr = (
+                nodes.join(summed, "node", "left")
+                .join(F.broadcast(n))
+                .select(
+                    "node",
+                    (
+                        F.lit(1.0 - damping) / F.col("n_nodes")
+                        + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                    ).alias("pr"),
+                )
+                # eager localCheckpoint per iteration: the next iteration
+                # re-reads pr, which would otherwise re-execute the whole
+                # accumulated lineage (iteration i re-runs 1..i-1); it also
+                # keeps the final plan O(1) instead of O(iterations) deep
+                .localCheckpoint()
             )
-        )
-        pr = (
-            nodes.join(summed, "node", "left")
-            .join(F.broadcast(n))
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - damping) / F.col("n_nodes")
-                    + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
-                ).alias("pr"),
-            )
-        )
-    return pr
+        # the last localCheckpoint already materialized pr, so the caches
+        # can be released before returning — nothing leaks past the call
+        return pr
+    finally:
+        edges.unpersist()
+        nodes.unpersist()
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:

@@ -23,13 +23,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to
-        # read natively (PARQUET_TYPE_ILLEGAL). Read nanos as long and
-        # convert: ns -> µs truncation, matching DuckDB's ns->TIMESTAMP(µs).
+        # events.ts encoding varies across testdata generations; normalize
+        # every variant to TIMESTAMP (LTZ) so downstream unix_millis/
+        # unix_micros/withWatermark (which reject NTZ) always work:
+        #   - TIMESTAMP(NANOS): Spark 4 refuses native read
+        #     (PARQUET_TYPE_ILLEGAL); nanosAsLong reads the raw int64,
+        #     then ns -> µs truncation matches DuckDB's ns->TIMESTAMP(µs);
+        #   - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+        #     TIMESTAMP_NTZ; under the pinned UTC session tz the cast to
+        #     TIMESTAMP is an instant-preserving relabel;
+        #   - TIMESTAMP(MICROS/MILLIS, adjusted): already LTZ, pass through.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -20,31 +20,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.parquet carries TIMESTAMP(NANOS); streamed with nanosAsLong then
-# converted (same policy as sources/testdata.py).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_stream_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Derive the streaming schema from the actual parquet footer (one
+    batch read of the same file — metadata only, no scan). The driver's
+    testdata has shipped events.ts as TIMESTAMP(NANOS) and as
+    TIMESTAMP(MICROS, NTZ) across generations; hardcoding either breaks
+    the other (nanos-as-long div 1000 applied to micros collapses the
+    time axis 1000×), so always ask the file."""
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the events table with ``ts`` normalized to TIMESTAMP (LTZ),
+    whatever the parquet encoding — ``withWatermark`` rejects NTZ
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and unix_millis rejects it too,
+    so every downstream consumer gets LTZ under the pinned UTC session tz.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = _events_stream_schema(spark, sf_dir)
     # file streaming sources require a directory: stream the sf dir with a
     # glob filter selecting only the events file
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):  # nanos-as-long: ns -> µs truncation
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):  # UTC relabel, instant-preserving
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
@@ -78,9 +86,10 @@ def run_windowed_counts_batchlike(
         .start()
     )
     q.awaitTermination()
-    # materialize before the memory sink table goes stale
-    out = spark.table(name).cache()
-    out.count()
+    # eager localCheckpoint: materializes before the memory sink goes
+    # stale at q.stop(), and the blocks are GC-cleaned with the DataFrame
+    # (a .cache() here would leak in the CacheManager for the session)
+    out = spark.table(name).localCheckpoint()
     q.stop()
     return out
 
@@ -182,8 +191,10 @@ def run_interval_join_batchlike(
         .start()
     )
     q.awaitTermination()
-    out = spark.table(name).cache()
-    out.count()
+    # eager localCheckpoint: materializes before the memory sink goes
+    # stale at q.stop(), and the blocks are GC-cleaned with the DataFrame
+    # (a .cache() here would leak in the CacheManager for the session)
+    out = spark.table(name).localCheckpoint()
     q.stop()
     return out
 
@@ -211,6 +222,9 @@ def run_dedup_stream_batchlike(
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
+    if isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        # withWatermark rejects NTZ outright; UTC relabel is instant-preserving
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     q = (
         dedup_stream(raw)
         .writeStream.format("memory")
@@ -220,7 +234,9 @@ def run_dedup_stream_batchlike(
         .start()
     )
     q.awaitTermination()
-    out = spark.table(name).cache()
-    out.count()
+    # eager localCheckpoint: materializes before the memory sink goes
+    # stale at q.stop(), and the blocks are GC-cleaned with the DataFrame
+    # (a .cache() here would leak in the CacheManager for the session)
+    out = spark.table(name).localCheckpoint()
     q.stop()
     return out

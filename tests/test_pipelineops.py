@@ -64,6 +64,27 @@ class TestPagerank:
         assert got[1] > got[2] == got[3] == got[4]
         assert abs(sum(got.values()) - 1.0) < 1e-9  # conserved (no dangling)
 
+    def test_commutative_scale_path_matches_ordered_fold(self, spark):
+        """The scale-mode path (map-side-combined F.sum, hash-joined rank
+        table) must agree with the oracle-parity ordered fold up to float
+        reassociation noise on an irregular multi-hub graph."""
+        raw = [
+            (s, d)
+            for s in range(1, 13)
+            for d in {(s * 7) % 12 + 1, (s * 5) % 12 + 1, s % 12 + 1}
+            if s != d
+        ]
+        edges = spark.createDataFrame(raw, "src long, dst long")
+        ordered = {r.node: r.pr for r in pagerank(edges, iterations=5).collect()}
+        scale = {
+            r.node: r.pr
+            for r in pagerank(edges, iterations=5, commutative=True).collect()
+        }
+        assert set(ordered) == set(scale)
+        for node, v in ordered.items():
+            assert abs(scale[node] - v) <= 1e-12 * max(1.0, abs(v)), node
+        assert abs(sum(scale.values()) - 1.0) < 1e-9
+
 
 class TestTriangles:
     def test_k4_counts(self, spark):
