@@ -45,30 +45,44 @@ def bfs_min_hops(
         .cache()
     )
     try:
-        frontier = spark.range(1).select(F.lit(seed).cast("long").alias("node"))
-        levels = [frontier.withColumn("depth", F.lit(0))]
+        # textbook frontier BFS: each level expands only the NEW nodes
+        # (neighbors minus visited) and the loop stops as soon as the
+        # frontier empties — a small-diameter graph costs diameter joins,
+        # not max_hops joins, and every node is labeled exactly once with
+        # its first (= minimum) depth, so no min-reduction is needed.
+        # Each frontier is eagerly localCheckpointed: the empty-check and
+        # the next level's broadcast + anti-join reuse the materialized
+        # blocks instead of re-running prior levels, and the plan stays
+        # O(1) deep no matter how deep the traversal goes.
+        frontier = (
+            spark.range(1)
+            .select(F.lit(seed).cast("long").alias("node"))
+            .localCheckpoint()
+        )
+        visited = frontier.withColumn("depth", F.lit(0)).localCheckpoint()
         for depth in range(1, max_hops + 1):
             # frontier is small relative to edges → broadcast it so each
-            # level is a map-side join against the once-shuffled edge list;
-            # checkpoint every few levels so deep traversals don't re-run
-            # all prior levels per broadcast or grow an unbounded plan
+            # level is a map-side join against the once-shuffled edge list.
+            # visited is one row per reached node — broadcast-sized here;
+            # at billions of nodes hash-partition both sides of the anti
+            # join on node instead (same plan minus the broadcast hints).
             frontier = (
                 edges.join(F.broadcast(frontier), edges.src == frontier.node)
                 .select(F.col("dst").alias("node"))
                 .distinct()
+                .join(F.broadcast(visited.select("node")), "node", "left_anti")
+                .localCheckpoint()
             )
-            if depth % 3 == 0:
-                frontier = frontier.localCheckpoint()
-            levels.append(frontier.withColumn("depth", F.lit(depth)))
-
-        out = levels[0]
-        for lv in levels[1:]:
-            out = out.unionByName(lv)
-        out = out.groupBy("node").agg(F.min("depth").cast("int").alias("hops"))
-        # eager localCheckpoint materializes the result so the edge cache
-        # can be released NOW — no InMemoryRelation outlives the call;
-        # the checkpoint blocks are ContextCleaner-GC'd with the DataFrame
-        return out.localCheckpoint()
+            if frontier.isEmpty():
+                break
+            visited = visited.unionByName(
+                frontier.withColumn("depth", F.lit(depth))
+            ).localCheckpoint()
+        out = visited.select("node", F.col("depth").cast("int").alias("hops"))
+        # visited is already checkpointed, so the edge cache can be
+        # released NOW — no InMemoryRelation outlives the call; the
+        # checkpoint blocks are ContextCleaner-GC'd with the DataFrame
+        return out
     finally:
         edges.unpersist()
 
@@ -118,7 +132,13 @@ def pagerank(
     )
     try:
         n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
-        outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        # out-degree is loop-invariant and one row per node — materialize
+        # once instead of re-aggregating the edge list every iteration
+        outdeg = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("outdeg"))
+            .localCheckpoint()
+        )
         pr = nodes.join(F.broadcast(n)).select(
             "node", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
         )
@@ -138,10 +158,14 @@ def pagerank(
                     .select(F.col("dst").alias("node"), "in_sum")
                 )
             else:
-                contribs = (
-                    edges.join(F.broadcast(pr), edges.src == pr.node)
-                    .join(F.broadcast(outdeg), "src")
-                    .select("src", "dst", (F.col("pr") / F.col("outdeg")).alias("contrib"))
+                # pre-divide rank by out-degree per NODE (1 row each) so the
+                # edge join broadcasts ONE small table per iteration, not
+                # two; per-edge contrib is bit-identical (same operands)
+                rate = pr.join(outdeg, pr.node == outdeg.src).select(
+                    "src", (F.col("pr") / F.col("outdeg")).alias("contrib")
+                )
+                contribs = edges.join(F.broadcast(rate), "src").select(
+                    "src", "dst", "contrib"
                 )
                 summed = (
                     contribs.groupBy("dst")
@@ -210,17 +234,30 @@ def cooccurrence_edges(
     """Undirected co-occurrence edge list: nodes sharing a group value.
 
     E.g. suppliers sharing a part (group=l_partkey, node=l_suppkey).
-    Distinct pairs, both directions, self-loops removed. The self-join is
-    keyed on the group column so it shuffles once on that key; at scale a
-    hot group (a part supplied by thousands of suppliers) quadratically
-    explodes — cap or salt hot groups upstream if the group-size
-    distribution is skewed.
+    Distinct pairs, both directions, self-loops removed.
+
+    Shape: ONE aggregation (``collect_set`` per group — map-side partial
+    dedup, no pre-distinct shuffle and no self-join) → explode ordered
+    pairs (src < dst, halving the pair volume the distinct must shuffle)
+    → distinct → mirror both directions (narrow projection). Versus the
+    naive distinct + self-join + distinct this drops a full shuffle and
+    halves the biggest one. At scale a hot group (a part supplied by
+    thousands of suppliers) still explodes quadratically — cap or salt
+    hot groups upstream if the group-size distribution is skewed (the
+    per-group member array makes the group size directly observable for
+    exactly that guard).
     """
-    a = df.select(F.col(group_col).alias("g"), F.col(node_col).alias("src")).distinct()
-    b = a.select("g", F.col("src").alias("dst"))
-    return (
-        a.join(b, "g")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
+    grouped = (
+        df.select(F.col(group_col).alias("g"), F.col(node_col).alias("m"))
+        .groupBy("g")
+        .agg(F.collect_set("m").alias("ms"))
+    )
+    half = (
+        grouped.select(F.explode("ms").alias("src"), "ms")
+        .select("src", F.explode("ms").alias("dst"))
+        .filter(F.col("src") < F.col("dst"))
         .distinct()
+    )
+    return half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

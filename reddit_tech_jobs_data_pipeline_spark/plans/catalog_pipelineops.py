@@ -528,6 +528,28 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("pr", 6).alias("pagerank"))
 
 
+@register(
+    "pagerank_suppliers_scale",
+    _pagerank_sql(iterations=3),
+    tags=["graph", "iterative", "scale"],
+)
+def pagerank_suppliers_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB pagerank plan: ``commutative=True`` sums contributions
+    with map-side partial aggregation (no per-node collect_list array, no
+    skew amplification) and hash-joins the rank table instead of
+    broadcasting it, so nothing requires the node table to fit on one
+    machine. Ranks differ from the ordered fold only by float
+    reassociation noise (~1e-13 absolute), far inside the 6-decimal
+    rounding both engines apply — so the bit-exact ordered-fold SQL
+    oracle still hash-matches."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.graph import pagerank
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(lineitem, "l_partkey", "l_suppkey")
+    pr = pagerank(edges, damping=0.85, iterations=3, commutative=True)
+    return pr.select("node", F.round("pr", 6).alias("pagerank"))
+
+
 # ===========================================================================
 # Triangle counting on a deterministic sparse graph over part keys
 # (chain + skip edges: (k, k+1) always, (k, k+2) when k % 3 <> 0 —

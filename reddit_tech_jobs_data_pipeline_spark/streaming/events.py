@@ -20,6 +20,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _stream_shuffle_partitions(spark: SparkSession):
+    """Pin ``spark.sql.shuffle.partitions`` (which fixes the stateful-
+    operator partition count at stream start) for the duration of a
+    batchlike run, then restore.
+
+    State-store overhead is PER PARTITION per micro-batch (delta +
+    snapshot files, store maintenance, task scheduling — including the
+    trailing no-data batch), so over-partitioning a modest stream is
+    expensive: measured locally at sf0.1, the interval join runs 13.8s
+    with 32 state partitions vs 2.8s with 8, identical results. At
+    production volumes state must SHARD, not shrink — size the count to
+    keep per-partition state in memory (it is baked into the checkpoint
+    at first start). Override via SPARK_GRAFT_STREAM_PARTITIONS."""
+    n = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _events_stream_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     """Derive the streaming schema from the actual parquet footer (one
     batch read of the same file — metadata only, no scan). The driver's
@@ -78,19 +104,20 @@ def run_windowed_counts_batchlike(
     the result as a normal DataFrame. Used by the catalog so the driver
     can oracle-check streaming semantics against batch SQL."""
     agg = windowed_counts(read_events_stream(spark, sf_dir))
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # eager localCheckpoint: materializes before the memory sink goes
-    # stale at q.stop(), and the blocks are GC-cleaned with the DataFrame
-    # (a .cache() here would leak in the CacheManager for the session)
-    out = spark.table(name).localCheckpoint()
-    q.stop()
+    with _stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # eager localCheckpoint: materializes before the memory sink goes
+        # stale at q.stop(), and the blocks are GC-cleaned with the DataFrame
+        # (a .cache() here would leak in the CacheManager for the session)
+        out = spark.table(name).localCheckpoint()
+        q.stop()
     return out
 
 
@@ -183,19 +210,20 @@ def run_interval_join_batchlike(
     """Run the stream-stream interval join to completion over the finite
     events input (append mode into a memory sink)."""
     joined = interval_join_stream(read_events_stream(spark, sf_dir))
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # eager localCheckpoint: materializes before the memory sink goes
-    # stale at q.stop(), and the blocks are GC-cleaned with the DataFrame
-    # (a .cache() here would leak in the CacheManager for the session)
-    out = spark.table(name).localCheckpoint()
-    q.stop()
+    with _stream_shuffle_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # eager localCheckpoint: materializes before the memory sink goes
+        # stale at q.stop(), and the blocks are GC-cleaned with the DataFrame
+        # (a .cache() here would leak in the CacheManager for the session)
+        out = spark.table(name).localCheckpoint()
+        q.stop()
     return out
 
 
@@ -225,18 +253,19 @@ def run_dedup_stream_batchlike(
     if isinstance(schema["ts"].dataType, T.TimestampNTZType):
         # withWatermark rejects NTZ outright; UTC relabel is instant-preserving
         raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    q = (
-        dedup_stream(raw)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # eager localCheckpoint: materializes before the memory sink goes
-    # stale at q.stop(), and the blocks are GC-cleaned with the DataFrame
-    # (a .cache() here would leak in the CacheManager for the session)
-    out = spark.table(name).localCheckpoint()
-    q.stop()
+    with _stream_shuffle_partitions(spark):
+        q = (
+            dedup_stream(raw)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # eager localCheckpoint: materializes before the memory sink goes
+        # stale at q.stop(), and the blocks are GC-cleaned with the DataFrame
+        # (a .cache() here would leak in the CacheManager for the session)
+        out = spark.table(name).localCheckpoint()
+        q.stop()
     return out
