@@ -92,6 +92,7 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 3,
     commutative: bool = False,
+    symmetric: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list, unrolled ``iterations`` times.
 
@@ -118,20 +119,31 @@ def pagerank(
 
     Nodes are the distinct edge endpoints; a node with no out-edges
     would be dangling, but the co-occurrence graphs this engine builds
-    are symmetric (every node has out-degree ≥ 1).
+    are symmetric (every node has out-degree ≥ 1). Pass
+    ``symmetric=True`` when the caller KNOWS every edge exists in both
+    directions (e.g. ``cooccurrence_edges`` output): the node set is then
+    derived from one endpoint column, halving the distinct's input.
     """
     # edges feed every iteration plus nodes/outdeg — persist once; the
     # co-occurrence derivation upstream is a join far costlier than the
     # cached footprint (src/dst pairs)
     edges = edges.cache()
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .cache()
-    )
+    if symmetric:
+        nodes = edges.select(F.col("src").alias("node")).distinct().cache()
+    else:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .cache()
+        )
     try:
-        n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+        # node count is ONE bounded scalar (same license as the watermark
+        # probe — SCALE.md "one intentional collect"): resolving it driver-
+        # side turns the (1-d)/n term into a literal and drops a broadcast
+        # join from every iteration. float(n) division is the same IEEE op
+        # the previous bigint→double column cast performed.
+        n_nodes = float(nodes.count())
         # out-degree is loop-invariant and one row per node — materialize
         # once instead of re-aggregating the edge list every iteration
         outdeg = (
@@ -139,9 +151,7 @@ def pagerank(
             .agg(F.count(F.lit(1)).alias("outdeg"))
             .localCheckpoint()
         )
-        pr = nodes.join(F.broadcast(n)).select(
-            "node", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
-        )
+        pr = nodes.select("node", (F.lit(1.0) / F.lit(n_nodes)).alias("pr"))
         if commutative:
             # out-degree is loop-invariant: attach it to the edge list ONCE
             # (one join) instead of re-joining every iteration; the
@@ -181,11 +191,10 @@ def pagerank(
                 )
             pr = (
                 nodes.join(summed, "node", "left")
-                .join(F.broadcast(n))
                 .select(
                     "node",
                     (
-                        F.lit(1.0 - damping) / F.col("n_nodes")
+                        F.lit(1.0 - damping) / F.lit(n_nodes)
                         + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
                     ).alias("pr"),
                 )

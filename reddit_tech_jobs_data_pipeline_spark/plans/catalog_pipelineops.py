@@ -524,7 +524,7 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lineitem = _t(spark, sf_dir, "lineitem")
     edges = cooccurrence_edges(lineitem, "l_partkey", "l_suppkey")
-    pr = pagerank(edges, damping=0.85, iterations=3)
+    pr = pagerank(edges, damping=0.85, iterations=3, symmetric=True)
     return pr.select("node", F.round("pr", 6).alias("pagerank"))
 
 
@@ -546,7 +546,7 @@ def pagerank_suppliers_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lineitem = _t(spark, sf_dir, "lineitem")
     edges = cooccurrence_edges(lineitem, "l_partkey", "l_suppkey")
-    pr = pagerank(edges, damping=0.85, iterations=3, commutative=True)
+    pr = pagerank(edges, damping=0.85, iterations=3, commutative=True, symmetric=True)
     return pr.select("node", F.round("pr", 6).alias("pagerank"))
 
 
