@@ -44,6 +44,16 @@ class TestBfs:
         got = _rows(cooccurrence_edges(df, "g", "n"))
         assert got == {(1, 2), (2, 1), (2, 3), (3, 2)}
 
+    def test_cooccurrence_string_nodes_and_dup_rows(self, spark):
+        # string keys exercise the src<dst ordering on a non-numeric type;
+        # duplicated input rows must not produce duplicate edges
+        df = spark.createDataFrame(
+            [(1, "b"), (1, "a"), (1, "a"), (2, "c"), (2, "a"), (3, "z")],
+            "g long, n string",
+        )
+        got = _rows(cooccurrence_edges(df, "g", "n"))
+        assert got == {("a", "b"), ("b", "a"), ("a", "c"), ("c", "a")}
+
 
 class TestPagerank:
     def test_regular_graph_uniform(self, spark):

@@ -95,6 +95,22 @@ def test_stream_reader_normalizes_every_encoding(spark, tmp_path, enc):
     assert sorted(r["n"] for r in out.collect()) == [1, 1, 1], enc
 
 
+def test_stream_runner_restores_shuffle_partitions(spark, tmp_path):
+    """The batchlike runners pin spark.sql.shuffle.partitions for the
+    stream's lifetime (state-partition sizing) and must restore the
+    session value afterward — a leaked override would silently resize
+    every later batch shuffle."""
+    sf_dir = _write_events(tmp_path / "restore", ENCODINGS["micros_ntz"])
+    from reddit_tech_jobs_data_pipeline_spark.streaming.events import (
+        run_windowed_counts_batchlike,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    out = run_windowed_counts_batchlike(spark, sf_dir, name="t_restore_wc")
+    assert out.count() == 3
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
 def test_graph_operators_leave_no_cached_plans(spark, tmp_path):
     """bfs_min_hops/pagerank/cluster_near_dups persist internally; after
     the call returns, no InMemoryRelation may survive in the CacheManager
