@@ -261,6 +261,64 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# minimal PCM16 mono 8 kHz WAV header for a fixed 4-byte (2-sample) data
+# chunk; sizes are literals because the payload length is fixed
+_WAV_HEADER = (
+    b"RIFF\x28\x00\x00\x00WAVE"
+    b"fmt \x10\x00\x00\x00\x01\x00\x01\x00\x40\x1f\x00\x00\x80\x3e\x00\x00\x02\x00\x10\x00"
+    b"data\x04\x00\x00\x00"
+)
+
+
+@register(
+    "multimodal_real_decode_audio",
+    f"""
+    WITH h AS (
+      SELECT doc_id AS id, md5(coalesce(text, '')) AS hx FROM documents
+    ),
+    s AS (
+      SELECT id,
+             {_hex_byte_sql(0)} + 256 * {_hex_byte_sql(1)} AS u0,
+             {_hex_byte_sql(2)} + 256 * {_hex_byte_sql(3)} AS u1
+      FROM h
+    )
+    SELECT id,
+           CAST(1 AS BOOLEAN) AS decode_ok,
+           '2x1' AS shape_s,
+           round(sqrt((CAST(u0 - 65536 * CAST(u0 >= 32768 AS INTEGER) AS DOUBLE) ** 2
+                     + CAST(u1 - 65536 * CAST(u1 >= 32768 AS INTEGER) AS DOUBLE) ** 2) / 2.0), 6)
+             AS rms
+    FROM s
+    """,
+    tags=["multimodal", "scale"],
+)
+def multimodal_real_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decoding, oracle-checked: each document becomes an
+    actual PCM16 mono WAV (2 samples = first 4 md5 bytes, little-endian
+    int16), decoded by the pure-numpy RIFF parser on the executors; the
+    oracle reconstructs the same signed samples arithmetically from the
+    md5 hex and recomputes the RMS. Chunk-walk or endianness bugs break
+    the hash match."""
+    docs = _t(spark, sf_dir, "documents")
+    blobs = docs.select(
+        F.col("doc_id").alias("id"),
+        F.lit("audio").alias("modality"),
+        F.concat(
+            F.lit(_WAV_HEADER),
+            F.expr("substring(unhex(md5(encode(coalesce(text, ''), 'UTF-8'))), 1, 4)"),
+        ).alias("content"),
+    )
+    feats = multimodal.decode_real_features(blobs)
+    return feats.select(
+        "id",
+        "decode_ok",
+        F.concat_ws("x", F.transform("shape", lambda d: d.cast("string"))).alias(
+            "shape_s"
+        ),
+        F.round(F.element_at("feature", 2), 6).alias("rms"),
+    )
+
+
 @register(
     "multimodal_frame_sample",
     """
