@@ -1,0 +1,130 @@
+"""Property-based differential tests for the graph operators: Hypothesis
+generates arbitrary small directed graphs, and each operator is compared
+against a pure-Python reimplementation of the same semantics — BFS
+against dict-based frontier search, pagerank against the identical
+ordered-fold recurrence, connected components against union-find."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from reddit_tech_jobs_data_pipeline_spark.operators.dedup import cluster_near_dups
+from reddit_tech_jobs_data_pipeline_spark.operators.graph import (
+    bfs_min_hops,
+    cooccurrence_edges,
+    pagerank,
+)
+
+SETTINGS = settings(max_examples=6, deadline=None)
+
+# arbitrary directed graphs over a small node universe; (1, 2) is always
+# present so BFS from seed=1 has somewhere to go
+edges_strategy = st.lists(
+    st.tuples(st.integers(1, 9), st.integers(1, 9)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=25,
+).map(lambda es: sorted({(1, 2), *es}))
+
+
+def py_bfs(edges, seed, max_hops):
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+    dist, frontier = {seed: 0}, {seed}
+    for depth in range(1, max_hops + 1):
+        nxt = {d for s in frontier for d in adj[s]} - dist.keys()
+        if not nxt:
+            break
+        dist.update(dict.fromkeys(nxt, depth))
+        frontier = nxt
+    return dist
+
+
+def py_pagerank(edges, damping, iterations):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = float(len(nodes))
+    outdeg = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        by_dst = defaultdict(list)
+        for s, d in edges:
+            by_dst[d].append((s, pr[s] / outdeg[s]))
+        new = {}
+        for v in nodes:
+            acc = 0.0
+            for _, c in sorted(by_dst.get(v, [])):
+                acc += c
+            new[v] = (1.0 - damping) / n + damping * acc
+        pr = new
+    return pr
+
+
+def py_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+class TestGraphProperties:
+    @SETTINGS
+    @given(edges_strategy)
+    def test_bfs_matches_python_reference(self, spark, edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.hops for r in bfs_min_hops(df, seed=1, max_hops=4).collect()}
+        assert got == py_bfs(edges, 1, 4)
+
+    @SETTINGS
+    @given(edges_strategy)
+    def test_pagerank_ordered_fold_matches_python_reference(self, spark, edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.pr for r in pagerank(df, iterations=3).collect()}
+        expect = py_pagerank(edges, 0.85, 3)
+        assert set(got) == set(expect)
+        for v, x in expect.items():
+            assert abs(got[v] - x) < 1e-12, v
+
+    @SETTINGS
+    @given(edges_strategy)
+    def test_components_match_union_find(self, spark, edges):
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r.id: r.cluster_id for r in cluster_near_dups(pairs).collect()}
+        assert got == py_components(edges)
+
+    @SETTINGS
+    @given(
+        st.lists(
+            st.tuples(st.integers(1, 5), st.integers(1, 6)),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def test_cooccurrence_matches_set_comprehension(self, spark, rows):
+        df = spark.createDataFrame(rows, "g long, n long")
+        groups = defaultdict(set)
+        for g, m in rows:
+            groups[g].add(m)
+        expect = {
+            (a, b)
+            for ms in groups.values()
+            for a in ms
+            for b in ms
+            if a != b
+        }
+        got = {(r.src, r.dst) for r in cooccurrence_edges(df, "g", "n").collect()}
+        assert got == expect
