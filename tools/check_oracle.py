@@ -43,10 +43,14 @@ def main() -> int:
         )
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}")
+            return 1
+        qs = {n: qs[n] for n in qs if n in only}
     failures = []
     for name, fn in qs.items():
-        if only and name not in only:
-            continue
         try:
             sdf = fn(spark, sf_dir)
             spark_pd = sdf.toPandas()
