@@ -87,11 +87,20 @@ def main() -> None:
     # computes fresh checkpoints, so the timed pass stays honest.
     spark.catalog.clearCache()
 
+    # Best-of-2 timed passes per query, caches cleared before each, so a
+    # transient external load spike on the shared host (observed 4×
+    # slowdowns on otherwise-flat queries) doesn't masquerade as a
+    # regression. Both passes do the full work — min is interference
+    # suppression, not cache reuse.
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        materialize(reg[name].spark(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            materialize(reg[name].spark(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         spark.catalog.clearCache()
 
     print(
