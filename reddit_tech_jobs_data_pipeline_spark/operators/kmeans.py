@@ -18,12 +18,14 @@ Determinism contract (what lets the DuckDB oracle match bit-for-bit):
 
 Scale notes (100 TB): the assignment join broadcasts k·dim doubles —
 trivially small; the shuffle is the per-cluster update aggregation.
-The ordered collect_list fold here is the *oracle-parity* update; at
-real scale swap it for posexplode → groupBy(cid, dim) → sum (order-free
-partial aggregation, FP-error-tolerant) — same algorithm, commutative
-reduction. Iterations are driver-side loop unrolling (k-means iteration
-count is small and fixed); localCheckpoint the assignment every few
-iterations to truncate lineage on deep runs.
+The ordered collect_list fold is the *oracle-parity* update;
+``commutative=True`` provides the at-scale variant in code — posexplode
+→ groupBy(cid, dim) → sum (order-free map-side partial aggregation,
+no per-cluster membership array) — same algorithm, commutative
+reduction, tested against the ordered fold under float tolerance.
+Iterations are driver-side loop unrolling (k-means iteration count is
+small and fixed) with a localCheckpoint every 4 iterations to truncate
+lineage on deep runs.
 """
 
 from __future__ import annotations
@@ -55,10 +57,41 @@ def assign_clusters(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def update_centroids(assigned: DataFrame, dim: int) -> DataFrame:
-    """Element-wise mean per cluster, folding members in vec_id order
-    (sequential, oracle-parity; see module docstring for the
-    commutative at-scale variant)."""
+def update_centroids(assigned: DataFrame, dim: int, commutative: bool = False) -> DataFrame:
+    """Element-wise mean per cluster.
+
+    Default: fold members in vec_id order (sequential, oracle-parity) —
+    a cluster's whole membership becomes one array, which is the skew
+    amplifier at scale. ``commutative=True`` is the 100 TB update:
+    posexplode each vector and sum per (cid, dim) — map-side partial
+    aggregation, no per-cluster array, shuffle rows ∝ n·dim scalars —
+    then re-assemble the centroid with array_agg in dim order. Results
+    differ only by float reassociation noise; tests pin both paths
+    against each other under tolerance."""
+    if commutative:
+        exploded = assigned.select(
+            "cid", "vec_id", F.posexplode("v").alias("pos", "x")
+        )
+        dims = (
+            exploded.groupBy("cid", "pos")
+            .agg(F.sum("x").alias("sx"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "sx"))),
+                    lambda s: s["sx"],
+                ).alias("sums")
+            )
+        )
+        counts = assigned.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vec_id").alias("vid_sum")
+        )
+        return counts.join(dims, "cid").select(
+            "cid",
+            "n",
+            "vid_sum",
+            F.transform("sums", lambda s: s / F.col("n")).alias("cvec"),
+        )
     zeros = F.array_repeat(F.lit(0.0), dim)
     grouped = assigned.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n"),
@@ -85,10 +118,13 @@ def lloyd_kmeans(
     iterations: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    commutative: bool = False,
 ) -> DataFrame:
     """Run ``iterations`` rounds of assign+update from the deterministic
     init; returns (cid, n, vid_sum, cvec). Clusters that lose all
-    members drop out (k shrinks) — deterministic on both engines."""
+    members drop out (k shrinks) — deterministic on both engines.
+    ``commutative=True`` uses the map-side-combined scale update (see
+    ``update_centroids``); default is the bit-exact ordered fold."""
     if iterations < 1:
         raise ValueError("lloyd_kmeans requires iterations >= 1 (state is produced by the update step)")
     vecs = emb.select(
@@ -102,8 +138,15 @@ def lloyd_kmeans(
         .select((F.row_number().over(w) - 1).alias("cid"), F.col("v").alias("cvec"))
     )
     state = None
-    for _ in range(iterations):
+    for it in range(iterations):
         assigned = assign_clusters(vecs, centroids)
-        state = update_centroids(assigned, dim)
+        state = update_centroids(assigned, dim, commutative=commutative)
         centroids = state.select("cid", "cvec")
+        # periodic lineage truncation (centroids are k rows — the
+        # checkpoint is tiny) so deep runs keep an O(1) plan instead of
+        # re-deriving every prior iteration inside each new one; values
+        # are untouched, so oracle parity holds
+        if (it + 1) % 4 == 0 and it + 1 < iterations:
+            state = state.localCheckpoint()
+            centroids = state.select("cid", "cvec")
     return state

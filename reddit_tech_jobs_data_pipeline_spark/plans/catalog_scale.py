@@ -556,6 +556,37 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "kmeans_lloyd_clusters_scale",
+    _kmeans_sql(k=8, dim=64, iters=2),
+    tags=["ml", "iterative", "scale"],
+)
+def kmeans_lloyd_clusters_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB k-means update: ``commutative=True`` sums centroid
+    components via posexplode + map-side partial aggregation (no
+    per-cluster membership array → no hub-cluster skew). Centroid norms
+    differ from the ordered fold only by float reassociation noise, far
+    inside the 4-decimal rounding both engines apply — so the bit-exact
+    ordered-fold SQL oracle still hash-matches."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.kmeans import lloyd_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = lloyd_kmeans(emb, k=8, dim=64, iterations=2, commutative=True)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("cvec"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return out.select(
+        F.col("cid").cast("int").alias("cid"),
+        F.col("n").alias("n_members"),
+        "vid_sum",
+        F.round(norm, 4).alias("centroid_norm"),
+    )
+
+
 # ===========================================================================
 # Trained IVF ANN: k-means coarse quantizer (exact fragment above)
 # feeding the cell-probe search — the production IVF composition.

@@ -61,6 +61,40 @@ class TestLloydKmeans:
             (r.cid, r.n, r.vid_sum) for r in three
         )
 
+    def test_deep_run_checkpoint_path_matches_shallow(self, spark):
+        """iterations=9 crosses the every-4-iterations localCheckpoint
+        twice; on a converged configuration the result must be identical
+        to the un-checkpointed 2-iteration run (checkpointing may never
+        change values)."""
+        shallow = lloyd_kmeans(_df(spark), k=2, dim=2, iterations=2).collect()
+        deep = lloyd_kmeans(_df(spark), k=2, dim=2, iterations=9).collect()
+        assert sorted((r.cid, r.n, r.vid_sum, tuple(r.cvec)) for r in shallow) == sorted(
+            (r.cid, r.n, r.vid_sum, tuple(r.cvec)) for r in deep
+        )
+
+    def test_commutative_scale_update_matches_ordered_fold(self, spark):
+        """The posexplode/map-side-sum scale update must agree with the
+        ordered fold up to float reassociation noise on an irregular
+        point set."""
+        pts = [
+            (i, [((i * 7) % 13) / 3.0, ((i * 5) % 11) / 7.0, ((i * 3) % 17) / 5.0])
+            for i in range(1, 30)
+        ]
+        df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+        a = {r.cid: r for r in lloyd_kmeans(df, k=4, dim=3, iterations=3).collect()}
+        b = {
+            r.cid: r
+            for r in lloyd_kmeans(
+                df, k=4, dim=3, iterations=3, commutative=True
+            ).collect()
+        }
+        assert set(a) == set(b)
+        for cid, ra in a.items():
+            rb = b[cid]
+            assert (ra.n, ra.vid_sum) == (rb.n, rb.vid_sum)
+            for x, y in zip(ra.cvec, rb.cvec):
+                assert abs(x - y) <= 1e-12 * max(1.0, abs(x))
+
     def test_empty_cluster_drops_out(self, spark):
         # k = n: every point is its own centroid; with a duplicate point,
         # one centroid captures both copies and one cluster goes empty
