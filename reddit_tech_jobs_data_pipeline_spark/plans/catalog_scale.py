@@ -384,6 +384,48 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cluster_near_dups(pairs)
 
 
+@register(
+    "near_dup_deduped_corpus",
+    f"""
+    WITH RECURSIVE {_CORPUS_SQL}, {_SHINGLE_SQL},
+    {_minhash_sql(16, 4)},
+    {_JACCARD_VERIFY_SQL.format(candidate_filter="JOIN cand ON cand.id_a = a.id AND cand.id_b = b.id")},
+    pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard_raw >= 0.7),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    clusters AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+    SELECT c.id, length(coalesce(c.text, '')) AS text_len
+    FROM corpus c
+    WHERE c.id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)
+    """,
+    tags=["dedup", "iterative", "scale"],
+)
+def near_dup_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data dedup pipeline END: corpus in, cleaned
+    corpus out. Near-dup clusters (MinHash-LSH → connected components)
+    pick one canonical survivor per cluster (the minimum id); every
+    other cluster member is dropped via a single left_anti join. This is
+    THE materialization a 100 TB pretraining pipeline runs — candidate
+    generation, verify, cluster, survive — and the anti join is
+    hash-partitioned on id, never row-at-a-time."""
+    corpus = _corpus_df(spark, sf_dir)
+    pairs = dedup.minhash_lsh_dedup_pairs(
+        corpus, "text", "id", num_hashes=16, bands=4, n=3, threshold=0.7
+    )
+    clusters = dedup.cluster_near_dups(pairs)
+    dupes = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
+    return corpus.join(dupes, "id", "left_anti").select(
+        "id", F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("text_len")
+    )
+
+
 # ===========================================================================
 # Similarity search over embeddings
 # ===========================================================================
