@@ -427,6 +427,8 @@ def events_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["join", "agg", "topk"],
 )
 def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by lineitem revenue with nation attached —
+    TakeOrderedAndProject top-k, no global sort."""
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     orders = _t(spark, sf_dir, "orders")

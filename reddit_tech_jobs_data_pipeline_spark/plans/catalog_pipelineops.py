@@ -165,6 +165,9 @@ def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["incremental", "etl"],
 )
 def incremental_agg_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: base + delta partials merged
+    must equal the oracle's full recompute (DECIMAL sums are exactly
+    mergeable — the contract of incremental rollup)."""
     # Spark side computes the answer INCREMENTALLY — a pre-cutoff base
     # aggregate merged with a post-cutoff delta aggregate (decimal sums →
     # exact, associative, so the merge is bit-identical to recompute);
@@ -254,6 +257,8 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["schema", "etl"],
 )
 def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Old-schema and new-schema batches unioned by name with NULL
+    back-fill for the added column (parquet mergeSchema semantics)."""
     orders = _t(spark, sf_dir, "orders")
     cutoff = F.lit("1999-01-01").cast("timestamp")
     old = orders.filter(F.col("o_orderdate") < cutoff).select(

@@ -66,6 +66,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["tpch", "join"],
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog: revenue by nation where customer and supplier
+    share the nation — 6-table join; dims broadcast, facts shuffle once."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")

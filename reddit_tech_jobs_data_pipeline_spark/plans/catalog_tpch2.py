@@ -51,6 +51,8 @@ from reddit_tech_jobs_data_pipeline_spark.plans.catalog import _t, register
     tags=["tpch", "join", "agg"],
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog: shipping volume between nation pairs by year —
+    cross-nation join with the year derived pre-aggregation."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
     )
@@ -117,6 +119,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["tpch", "join", "agg"],
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analog: one nation's share of ECONOMY-part revenue per
+    year — conditional-sum ratio inside a single aggregation."""
     part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
@@ -178,6 +182,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["tpch", "join", "agg"],
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analog: profit by nation and year, DECIMAL-exact sums."""
     # no partsupp in the synthetic schema: ps_supplycost is proxied by
     # 10% of part retail price (identical formula on the oracle side).
     # All source money columns are exact 2dp, so DECIMAL arithmetic makes
@@ -428,6 +433,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["tpch", "join", "subquery"],
 )
 def q20_promo_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog: suppliers shipping above-average PROMO volume
+    in the window (availqty predicate re-expressed without partsupp)."""
     # Q20's availqty>half-shipped predicate re-expressed without partsupp:
     # suppliers shipping above-average PROMO volume in the window
     part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
@@ -474,6 +481,8 @@ def q20_promo_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["tpch", "join", "agg", "window"],
 )
 def q21_last_to_ship_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog: the supplier whose lines shipped last within
+    each multi-supplier order (no commit/receipt dates in the schema)."""
     # Q21 "suppliers who kept orders waiting" without commit/receipt dates:
     # the supplier whose lines shipped last in a multi-supplier order.
     # One shuffle on l_orderkey serves both aggregates via a window over
