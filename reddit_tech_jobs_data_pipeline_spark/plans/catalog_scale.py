@@ -385,6 +385,67 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "benchmark_decontamination",
+    f"""
+    WITH cdocs AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000 AS id, 'quoted passage follows ' || text AS text
+      FROM documents WHERE doc_id % 37 = 0 AND doc_id % 2 = 0
+    ),
+    ctoks AS (SELECT id, {_TOKS} AS ws FROM cdocs),
+    csh AS (
+      SELECT id, unnest(list_distinct(list_transform(
+        generate_series(1, greatest(length(ws) - 4, 0)),
+        i -> array_to_string(ws[i:i+4], ' ')))) AS shingle
+      FROM ctoks WHERE length(ws) >= 5
+    ),
+    bench AS (SELECT DISTINCT shingle FROM csh WHERE id % 37 = 0 AND id < 200000)
+    SELECT c.id, count(DISTINCT c.shingle) AS n_shared
+    FROM csh c JOIN bench b USING (shingle)
+    WHERE NOT (c.id % 37 = 0 AND c.id < 200000)
+    GROUP BY c.id
+    """,
+    tags=["decontamination", "text", "scale"],
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination — the training-corpus hygiene step every
+    LLM pipeline runs before pretraining: flag corpus documents sharing
+    any token 5-gram with a held-out benchmark set (the deterministic
+    doc_id % 37 slice), reporting how many distinct benchmark n-grams
+    each contaminated doc contains. The synthetic docs are word salads
+    with no natural overlap, so the corpus is documents ∪ planted
+    quoting docs (id+200000, a benchmark text with a prefix) — the
+    operator must flag exactly the quotes, identically on both engines.
+
+    100 TB shape: benchmark n-grams are tiny versus the corpus (eval
+    sets are MBs, corpora are TBs) → broadcast them; corpus-side
+    shingles are computed narrowly per partition and only the MATCHING
+    shingles reach the per-doc count's shuffle — the corpus itself
+    never reshuffles."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    quotes = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 37 == 0) & (F.col("doc_id") % 2 == 0))
+        .select(
+            (F.col("doc_id") + 200000).alias("id"),
+            F.concat(F.lit("quoted passage follows "), F.col("text")).alias("text"),
+        )
+    )
+    sh = dedup._shingle_table(docs.unionByName(quotes), "text", "id", 5)
+    is_bench = (F.col("id") % 37 == 0) & (F.col("id") < 200000)
+    bench = sh.filter(is_bench).select("shingle").distinct()
+    return (
+        sh.filter(~is_bench)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("id")
+        .agg(F.count_distinct("shingle").alias("n_shared"))
+    )
+
+
+@register(
     "near_dup_deduped_corpus",
     f"""
     WITH RECURSIVE {_CORPUS_SQL}, {_SHINGLE_SQL},
