@@ -15,7 +15,7 @@ exactly rather than approximate them.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from reddit_tech_jobs_data_pipeline_spark.functions import text as textfn
@@ -382,6 +382,95 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "text", "id", num_hashes=16, bands=4, n=3, threshold=0.7
     )
     return dedup.cluster_near_dups(pairs)
+
+
+@register(
+    "source_mixture_weights",
+    f"""
+    WITH toks AS (SELECT source, length({_TOKS}) AS n_tok FROM documents),
+    per_source AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS total_tokens
+      FROM toks GROUP BY source
+    ),
+    tot AS (SELECT sum(total_tokens) AS all_tokens,
+                   count(*) AS n_sources FROM per_source)
+    SELECT source, n_docs, total_tokens,
+           round(total_tokens * 1.0 / all_tokens, 6) AS token_share,
+           round((1.0 / n_sources) / (total_tokens * 1.0 / all_tokens), 6)
+             AS sampling_weight
+    FROM per_source CROSS JOIN tot
+    """,
+    tags=["mixture", "text", "scale"],
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture rebalancing — compute per-source token shares and
+    the sampling weight that flattens the mixture to a uniform target
+    (weight = target_share / actual_share; >1 upsample, <1 downsample).
+    One narrow scan + one tiny aggregation; the totals are a broadcast
+    scalar join, never a collect — at 100 TB the per-source table is
+    dozens of rows regardless of corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("source", textfn.token_count(F.col("text")).alias("n_tok"))
+    per_source = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum("total_tokens").alias("all_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    share = F.col("total_tokens") * F.lit(1.0) / F.col("all_tokens")
+    return per_source.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round((F.lit(1.0) / F.col("n_sources")) / share, 6).alias(
+            "sampling_weight"
+        ),
+    )
+
+
+@register(
+    "token_budget_packing",
+    f"""
+    WITH toks AS (SELECT doc_id, length({_TOKS}) AS n_tok FROM documents),
+    packed AS (
+      SELECT doc_id, n_tok,
+             CAST(floor((sum(n_tok) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tok) / 4096.0)
+                  AS BIGINT) AS shard_id
+      FROM toks
+    )
+    SELECT shard_id, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS shard_tokens
+    FROM packed GROUP BY shard_id
+    """,
+    tags=["packing", "text", "scale"],
+)
+def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — assign documents (in deterministic doc_id
+    order) to fixed token-budget shards by running token offset, the
+    step that turns a cleaned corpus into training-context-sized units.
+    The offset scan is a global-order window — fine for the oracle's
+    deterministic twin; at 100 TB compute per-partition token subtotals,
+    prefix-sum the (tiny) per-partition totals on the driver, and add
+    the broadcast base offset back per partition — same assignment, no
+    single-partition sort."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", textfn.token_count(F.col("text")).alias("n_tok"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = toks.withColumn(
+        "shard_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(4096.0)).cast(
+            "long"
+        ),
+    )
+    return packed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("shard_tokens"),
+    )
 
 
 @register(
