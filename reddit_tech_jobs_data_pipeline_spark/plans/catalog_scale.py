@@ -385,6 +385,99 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_prep_e2e",
+    f"""
+    WITH toks AS (SELECT doc_id, text, {_TOKS} AS ws FROM documents),
+    q AS (
+      SELECT doc_id, text, ws FROM toks
+      WHERE (CASE WHEN length(ws) BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+          + (CASE WHEN length(ws) > 0 AND
+               length(list_filter(ws, t -> list_contains({_STOP_SQL}, t))) * 1.0 / length(ws) > 0.05
+             THEN 0.2 ELSE 0.0 END)
+          + (CASE WHEN coalesce(length(text),0) = 0 OR
+               length(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0 / length(text) < 0.2
+             THEN 0.2 ELSE 0.0 END)
+          + (CASE WHEN length(ws) > 0 AND
+               list_aggregate(list_transform(ws, t -> length(t)), 'sum') * 1.0 / length(ws)
+                 BETWEEN 2.0 AND 12.0
+             THEN 0.2 ELSE 0.0 END) >= 0.6
+    ),
+    dd AS (
+      SELECT doc_id, ws FROM (
+        SELECT doc_id, ws,
+               row_number() OVER (PARTITION BY md5(coalesce(text, ''))
+                                  ORDER BY doc_id) AS rn
+        FROM q
+      ) WHERE rn = 1
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(1, greatest(length(ws) - 4, 0)),
+        i -> array_to_string(ws[i:i+4], ' ')))) AS shingle
+      FROM dd WHERE length(ws) >= 5
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0),
+    contaminated AS (
+      SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (shingle)
+      WHERE s.doc_id % 37 <> 0
+    ),
+    clean AS (
+      SELECT doc_id, length(ws) AS n_tok FROM dd
+      WHERE doc_id % 37 <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    packed AS (
+      SELECT doc_id, n_tok,
+             CAST(floor((sum(n_tok) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tok) / 4096.0)
+                  AS BIGINT) AS shard_id
+      FROM clean
+    )
+    SELECT shard_id, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS shard_tokens
+    FROM packed GROUP BY shard_id
+    """,
+    tags=["pipeline", "text", "scale"],
+)
+def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE corpus-preparation chain as one materialization —
+    quality filter → exact dedup (lowest doc_id survives per md5) →
+    eval-set decontamination (drop docs sharing a 5-gram with the
+    held-out doc_id % 37 slice) → token-budget shard packing — i.e. the
+    README's pipeline composition proven end-to-end against one oracle.
+    Each stage reuses the engine operator the standalone query checks;
+    composing them catches interface drift (column renames, filter
+    ordering) that per-stage oracles cannot."""
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.filter(textfn.quality_score(F.col("text")) >= 0.6)
+    dd = dedup.exact_dedup(q, "text", "doc_id")
+    sh = dedup._shingle_table(dd, "text", "doc_id", 5)
+    bench = sh.filter(F.col("id") % 37 == 0).select("shingle").distinct()
+    contaminated = (
+        sh.filter(F.col("id") % 37 != 0)
+        .join(F.broadcast(bench), "shingle")
+        .select("id")
+        .distinct()
+    )
+    clean = (
+        dd.filter(F.col("doc_id") % 37 != 0)
+        .join(contaminated, dd.doc_id == contaminated.id, "left_anti")
+        .select("doc_id", textfn.token_count(F.col("text")).alias("n_tok"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = clean.withColumn(
+        "shard_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(4096.0)).cast(
+            "long"
+        ),
+    )
+    return packed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("shard_tokens"),
+    )
+
+
+@register(
     "source_mixture_weights",
     f"""
     WITH toks AS (SELECT source, length({_TOKS}) AS n_tok FROM documents),
