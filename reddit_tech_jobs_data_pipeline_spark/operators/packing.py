@@ -1,0 +1,117 @@
+"""Token-budget sequence packing — assign ordered documents to
+fixed-token-budget shards by running token offset.
+
+This is the corpus→training-shards step (no reference analog; it is a
+north-star op for the 100 TB pipeline): given rows ``(order_col,
+token_col)``, compute each row's global token offset (sum of tokens of
+all rows strictly before it in ``order_col`` order) and the shard it
+lands in, ``floor(offset / budget)``.
+
+Two modes, mirroring ``operators/graph.pagerank`` and
+``operators/kmeans``:
+
+* ``scale=False`` — a global-order window (``Window.orderBy`` with no
+  ``partitionBy``). Bit-simple, deterministic, and the DuckDB oracle's
+  exact twin, but Spark moves every row through ONE task for the prefix
+  sum. Correct at any SF; a bottleneck at 100 TB.
+
+* ``scale=True`` — the two-phase distributed prefix sum:
+
+  1. ``repartitionByRange(order_col)`` so partition *p* holds a
+     contiguous key range and all keys in *p* precede all keys in
+     *p + 1* (Spark's RangePartitioner); sort within partitions.
+  2. Pin partition assignment with an eager ``localCheckpoint`` (range
+     boundaries come from sampling; the plan must not recompute them
+     between the subtotal pass and the offset pass).
+  3. Per-partition token subtotals: ``groupBy(spark_partition_id())``
+     — exactly ``num_partitions`` rows.
+  4. Prefix-sum those subtotals on the DRIVER (a bounded collect of
+     ``num_partitions`` longs — dozens to thousands of rows at any
+     corpus size, never data-sized) into per-partition base offsets.
+  5. Broadcast-join the base offsets back and add the per-partition
+     local running sum (``Window.partitionBy(pid).orderBy(order_col)``
+     — parallel across partitions, no global sort).
+
+  All arithmetic on the offsets is exact ``long`` addition, so the two
+  modes produce IDENTICAL shard assignments — proven by
+  ``tests/test_packing.py``'s property test — and share one oracle.
+
+At 100 TB: one range shuffle + one hash shuffle (by pid, which the
+range partitioning already satisfies AQE-locally), a num-partitions-row
+collect, and a broadcast of the same — nothing data-sized crosses the
+driver, no single-partition Exchange appears in the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_token_budget(
+    df: DataFrame,
+    order_col: str,
+    token_col: str,
+    budget: int = 4096,
+    *,
+    scale: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Return ``df`` + ``shard_id``: the fixed-token-budget shard each
+    row starts in when rows are packed in ``order_col`` order.
+
+    ``shard_id = floor(offset / budget)`` where ``offset`` is the sum of
+    ``token_col`` over all rows strictly preceding this one in
+    ``order_col`` order. ``order_col`` must be a total order (unique
+    keys) for the assignment to be well-defined.
+    """
+    if not scale:
+        w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+        offset = F.sum(token_col).over(w) - F.col(token_col)
+        return df.withColumn("shard_id", _shard(offset, budget))
+
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+        # Eager pin: range boundaries are sampled, so the subtotal pass
+        # and the offset pass MUST see the same partition assignment.
+        .localCheckpoint()
+    )
+    # Phase 1: per-partition token subtotals — num_partitions rows.
+    subtotals = (
+        ranged.groupBy("_pid").agg(F.sum(token_col).cast("long").alias("_pt"))
+    ).collect()  # bounded: one row per shuffle partition, never data-sized
+    bases, acc = [], 0
+    for row in sorted(subtotals, key=lambda r: r["_pid"]):
+        bases.append((row["_pid"], acc))
+        acc += row["_pt"]
+    base_df = df.sparkSession.createDataFrame(bases, "_pid int, _base long")
+    # Phase 2: per-partition local prefix + broadcast base offset.
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = F.sum(token_col).over(w_local).cast("long") - F.col(token_col)
+    return (
+        ranged.join(F.broadcast(base_df), "_pid")
+        .withColumn("shard_id", _shard(F.col("_base") + local, budget))
+        .drop("_pid", "_base")
+    )
+
+
+def _shard(offset: Column, budget: int) -> Column:
+    # offset is an exact long in both modes; the float division by the
+    # same literal therefore floors identically in both modes (and in
+    # the DuckDB oracle, which uses the same `/ budget.0` expression).
+    return F.floor(offset / F.lit(float(budget))).cast("long")
+
+
+def shard_summary(packed: DataFrame, token_col: str) -> DataFrame:
+    """Per-shard doc counts + token totals (the oracle-compared shape)."""
+    return packed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_col).cast("long").alias("shard_tokens"),
+    )

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from reddit_tech_jobs_data_pipeline_spark.functions import text as textfn
-from reddit_tech_jobs_data_pipeline_spark.operators import dedup, similarity
+from reddit_tech_jobs_data_pipeline_spark.operators import dedup, packing, similarity
 from reddit_tech_jobs_data_pipeline_spark.plans.catalog import register, _t
 
 # ---------------------------------------------------------------------------
@@ -447,7 +447,10 @@ def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     README's pipeline composition proven end-to-end against one oracle.
     Each stage reuses the engine operator the standalone query checks;
     composing them catches interface drift (column renames, filter
-    ordering) that per-stage oracles cannot."""
+    ordering) that per-stage oracles cannot. The packing stage runs the
+    SCALE mode (two-phase distributed prefix sum,
+    operators/packing.py) — shard assignment is long-exact-identical to
+    the oracle's global-order window, so the oracle is unchanged."""
     docs = _t(spark, sf_dir, "documents")
     q = docs.filter(textfn.quality_score(F.col("text")) >= 0.6)
     dd = dedup.exact_dedup(q, "text", "doc_id")
@@ -464,17 +467,10 @@ def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(contaminated, dd.doc_id == contaminated.id, "left_anti")
         .select("doc_id", textfn.token_count(F.col("text")).alias("n_tok"))
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    packed = clean.withColumn(
-        "shard_id",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(4096.0)).cast(
-            "long"
-        ),
+    packed = packing.pack_token_budget(
+        clean, "doc_id", "n_tok", 4096, scale=True
     )
-    return packed.groupBy("shard_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tok").cast("long").alias("shard_tokens"),
-    )
+    return packing.shard_summary(packed, "n_tok")
 
 
 @register(
@@ -525,9 +521,7 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "token_budget_packing",
-    f"""
+_PACKING_SQL = f"""
     WITH toks AS (SELECT doc_id, length({_TOKS}) AS n_tok FROM documents),
     packed AS (
       SELECT doc_id, n_tok,
@@ -539,31 +533,40 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT shard_id, count(*) AS n_docs,
            CAST(sum(n_tok) AS BIGINT) AS shard_tokens
     FROM packed GROUP BY shard_id
-    """,
-    tags=["packing", "text", "scale"],
-)
+    """
+
+
+@register("token_budget_packing", _PACKING_SQL, tags=["packing", "text", "scale"])
 def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing — assign documents (in deterministic doc_id
     order) to fixed token-budget shards by running token offset, the
     step that turns a cleaned corpus into training-context-sized units.
-    The offset scan is a global-order window — fine for the oracle's
-    deterministic twin; at 100 TB compute per-partition token subtotals,
-    prefix-sum the (tiny) per-partition totals on the driver, and add
-    the broadcast base offset back per partition — same assignment, no
-    single-partition sort."""
+    This registration is the oracle twin: a global-order window,
+    bit-identical to the SQL. ``token_budget_packing_scale`` runs the
+    100 TB plan (operators/packing.py) against the SAME oracle."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", textfn.token_count(F.col("text")).alias("n_tok"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    packed = toks.withColumn(
-        "shard_id",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(4096.0)).cast(
-            "long"
-        ),
-    )
-    return packed.groupBy("shard_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tok").cast("long").alias("shard_tokens"),
-    )
+    packed = packing.pack_token_budget(toks, "doc_id", "n_tok", 4096, scale=False)
+    return packing.shard_summary(packed, "n_tok")
+
+
+@register(
+    "token_budget_packing_scale",
+    _PACKING_SQL,
+    tags=["packing", "text", "scale"],
+)
+def token_budget_packing_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB packing plan: two-phase distributed prefix sum
+    (range-partition on doc_id → per-partition long subtotals → driver
+    prefix-sum of the num-partitions-row totals → broadcast base
+    offsets → per-partition local window). No single-partition
+    Exchange anywhere in the plan (asserted by tests/test_packing.py);
+    offsets are exact long sums, so shard assignment is IDENTICAL to
+    the windowed oracle twin and the same SQL oracle gates it."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", textfn.token_count(F.col("text")).alias("n_tok"))
+    packed = packing.pack_token_budget(toks, "doc_id", "n_tok", 4096, scale=True)
+    return packing.shard_summary(packed, "n_tok")
 
 
 @register(
