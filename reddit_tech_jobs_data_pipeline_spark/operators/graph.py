@@ -56,6 +56,7 @@ def bfs_min_hops(
     max_hops: int,
     src: str = "src",
     dst: str = "dst",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Min-hop distance from ``seed`` to every node within ``max_hops``.
 
@@ -63,10 +64,20 @@ def bfs_min_hops(
     directions). Returns (node, hops) with hops = shortest path length,
     0 for the seed itself. Matches the SQL ``WITH RECURSIVE`` +
     ``GROUP BY node → min(depth)`` formulation exactly.
+
+    ``broadcast=True`` ships the frontier and visited sets to every
+    task — the right plan while both fit on one machine (the common
+    case: a frontier is bounded by one graph level). ``broadcast=False``
+    is the billion-node plan: the SAME joins with no broadcast hints,
+    so the expand and the visited anti-join hash-partition both sides
+    on the node key — nothing is required to fit in one executor's
+    memory, at the cost of a shuffle per level.
+    ``tests/test_graph_properties.py`` proves both paths label every
+    graph identically.
     """
     spark = edges.sparkSession
     with iterative_shuffle_partitions(spark):
-        return _bfs_min_hops(spark, edges, seed, max_hops, src, dst)
+        return _bfs_min_hops(spark, edges, seed, max_hops, src, dst, broadcast)
 
 
 def _bfs_min_hops(
@@ -76,6 +87,7 @@ def _bfs_min_hops(
     max_hops: int,
     src: str,
     dst: str,
+    broadcast: bool,
 ) -> DataFrame:
     # the edge list is referenced once per level — persist it, or the
     # (potentially expensive) edge derivation re-executes every level
@@ -100,17 +112,19 @@ def _bfs_min_hops(
             .localCheckpoint()
         )
         visited = frontier.withColumn("depth", F.lit(0)).localCheckpoint()
+        hint = F.broadcast if broadcast else (lambda df: df)
         for depth in range(1, max_hops + 1):
-            # frontier is small relative to edges → broadcast it so each
-            # level is a map-side join against the once-shuffled edge list.
-            # visited is one row per reached node — broadcast-sized here;
-            # at billions of nodes hash-partition both sides of the anti
-            # join on node instead (same plan minus the broadcast hints).
+            # broadcast=True: frontier is small relative to edges →
+            # broadcast it so each level is a map-side join against the
+            # once-shuffled edge list, and visited (one row per reached
+            # node) broadcasts into the anti-join. broadcast=False: the
+            # identical joins hash-partition on the node key instead —
+            # the billion-node plan, one shuffle per level.
             frontier = (
-                edges.join(F.broadcast(frontier), edges.src == frontier.node)
+                edges.join(hint(frontier), edges.src == frontier.node)
                 .select(F.col("dst").alias("node"))
                 .distinct()
-                .join(F.broadcast(visited.select("node")), "node", "left_anti")
+                .join(hint(visited.select("node")), "node", "left_anti")
                 .localCheckpoint()
             )
             if frontier.isEmpty():

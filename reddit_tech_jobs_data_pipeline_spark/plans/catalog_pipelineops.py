@@ -284,9 +284,7 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 # Iterative BFS over the supplier co-supply graph; recursive-CTE oracle
 # ===========================================================================
-@register(
-    "bfs_supplier_reachability",
-    """
+_BFS_SQL = """
     WITH RECURSIVE
     edges AS (
       SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
@@ -302,13 +300,31 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE r.depth < 2
     )
     SELECT node, CAST(min(depth) AS INTEGER) AS hops FROM reach GROUP BY node
-    """,
-    tags=["graph", "iterative"],
-)
+    """
+
+
+@register("bfs_supplier_reachability", _BFS_SQL, tags=["graph", "iterative"])
 def bfs_supplier_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem")
     edges = cooccurrence_edges(lineitem, "l_partkey", "l_suppkey")
     return bfs_min_hops(edges, seed=1, max_hops=2)
+
+
+@register(
+    "bfs_supplier_reachability_scale",
+    _BFS_SQL,
+    tags=["graph", "iterative", "scale"],
+)
+def bfs_supplier_reachability_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The billion-node BFS plan: ``broadcast=False`` drops the frontier
+    and visited-set broadcast hints so every level's expand and
+    anti-join hash-partition on the node key — no per-executor copy of
+    the visited set is ever required. Same frontier recurrence, same
+    recursive-CTE oracle; the set-level result is identical because
+    broadcasting is a physical hint, not a semantic one."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(lineitem, "l_partkey", "l_suppkey")
+    return bfs_min_hops(edges, seed=1, max_hops=2, broadcast=False)
 
 
 # ===========================================================================

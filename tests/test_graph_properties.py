@@ -91,6 +91,26 @@ class TestGraphProperties:
 
     @SETTINGS
     @given(edges_strategy)
+    def test_bfs_hash_partitioned_matches_broadcast(self, spark, edges):
+        # the billion-node path: same joins, no broadcast hints; force
+        # real shuffle joins by disabling auto-broadcast so the test
+        # exercises the plan that would run at scale
+        df = spark.createDataFrame(edges, "src long, dst long")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            got = {
+                r.node: r.hops
+                for r in bfs_min_hops(
+                    df, seed=1, max_hops=4, broadcast=False
+                ).collect()
+            }
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert got == py_bfs(edges, 1, 4)
+
+    @SETTINGS
+    @given(edges_strategy)
     def test_pagerank_ordered_fold_matches_python_reference(self, spark, edges):
         df = spark.createDataFrame(edges, "src long, dst long")
         got = {r.node: r.pr for r in pagerank(df, iterations=3).collect()}
