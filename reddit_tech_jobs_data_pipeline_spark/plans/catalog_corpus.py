@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from reddit_tech_jobs_data_pipeline_spark.functions.extract import tokens
+from reddit_tech_jobs_data_pipeline_spark.operators import ranking
 from reddit_tech_jobs_data_pipeline_spark.plans.catalog import _t, register
 from reddit_tech_jobs_data_pipeline_spark.plans.catalog_scale import _TOKS
 
@@ -158,9 +159,7 @@ def token_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "revenue_decile_share",
-    """
+_DECILE_SQL = """
     WITH spend AS (
       SELECT c_custkey, round(sum(o_totalprice), 2) AS spend
       FROM orders JOIN customer ON o_custkey = c_custkey
@@ -174,27 +173,20 @@ def token_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(spend), 2) AS revenue,
            round(sum(spend) / (SELECT sum(spend) FROM spend), 4) AS share
     FROM tiled GROUP BY decile ORDER BY decile
-    """,
-    tags=["analytics", "window", "concentration"],
-)
-def revenue_decile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue concentration: customers ntile'd into spend deciles
-    (total order: rounded spend DESC, custkey), each decile's share of
-    total. The global-sort window is the scale bottleneck — at 100 TB
-    replace ntile with percentile-bucketing on a sampled CDF."""
+    """
+
+
+def _customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
-    spend = (
+    return (
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
     )
-    tiled = spend.withColumn(
-        "decile",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("spend").desc(), "c_custkey"))
-        .cast("long"),
-    )
+
+
+def _decile_share(spend: DataFrame, tiled: DataFrame) -> DataFrame:
     total = spend.agg(F.sum("spend").alias("total"))
     return (
         tiled.groupBy("decile")
@@ -211,8 +203,50 @@ def revenue_decile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "revenue_gini",
-    """
+    "revenue_decile_share",
+    _DECILE_SQL,
+    tags=["analytics", "window", "concentration"],
+)
+def revenue_decile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: customers ntile'd into spend deciles
+    (total order: rounded spend DESC, custkey), each decile's share of
+    total. This is the global-window oracle twin;
+    ``revenue_decile_share_scale`` computes the identical tiling with a
+    distributed rank (operators/ranking.py) and no global sort."""
+    spend = _customer_spend(spark, sf_dir)
+    tiled = spend.withColumn(
+        "decile",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("spend").desc(), "c_custkey"))
+        .cast("long"),
+    )
+    return _decile_share(spend, tiled)
+
+
+@register(
+    "revenue_decile_share_scale",
+    _DECILE_SQL,
+    tags=["analytics", "window", "concentration", "scale"],
+)
+def revenue_decile_share_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB tiling plan: exact global rank via the two-phase
+    range-partitioned prefix count (operators/ranking.py — no
+    single-partition window), then ntile reproduced arithmetically
+    from (rank, n). Integer-exact, so the SAME ntile oracle gates it —
+    better than the sampled-CDF alternative, which would need a
+    tolerance gate."""
+    spend = _customer_spend(spark, sf_dir)
+    ranked = ranking.global_row_number(
+        spend, [F.col("spend").desc(), F.col("c_custkey")], "i", scale=True
+    )
+    n = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tiled = ranked.crossJoin(F.broadcast(n)).withColumn(
+        "decile", ranking.ntile_from_rank(F.col("i"), F.col("n"), 10)
+    )
+    return _decile_share(spend, tiled)
+
+
+_GINI_SQL = """
     WITH spend AS (
       SELECT c_custkey, round(sum(o_totalprice), 2) AS spend
       FROM orders JOIN customer ON o_custkey = c_custkey
@@ -226,27 +260,10 @@ def revenue_decile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT round(sum((2.0 * i - n - 1) * spend) / (max(n) * sum(spend)), 4) AS gini,
            CAST(max(n) AS BIGINT) AS n_customers
     FROM ranked
-    """,
-    tags=["analytics", "concentration"],
-)
-def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gini coefficient of customer spend via the sorted-rank identity
-    G = Σ(2i-n-1)·xᵢ / (n·Σx). One global-sort window (rank), then a
-    scalar aggregation; the big normalizer absorbs summation-order noise
-    before the 4-dp round."""
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    spend = (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("c_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
-    )
-    w = Window.orderBy("spend", "c_custkey")
-    ranked = spend.select(
-        "spend",
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
+    """
+
+
+def _gini_from_ranked(ranked: DataFrame) -> DataFrame:
     return ranked.agg(
         F.round(
             F.sum((2.0 * F.col("i") - F.col("n") - 1) * F.col("spend"))
@@ -255,3 +272,40 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gini"),
         F.max("n").cast("long").alias("n_customers"),
     )
+
+
+@register("revenue_gini", _GINI_SQL, tags=["analytics", "concentration"])
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend via the sorted-rank identity
+    G = Σ(2i-n-1)·xᵢ / (n·Σx). One global-sort window (rank), then a
+    scalar aggregation; the big normalizer absorbs summation-order noise
+    before the 4-dp round. ``revenue_gini_scale`` is the
+    distributed-rank plan against the same oracle."""
+    spend = _customer_spend(spark, sf_dir)
+    w = Window.orderBy("spend", "c_custkey")
+    ranked = spend.select(
+        "spend",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return _gini_from_ranked(ranked)
+
+
+@register(
+    "revenue_gini_scale",
+    _GINI_SQL,
+    tags=["analytics", "concentration", "scale"],
+)
+def revenue_gini_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB Gini plan: exact rank from the two-phase distributed
+    row_number (operators/ranking.py), n as a broadcast scalar, then
+    the same one-row aggregation — no single-partition window. Rank is
+    integer-exact; the Σ(2i-n-1)·xᵢ double sum reassociates across
+    partitions but the n²·mean normalizer + 4-dp round absorb it (the
+    pagerank-scale precedent)."""
+    spend = _customer_spend(spark, sf_dir)
+    ranked = ranking.global_row_number(
+        spend, [F.col("spend"), F.col("c_custkey")], "i", scale=True
+    )
+    n = spend.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return _gini_from_ranked(ranked.crossJoin(F.broadcast(n)))
