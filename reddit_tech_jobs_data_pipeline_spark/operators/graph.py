@@ -303,7 +303,10 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
 
 def cooccurrence_edges(
-    df: DataFrame, group_col: str, node_col: str
+    df: DataFrame,
+    group_col: str,
+    node_col: str,
+    max_group_size: int | None = None,
 ) -> DataFrame:
     """Undirected co-occurrence edge list: nodes sharing a group value.
 
@@ -315,17 +318,24 @@ def cooccurrence_edges(
     pairs (src < dst, halving the pair volume the distinct must shuffle)
     → distinct → mirror both directions (narrow projection). Versus the
     naive distinct + self-join + distinct this drops a full shuffle and
-    halves the biggest one. At scale a hot group (a part supplied by
-    thousands of suppliers) still explodes quadratically — cap or salt
-    hot groups upstream if the group-size distribution is skewed (the
-    per-group member array makes the group size directly observable for
-    exactly that guard).
+    halves the biggest one.
+
+    ``max_group_size`` is the skew guard: a hot group (a part supplied
+    by thousands of suppliers) explodes quadratically — one group of
+    100k members is 5e9 pairs in one task. The per-group member array
+    makes group size directly observable, so the guard is a single
+    ``size(ms) <= cap`` filter dropping hot groups before the explode
+    (the stop-shingle move from dedup.ngram_jaccard_pairs: a group
+    shared by everyone carries no pairing signal anyway).
+    ``tests/test_skew_guards.py`` measures the bound.
     """
     grouped = (
         df.select(F.col(group_col).alias("g"), F.col(node_col).alias("m"))
         .groupBy("g")
         .agg(F.collect_set("m").alias("ms"))
     )
+    if max_group_size is not None:
+        grouped = grouped.filter(F.size("ms") <= max_group_size)
     half = (
         grouped.select(F.explode("ms").alias("src"), "ms")
         .select("src", F.explode("ms").alias("dst"))
