@@ -173,9 +173,7 @@ _IVF_COS = (
 )
 
 
-@register(
-    "ivf_ann_topk",
-    f"""
+_IVF_ANN_SQL = f"""
     WITH cent AS (
       SELECT vec_id AS cell_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
       FROM embeddings WHERE vec_id < 8
@@ -213,9 +211,10 @@ _IVF_COS = (
                                    ORDER BY cosine DESC, neighbor_id) AS rank
       FROM scored
     ) WHERE rank <= 5
-    """,
-    tags=["similarity", "scale"],
-)
+    """
+
+
+@register("ivf_ann_topk", _IVF_ANN_SQL, tags=["similarity", "scale"])
 def ivf_ann_topk_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell ANN (training-free centroid seeding; see
     operators/similarity.ivf_ann_topk): nprobe=2 of 8 cells."""
@@ -224,4 +223,30 @@ def ivf_ann_topk_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_ann_topk(
         emb, emb.filter(F.col("vec_id") < 20), k=5, num_cells=8, nprobe=2
+    )
+
+
+@register(
+    "ivf_materialized_ann_topk",
+    _IVF_ANN_SQL,
+    tags=["similarity", "scale"],
+)
+def ivf_materialized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The on-disk IVF read path: the corpus is written PARTITIONED BY
+    cell_id (write_ivf_index) and the probe reads only the queries'
+    nprobe cells via partition pruning — at 100 TB the probe scans
+    nprobe/num_cells of the bytes instead of the whole corpus. Scores
+    replicate ivf_ann_topk exactly (parquet round-trips doubles
+    bit-identically), so the same oracle gates both;
+    tests/test_ann_index.py plan-asserts the pruning."""
+    import tempfile
+
+    from reddit_tech_jobs_data_pipeline_spark.operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.seeded_centroids(emb, 8)
+    path = f"{tempfile.gettempdir()}/spark_graft_ivf_index_{abs(hash(sf_dir))}"
+    similarity.write_ivf_index(emb, cents, path)
+    return similarity.ivf_index_topk(
+        spark, path, emb.filter(F.col("vec_id") < 20), cents, k=5, nprobe=2
     )
