@@ -468,3 +468,67 @@ def simhash_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def _positional_shingle_table(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, pos, shingle) — like _shingle_table but keeping every
+    occurrence with its 1-based token position (no per-doc distinct):
+    position identity is what coverage accounting needs."""
+    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
+    k = F.size(F.col("__toks")) - (n - 1)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.array_join(F.slice(F.col("__toks"), i, n), " ").alias("shingle"),
+        ),
+    )
+    return (
+        toks.filter(k >= 1)
+        .select("id", F.explode(pairs).alias("__ps"))
+        .select("id", F.col("__ps.pos").alias("pos"), F.col("__ps.shingle").alias("shingle"))
+    )
+
+
+def contamination_coverage(
+    df: DataFrame,
+    bench_shingles: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Token-level contamination coverage — the measure real
+    decontamination thresholds on (a shared-n-gram COUNT can't separate
+    "quotes the whole benchmark" from "hits one common phrase twice").
+
+    A matched n-gram at token position p covers positions p..p+n-1;
+    coverage = |covered positions| / doc token count. Returns one row
+    per CONTAMINATED doc: (id, n_tok, n_covered, coverage).
+
+    100 TB shape, same as the flag-only variant: ``bench_shingles``
+    (one column ``shingle``) broadcasts — eval sets are MBs against a
+    TB corpus; corpus shingles are computed narrowly per partition and
+    only MATCHING positions reach the per-doc distinct-count shuffle.
+    The corpus itself never reshuffles.
+    """
+    psh = _positional_shingle_table(df, text_col, id_col, n)
+    matched = psh.join(
+        F.broadcast(bench_shingles.select("shingle").distinct()), "shingle"
+    ).select("id", "pos")
+    covered = matched.select(
+        "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("cp")
+    )
+    cov = covered.groupBy("id").agg(
+        F.count_distinct("cp").cast("long").alias("n_covered")
+    )
+    ntok = df.select(
+        F.col(id_col).alias("id"), F.size(tokens(text_col)).cast("long").alias("n_tok")
+    )
+    return cov.join(ntok, "id").select(
+        "id",
+        "n_tok",
+        "n_covered",
+        F.round(F.col("n_covered") / F.col("n_tok"), 4).alias("coverage"),
+    )

@@ -608,6 +608,20 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles are computed narrowly per partition and only the MATCHING
     shingles reach the per-doc count's shuffle — the corpus itself
     never reshuffles."""
+    sh = dedup._shingle_table(_decontam_corpus(spark, sf_dir), "text", "id", 5)
+    is_bench = (F.col("id") % 37 == 0) & (F.col("id") < 200000)
+    bench = sh.filter(is_bench).select("shingle").distinct()
+    return (
+        sh.filter(~is_bench)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("id")
+        .agg(F.count_distinct("shingle").alias("n_shared"))
+    )
+
+
+def _decontam_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ planted quoting docs (id+200000, benchmark text with
+    a prefix) — the shared fixture for the decontamination queries."""
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id"), "text"
     )
@@ -619,14 +633,55 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("quoted passage follows "), F.col("text")).alias("text"),
         )
     )
-    sh = dedup._shingle_table(docs.unionByName(quotes), "text", "id", 5)
+    return docs.unionByName(quotes)
+
+
+@register(
+    "contamination_coverage",
+    f"""
+    WITH cdocs AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000 AS id, 'quoted passage follows ' || text AS text
+      FROM documents WHERE doc_id % 37 = 0 AND doc_id % 2 = 0
+    ),
+    ctoks AS (SELECT id, {_TOKS} AS ws FROM cdocs),
+    pos AS (
+      SELECT id, ws, unnest(generate_series(1, greatest(length(ws) - 4, 0))) AS p
+      FROM ctoks WHERE length(ws) >= 5
+    ),
+    psh AS (SELECT id, p, array_to_string(ws[p:p+4], ' ') AS shingle FROM pos),
+    bench AS (SELECT DISTINCT shingle FROM psh WHERE id % 37 = 0 AND id < 200000),
+    matched AS (
+      SELECT c.id, c.p FROM psh c JOIN bench b USING (shingle)
+      WHERE NOT (c.id % 37 = 0 AND c.id < 200000)
+    ),
+    covered AS (SELECT id, unnest(generate_series(p, p + 4)) AS cp FROM matched),
+    ntok AS (SELECT id, length(ws) AS n_tok FROM ctoks)
+    SELECT c.id, n_tok, count(DISTINCT cp) AS n_covered,
+           round(count(DISTINCT cp) * 1.0 / n_tok, 4) AS coverage
+    FROM covered c JOIN ntok USING (id)
+    GROUP BY c.id, n_tok
+    """,
+    tags=["decontamination", "text", "scale"],
+)
+def contamination_coverage_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-coverage decontamination — the thresholding measure real
+    pipelines use: a matched benchmark 5-gram at position p covers
+    tokens p..p+4; coverage = covered / total tokens, so a doc quoting
+    the whole benchmark scores ~1.0 while one sharing a stray phrase
+    scores near 5/n_tok. Same broadcast shape as
+    benchmark_decontamination (bench n-grams broadcast, corpus never
+    reshuffles); positional shingles instead of distinct sets."""
+    corpus = _decontam_corpus(spark, sf_dir)
     is_bench = (F.col("id") % 37 == 0) & (F.col("id") < 200000)
-    bench = sh.filter(is_bench).select("shingle").distinct()
-    return (
-        sh.filter(~is_bench)
-        .join(F.broadcast(bench), "shingle")
-        .groupBy("id")
-        .agg(F.count_distinct("shingle").alias("n_shared"))
+    bench = (
+        dedup._shingle_table(corpus.filter(is_bench), "text", "id", 5)
+        .select("shingle")
+        .distinct()
+    )
+    return dedup.contamination_coverage(
+        corpus.filter(~is_bench), bench, "text", "id", n=5
     )
 
 
