@@ -47,19 +47,17 @@ def describe(sf_dir: str) -> dict:
     return out
 
 
-def main() -> int:
-    current = {d: describe(d) for d in SF_DIRS if os.path.isdir(d)}
-    if "--update" in sys.argv:
-        with open(SNAPSHOT, "w") as fh:
-            json.dump(current, fh, indent=1, sort_keys=True)
-        print(f"snapshot written: {SNAPSHOT}")
-        return 0
-    if not os.path.exists(SNAPSHOT):
-        print(f"no snapshot at {SNAPSHOT}; run with --update first")
-        return 1
-    with open(SNAPSHOT) as fh:
-        expected = json.load(fh)
+def compare(expected: dict, current: dict) -> list[str]:
     drift = []
+    # a snapshot dir/table missing from the current scan is drift too —
+    # a deleted /root/testdata/sfX must not report "matches snapshot"
+    for d, tables in expected.items():
+        if d not in current:
+            drift.append(f"{d}: SF dir in snapshot but MISSING on disk")
+            continue
+        for t in tables:
+            if t not in current[d]:
+                drift.append(f"{d}/{t}: table in snapshot but missing on disk")
     for d, tables in current.items():
         for t, desc in tables.items():
             exp = expected.get(d, {}).get(t)
@@ -72,6 +70,22 @@ def main() -> int:
                 )
             elif exp.get("rows") != desc.get("rows"):
                 drift.append(f"{d}/{t}: row count {exp.get('rows')} -> {desc.get('rows')}")
+    return drift
+
+
+def main() -> int:
+    current = {d: describe(d) for d in SF_DIRS if os.path.isdir(d)}
+    if "--update" in sys.argv:
+        with open(SNAPSHOT, "w") as fh:
+            json.dump(current, fh, indent=1, sort_keys=True)
+        print(f"snapshot written: {SNAPSHOT}")
+        return 0
+    if not os.path.exists(SNAPSHOT):
+        print(f"no snapshot at {SNAPSHOT}; run with --update first")
+        return 1
+    with open(SNAPSHOT) as fh:
+        expected = json.load(fh)
+    drift = compare(expected, current)
     if drift:
         print("TESTDATA DRIFT DETECTED — re-run the full suite before building:")
         print("\n".join(drift))
