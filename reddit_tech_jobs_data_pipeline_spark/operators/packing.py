@@ -48,6 +48,60 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_by: list[Column],
+    sums: dict[str, str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The shared two-phase primitive: ``df`` + an INCLUSIVE running sum
+    over the total order ``order_by`` for each entry of ``sums``
+    (input column → output column), with no single-partition Exchange.
+
+    All requested columns ride ONE range shuffle and one bounded
+    collect. Sums are computed in ``long`` arithmetic — callers pass
+    integral columns (token counts, row counts), which is what keeps
+    the result bit-identical to a global window and lets one oracle
+    gate both modes. ``order_by`` must be a total order.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    srcs = list(sums)
+    ranged = (
+        df.repartitionByRange(n, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        # Eager pin: range boundaries are sampled, so the subtotal pass
+        # and the prefix pass MUST see the same partition assignment.
+        .localCheckpoint()
+    )
+    # Phase 1: per-partition subtotals — num_partitions rows, collected
+    # on the driver (bounded: one row per shuffle partition, never
+    # data-sized) and prefix-summed in exact Python int arithmetic.
+    subtotals = ranged.groupBy("_pid").agg(
+        *[F.sum(c).cast("long").alias(f"_s{i}") for i, c in enumerate(srcs)]
+    ).collect()
+    acc = [0] * len(srcs)
+    bases = []
+    for row in sorted(subtotals, key=lambda r: r["_pid"]):
+        bases.append((row["_pid"], *acc))
+        acc = [a + (row[f"_s{i}"] or 0) for i, a in enumerate(acc)]
+    schema = "_pid int, " + ", ".join(f"_b{i} long" for i in range(len(srcs)))
+    base_df = df.sparkSession.createDataFrame(bases, schema)
+    # Phase 2: per-partition local prefix (parallel across partitions)
+    # + broadcast base offsets.
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = ranged.join(F.broadcast(base_df), "_pid")
+    for i, src in enumerate(srcs):
+        out = out.withColumn(
+            sums[src], (F.col(f"_b{i}") + F.sum(src).over(w_local)).cast("long")
+        )
+    return out.drop("_pid", *[f"_b{i}" for i in range(len(srcs))])
+
+
 def pack_token_budget(
     df: DataFrame,
     order_col: str,
@@ -70,36 +124,14 @@ def pack_token_budget(
         offset = F.sum(token_col).over(w) - F.col(token_col)
         return df.withColumn("shard_id", _shard(offset, budget))
 
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(n, F.col(order_col))
-        .sortWithinPartitions(order_col)
-        .withColumn("_pid", F.spark_partition_id())
-        # Eager pin: range boundaries are sampled, so the subtotal pass
-        # and the offset pass MUST see the same partition assignment.
-        .localCheckpoint()
+    ps = distributed_prefix_sum(
+        df, [F.col(order_col)], {token_col: "_cum"}, num_partitions
     )
-    # Phase 1: per-partition token subtotals — num_partitions rows.
-    subtotals = (
-        ranged.groupBy("_pid").agg(F.sum(token_col).cast("long").alias("_pt"))
-    ).collect()  # bounded: one row per shuffle partition, never data-sized
-    bases, acc = [], 0
-    for row in sorted(subtotals, key=lambda r: r["_pid"]):
-        bases.append((row["_pid"], acc))
-        acc += row["_pt"]
-    base_df = df.sparkSession.createDataFrame(bases, "_pid int, _base long")
-    # Phase 2: per-partition local prefix + broadcast base offset.
-    w_local = (
-        Window.partitionBy("_pid")
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    local = F.sum(token_col).over(w_local).cast("long") - F.col(token_col)
-    return (
-        ranged.join(F.broadcast(base_df), "_pid")
-        .withColumn("shard_id", _shard(F.col("_base") + local, budget))
-        .drop("_pid", "_base")
-    )
+    # inclusive prefix − own tokens = exclusive offset, exactly the
+    # windowed mode's expression
+    return ps.withColumn(
+        "shard_id", _shard(F.col("_cum") - F.col(token_col), budget)
+    ).drop("_cum")
 
 
 def _shard(offset: Column, budget: int) -> Column:

@@ -47,29 +47,15 @@ def global_row_number(
         w = Window.orderBy(*order_by)
         return df.withColumn(rank_col, F.row_number().over(w).cast("long"))
 
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(n, *order_by)
-        .sortWithinPartitions(*order_by)
-        .withColumn("_pid", F.spark_partition_id())
-        # pin sampled range boundaries across the two passes
-        .localCheckpoint()
+    # row_number over a total order ≡ inclusive prefix sum of ones —
+    # delegate to the shared two-phase primitive
+    from reddit_tech_jobs_data_pipeline_spark.operators.packing import (
+        distributed_prefix_sum,
     )
-    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
-    bases, acc = [], 0
-    for row in sorted(counts, key=lambda r: r["_pid"]):
-        bases.append((row["_pid"], acc))
-        acc += row["_n"]
-    base_df = df.sparkSession.createDataFrame(bases, "_pid int, _base long")
-    w_local = Window.partitionBy("_pid").orderBy(*order_by)
-    return (
-        ranged.join(F.broadcast(base_df), "_pid")
-        .withColumn(
-            rank_col,
-            (F.col("_base") + F.row_number().over(w_local)).cast("long"),
-        )
-        .drop("_pid", "_base")
-    )
+
+    return distributed_prefix_sum(
+        df.withColumn("_one", F.lit(1)), order_by, {"_one": rank_col}, num_partitions
+    ).drop("_one")
 
 
 def ntile_from_rank(rank: Column, n_rows: Column, buckets: int) -> Column:

@@ -362,9 +362,7 @@ def spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 # RFM customer segmentation (ntile quartiles, deterministic tiebreaks)
 # ===========================================================================
-@register(
-    "rfm_segmentation",
-    """
+_RFM_SQL = """
     WITH rfm AS (
       SELECT o_custkey,
              CAST(date_diff('day', max(o_orderdate),
@@ -388,13 +386,13 @@ def spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
              || CAST(m_score AS VARCHAR) AS segment
     FROM scored
-    """,
-    tags=["analytics", "segmentation"],
-)
-def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _rfm_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
-    rfm = (
+    return (
         orders.groupBy("o_custkey")
         .agg(
             F.max("o_orderdate").alias("last_order"),
@@ -411,6 +409,22 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
+
+
+def _rfm_segment(scored: DataFrame) -> DataFrame:
+    return scored.withColumn(
+        "segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
+
+
+@register("rfm_segmentation", _RFM_SQL, tags=["analytics", "segmentation"])
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rfm = _rfm_base(spark, sf_dir)
     scored = rfm.select(
         "*",
         F.ntile(4)
@@ -423,14 +437,40 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
         .alias("m_score"),
     )
-    return scored.withColumn(
-        "segment",
-        F.concat(
-            F.col("r_score").cast("string"),
-            F.col("f_score").cast("string"),
-            F.col("m_score").cast("string"),
-        ),
-    )
+    return _rfm_segment(scored)
+
+
+@register(
+    "rfm_segmentation_scale",
+    _RFM_SQL,
+    tags=["analytics", "segmentation", "scale"],
+)
+def rfm_segmentation_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM without global-sort windows: each of the three quartile
+    scores is an exact distributed rank (operators/ranking.py, the
+    two-phase prefix-sum shape) fed through the arithmetic ntile —
+    three range shuffles instead of three single-partition sorts, and
+    the per-customer table never has to fit one task. Integer-exact,
+    same oracle as the windowed twin."""
+    from reddit_tech_jobs_data_pipeline_spark.operators import ranking
+
+    rfm = _rfm_base(spark, sf_dir)
+    n = rfm.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    scored = rfm
+    for rank_col, score_col, order in (
+        ("_ri", "r_score", [F.asc("recency_days"), F.asc("o_custkey")]),
+        ("_fi", "f_score", [F.desc("frequency"), F.asc("o_custkey")]),
+        ("_mi", "m_score", [F.desc("monetary"), F.asc("o_custkey")]),
+    ):
+        scored = ranking.global_row_number(scored, order, rank_col, scale=True)
+    scored = scored.crossJoin(F.broadcast(n))
+    for rank_col, score_col in (("_ri", "r_score"), ("_fi", "f_score"), ("_mi", "m_score")):
+        scored = scored.withColumn(
+            score_col,
+            ranking.ntile_from_rank(F.col(rank_col), F.col("_n"), 4).cast("int"),
+        )
+    scored = scored.drop("_ri", "_fi", "_mi", "_n")
+    return _rfm_segment(scored)
 
 
 # ===========================================================================

@@ -182,9 +182,7 @@ def welch_ttest_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ks_statistic_click_view",
-    """
+_KS_SQL = """
     WITH s AS (
       SELECT value,
              count(*) FILTER (WHERE event_type = 'click') AS ca,
@@ -201,29 +199,18 @@ def welch_ttest_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT round(max(abs(cuma * 1.0 / ta - cumb * 1.0 / tb)), 4) AS ks,
            CAST(max(ta) AS BIGINT) AS n1, CAST(max(tb) AS BIGINT) AS n2
     FROM c
-    """,
-    tags=["stats", "drift", "window"],
-)
-def ks_statistic_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-sample Kolmogorov-Smirnov statistic (max ECDF gap) between the
-    click and view value distributions — the nonparametric drift gate.
-    Grouping by value first makes the window frame tie-free, so both
-    engines' running sums agree exactly; the cumulative counts are
-    integers and the CDF division is IEEE-exact per row. At 100 TB the
-    global-sort window over distinct values becomes a binned ECDF."""
+    """
+
+
+def _ks_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "view"))
-    s = ev.groupBy("value").agg(
+    return ev.groupBy("value").agg(
         F.count(F.when(F.col("event_type") == "click", 1)).alias("ca"),
         F.count(F.when(F.col("event_type") == "view", 1)).alias("cb"),
     )
-    run = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    tot = Window.partitionBy()
-    c = s.select(
-        F.sum("ca").over(run).alias("cuma"),
-        F.sum("cb").over(run).alias("cumb"),
-        F.sum("ca").over(tot).alias("ta"),
-        F.sum("cb").over(tot).alias("tb"),
-    )
+
+
+def _ks_from_cums(c: DataFrame) -> DataFrame:
     gap = F.abs(
         F.col("cuma") * F.lit(1.0) / F.col("ta")
         - F.col("cumb") * F.lit(1.0) / F.col("tb")
@@ -233,6 +220,54 @@ def ks_statistic_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ta").cast("long").alias("n1"),
         F.max("tb").cast("long").alias("n2"),
     )
+
+
+@register("ks_statistic_click_view", _KS_SQL, tags=["stats", "drift", "window"])
+def ks_statistic_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic (max ECDF gap) between the
+    click and view value distributions — the nonparametric drift gate.
+    Grouping by value first makes the window frame tie-free, so both
+    engines' running sums agree exactly; the cumulative counts are
+    integers and the CDF division is IEEE-exact per row. This is the
+    global-window oracle twin; ``ks_statistic_click_view_scale`` builds
+    the same ECDF with the distributed prefix sum."""
+    s = _ks_counts(spark, sf_dir)
+    run = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    c = s.select(
+        F.sum("ca").over(run).alias("cuma"),
+        F.sum("cb").over(run).alias("cumb"),
+        F.sum("ca").over(tot).alias("ta"),
+        F.sum("cb").over(tot).alias("tb"),
+    )
+    return _ks_from_cums(c)
+
+
+@register(
+    "ks_statistic_click_view_scale",
+    _KS_SQL,
+    tags=["stats", "drift", "window", "scale"],
+)
+def ks_statistic_click_view_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB ECDF: both cumulative counts ride ONE two-phase
+    distributed prefix sum over the distinct-value order
+    (operators/packing.distributed_prefix_sum — range shuffle +
+    bounded collect, no single-partition window), totals arrive as a
+    broadcast scalar. Integer counts make the ECDF bit-identical to
+    the windowed twin, so the same oracle gates it — strictly better
+    than the binned-ECDF approximation the docstring used to defer to."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.packing import (
+        distributed_prefix_sum,
+    )
+
+    s = _ks_counts(spark, sf_dir)
+    ps = distributed_prefix_sum(
+        s, [F.col("value")], {"ca": "cuma", "cb": "cumb"}
+    )
+    tot = s.agg(
+        F.sum("ca").cast("long").alias("ta"), F.sum("cb").cast("long").alias("tb")
+    )
+    return _ks_from_cums(ps.crossJoin(F.broadcast(tot)))
 
 
 @register(
