@@ -253,14 +253,13 @@ def minhash_signatures_from_shingles(sh: DataFrame, num_hashes: int = 16) -> Dat
     return hashed.groupBy("id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
-    sig: DataFrame, num_hashes: int = 16, bands: int = 4
-) -> DataFrame:
-    """Candidate pairs from LSH banding: signature split into ``bands``
-    bands of r = num_hashes/bands rows; docs sharing any band key meet.
-    Band key is xxhash64 of (band index, the band's minhashes) — an
-    8-byte uniform join key (vs a 32-char digest string), so the
-    self-join shuffles a quarter of the bytes and compares longs."""
+def banded_keys(sig: DataFrame, num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """(id, bkey) — one LSH band key per (doc, band). Band key is
+    xxhash64 of (band index, the band's minhashes): an 8-byte uniform
+    join key. This IS the persistable band index: at 100 TB the corpus
+    side of this table is written once (partitioned/bucketed by bkey)
+    and each incremental batch joins its own few band keys against it —
+    see ``incremental_lsh_ingest``."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     band_cols = [
@@ -270,10 +269,21 @@ def lsh_candidate_pairs(
         for b in range(bands)
     ]
     banded = sig.select("id", *band_cols)
-    stacked = banded.select(
+    return banded.select(
         "id",
         F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("bkey"),
     )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Candidate pairs from LSH banding: signature split into ``bands``
+    bands of r = num_hashes/bands rows; docs sharing any band key meet.
+    Band key is xxhash64 of (band index, the band's minhashes) — an
+    8-byte uniform join key (vs a 32-char digest string), so the
+    self-join shuffles a quarter of the bytes and compares longs."""
+    stacked = banded_keys(sig, num_hashes, bands)
     a = stacked.select(F.col("id").alias("id_a"), "bkey")
     b = stacked.select(F.col("id").alias("id_b"), "bkey")
     return (
@@ -316,6 +326,104 @@ def minhash_lsh_dedup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def signature_agreement(
+    pairs: DataFrame, sig_a: DataFrame, sig_b: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """Attach ``n_agree`` (count of equal minhash components, an unbiased
+    k-sample Jaccard estimator: E[n_agree/k] = J) to candidate pairs
+    (id_a, id_b). Verification needs ONLY the two signatures — never the
+    shingles — which is what makes the incremental path storage-viable:
+    the persisted state per corpus doc is k longs, not its shingle set."""
+    a = sig_a.select(
+        F.col("id").alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)]
+    )
+    b = sig_b.select(
+        F.col("id").alias("id_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)]
+    )
+    agree = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", agree.alias("n_agree"))
+    )
+
+
+def incremental_lsh_ingest(
+    store_sig: DataFrame,
+    batch_sig: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_agree: int = 12,
+) -> DataFrame:
+    """Cross-run incremental near-dup dedup — the daily-ingest shape of a
+    training-data pipeline (generalizes the reference's cross-run keyed
+    idempotence, dags/dag.py:389-403, from exact keys to near-dup text).
+
+    The corpus is represented ONLY by its persisted MinHash signature
+    store (k longs per doc); a new batch is deduped against it without
+    ever re-reading or re-shingling corpus text:
+
+      1. band the batch signatures; join against the (persistable) corpus
+         band index — candidates touch only band-colliding corpus docs;
+      2. batch-internal candidates from the usual LSH self-join, ordered
+         so the earlier (smaller-id) doc is the survivor;
+      3. verify candidates by signature agreement (``n_agree >=
+         min_agree`` of ``num_hashes``), an estimator decision — exact
+         Jaccard would need shingles the store deliberately does not keep.
+
+    Returns one row per batch doc: (id, n_store_dups, first_store_dup,
+    n_batch_dups, is_new). Survivors (is_new) are the rows whose
+    signatures a caller appends to the store — the store grows by
+    survivors only, keeping every later run's join right-sized.
+    """
+    store_keys = banded_keys(store_sig, num_hashes, bands)
+    batch_keys = banded_keys(batch_sig, num_hashes, bands)
+
+    cand_store = (
+        batch_keys.join(
+            store_keys.withColumnRenamed("id", "store_id"), "bkey"
+        )
+        .select(F.col("id").alias("id_a"), F.col("store_id").alias("id_b"))
+        .distinct()
+    )
+    store_dups = (
+        signature_agreement(cand_store, batch_sig, store_sig, num_hashes)
+        .filter(F.col("n_agree") >= min_agree)
+        .groupBy(F.col("id_a").alias("id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_store_dups"),
+            F.min("id_b").alias("first_store_dup"),
+        )
+    )
+
+    cand_batch = lsh_candidate_pairs(batch_sig, num_hashes, bands)
+    batch_dups = (
+        signature_agreement(cand_batch, batch_sig, batch_sig, num_hashes)
+        .filter(F.col("n_agree") >= min_agree)
+        # (id_a < id_b) from lsh_candidate_pairs: the LATER doc is the dup
+        .groupBy(F.col("id_b").alias("id"))
+        .agg(F.count(F.lit(1)).alias("n_batch_dups"))
+    )
+
+    return (
+        batch_sig.select("id")
+        .join(store_dups, "id", "left")
+        .join(batch_dups, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_store_dups", F.lit(0)).alias("n_store_dups"),
+            "first_store_dup",
+            F.coalesce("n_batch_dups", F.lit(0)).alias("n_batch_dups"),
+            (
+                F.coalesce("n_store_dups", F.lit(0)) + F.coalesce("n_batch_dups", F.lit(0)) == 0
+            ).alias("is_new"),
+        )
     )
 
 

@@ -14,6 +14,7 @@ from reddit_tech_jobs_data_pipeline_spark.operators import multimodal
 from reddit_tech_jobs_data_pipeline_spark.plans.catalog import _t, register
 from reddit_tech_jobs_data_pipeline_spark.plans.catalog_posts import _CORPUS_SQL, _titles_df
 from reddit_tech_jobs_data_pipeline_spark.streaming.events import (
+    run_dedup_stream_batchlike,
     run_interval_join_batchlike,
     run_windowed_counts_batchlike,
 )
@@ -182,6 +183,46 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle runs — watermarks only bound STATE, they drop no rows of
     a finite in-order replay."""
     return run_interval_join_batchlike(spark, sf_dir)
+
+
+@register(
+    "streaming_dedup_events",
+    """
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           round(value, 2) AS value
+    FROM events
+    """,
+    tags=["streaming", "dedup"],
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup (``dropDuplicatesWithinWatermark``):
+    the events table is replayed DOUBLED (each row twice — the at-least-
+    once delivery a retried scrape or replayed micro-batch produces,
+    dags/dag.py:380-421's ON CONFLICT case) and the stream must emit each
+    event_id exactly once, i.e. exactly the batch table the oracle reads.
+    State is bounded by the watermark horizon (keys are evicted once the
+    watermark passes them), so state size is O(events per 2h window), not
+    O(corpus) — the property that makes this run forever at stream scale.
+    Duplicate rows are bit-identical, so survivor choice is unobservable
+    and the output deterministic."""
+    import tempfile
+
+    from reddit_tech_jobs_data_pipeline_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    src = f"{tempfile.gettempdir()}/spark_graft_stream_dedup_{abs(hash(sf_dir))}"
+    ev.unionAll(ev).coalesce(1).write.mode("overwrite").parquet(src)
+    out = run_dedup_stream_batchlike(
+        spark, src, spark.read.parquet(src).schema, name="cat_stream_dedup"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.round("value", 2).alias("value"),
+    )
 
 
 @register(

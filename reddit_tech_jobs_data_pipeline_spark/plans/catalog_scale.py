@@ -305,6 +305,102 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_minhash_sql(
+    num_hashes: int = 16, bands: int = 4, min_agree: int = 12
+) -> str:
+    # Same KM hash family and band keys as _minhash_sql, but the corpus is
+    # split into a signature STORE (originals, id < 100000) and an incoming
+    # BATCH (the perturbed copies); verification is signature agreement —
+    # the estimator decision incremental_lsh_ingest makes, since the store
+    # keeps no shingles.
+    r = num_hashes // bands
+    mh_aggs = ",\n      ".join(
+        f"min((w1 + {i} * w2) % 4294967291) AS mh_{i}" for i in range(num_hashes)
+    )
+    band_array = ", ".join(
+        "'" + str(b) + ":' || "
+        + " || '|' || ".join(f"CAST(mh_{b * r + j} AS VARCHAR)" for j in range(r))
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN x.mh_{i} = y.mh_{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+    shw AS (
+      SELECT id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS w1,
+             ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS w2
+      FROM sh
+    ),
+    sig AS (SELECT id, {mh_aggs} FROM shw GROUP BY id),
+    store AS (SELECT * FROM sig WHERE id < 100000),
+    batch AS (SELECT * FROM sig WHERE id >= 100000),
+    sstack AS (SELECT id, unnest([{band_array}]) AS bkey FROM store),
+    bstack AS (SELECT id, unnest([{band_array}]) AS bkey FROM batch),
+    cand_store AS (
+      SELECT DISTINCT b.id AS id_a, s.id AS id_b
+      FROM bstack b JOIN sstack s ON b.bkey = s.bkey
+    ),
+    cand_batch AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bstack a JOIN bstack b ON a.bkey = b.bkey AND a.id < b.id
+    ),
+    sd AS (
+      SELECT c.id_a AS id, count(*) AS n_store_dups, min(c.id_b) AS first_store_dup
+      FROM cand_store c JOIN batch x ON x.id = c.id_a JOIN store y ON y.id = c.id_b
+      WHERE {agree} >= {min_agree}
+      GROUP BY c.id_a
+    ),
+    bd AS (
+      SELECT c.id_b AS id, count(*) AS n_batch_dups
+      FROM cand_batch c JOIN batch x ON x.id = c.id_a JOIN batch y ON y.id = c.id_b
+      WHERE {agree} >= {min_agree}
+      GROUP BY c.id_b
+    )
+    SELECT b.id,
+           coalesce(sd.n_store_dups, 0) AS n_store_dups,
+           sd.first_store_dup,
+           coalesce(bd.n_batch_dups, 0) AS n_batch_dups,
+           (coalesce(sd.n_store_dups, 0) + coalesce(bd.n_batch_dups, 0) = 0) AS is_new
+    FROM batch b LEFT JOIN sd ON sd.id = b.id LEFT JOIN bd ON bd.id = b.id
+    """
+
+
+@register(
+    "incremental_minhash_ingest",
+    f"""
+    WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
+    {_incremental_minhash_sql(16, 4, 12)}
+    """,
+    tags=["dedup", "incremental", "scale"],
+)
+def incremental_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run incremental near-dup dedup: the original documents are
+    the persisted signature STORE (written to and re-read from parquet —
+    the on-disk state a daily ingest would keep); the perturbed copies
+    arrive as the new BATCH and are deduped against the store by band
+    join + signature agreement, never touching corpus text. Every copy
+    should resolve to its original (first_store_dup = id - 100000) — the
+    oracle recomputes the identical hash family in SQL and agrees
+    exactly. See operators/dedup.incremental_lsh_ingest for the 100 TB
+    rationale (store is k longs/doc; batch joins a persisted band index).
+    """
+    import tempfile
+
+    corpus = _corpus_df(spark, sf_dir)
+    store_sig = dedup.minhash_signatures(
+        corpus.filter(F.col("id") < 100000), "text", "id", num_hashes=16, n=3
+    )
+    path = f"{tempfile.gettempdir()}/spark_graft_sig_store_{abs(hash(sf_dir))}"
+    store_sig.write.mode("overwrite").parquet(path)
+    batch_sig = dedup.minhash_signatures(
+        corpus.filter(F.col("id") >= 100000), "text", "id", num_hashes=16, n=3
+    )
+    return dedup.incremental_lsh_ingest(
+        spark.read.parquet(path), batch_sig, num_hashes=16, bands=4, min_agree=12
+    )
+
+
 def _simhash_sql(width: int = 16, band_bits: int = 4, max_hamming: int = 2) -> str:
     high = "('8','9','a','b','c','d','e','f')"
     bit_exprs = ",\n      ".join(
