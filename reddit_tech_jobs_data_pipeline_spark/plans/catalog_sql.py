@@ -279,6 +279,44 @@ def salted_agg_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_join_equivalence",
+    """
+    SELECT o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=["join", "skew"],
+)
+def salted_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation JOIN pattern (completes the salted family next to
+    salted_agg_equivalence): the probe side gets a random-free
+    deterministic salt in [0,16); the build side is replicated 16× with
+    every salt value; the join key becomes (key, salt), so one hot key's
+    probe rows spread across 16 tasks instead of one straggler. The
+    oracle is the PLAIN join — the rewrite must be semantics-preserving.
+    At 100 TB this is the manual fallback when AQE's skew-join split
+    can't kick in (e.g. the skew is in a broadcast-ineligible build side
+    or a key is hot enough to overflow a single AQE sub-partition);
+    replication cost is 16× the (small) build side, never the fact."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    n_salt = 16
+    probe = li.withColumn("__salt", F.pmod(F.xxhash64("l_linenumber"), F.lit(n_salt)))
+    build = orders.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    joined = probe.join(build, (probe.l_orderkey == build.o_orderkey) & (probe.__salt == build.__salt))
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "unpivot_measures",
     """
     WITH wide AS (
