@@ -136,3 +136,33 @@ def fingerprint(text: ColumnOrName) -> Column:
     key (full near-dup via minhash in operators/dedup.py)."""
     canon = F.array_join(F.array_sort(F.array_distinct(tokens(text))), " ")
     return F.md5(canon)
+
+
+# PII scrub patterns, applied in declaration order (email first so the
+# host part can't be half-eaten by the ipv4 rule, ipv4 before phone so
+# dotted octets aren't mistaken for dotted phone numbers). RE2- and
+# Java-regex-compatible subset: no backrefs, no lookaround.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}"),
+]
+
+
+def pii_redact(text: ColumnOrName) -> Column:
+    """Replace every PII match with its typed placeholder (``<EMAIL>``,
+    ``<IPV4>``, ``<PHONE>``) — chained ``regexp_replace``, pure Catalyst,
+    one codegen stage; the corpus-prep scrub pass that must run over
+    every byte at 100 TB, so it cannot afford a Python UDF."""
+    out = F.coalesce(F.col(text) if isinstance(text, str) else text, F.lit(""))
+    for name, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
+def pii_count(text: ColumnOrName, kind: str) -> Column:
+    """Matches of one PII pattern in the raw text (audit metric: how much
+    was scrubbed, per type)."""
+    pat = dict(PII_PATTERNS)[kind]
+    t = F.coalesce(F.col(text) if isinstance(text, str) else text, F.lit(""))
+    return F.regexp_count(t, F.lit(pat))

@@ -197,6 +197,67 @@ def rolling_fingerprint_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.select("id", textfn.rolling_fingerprint("text").alias("rhash"))
 
 
+def _pii_sql() -> str:
+    # programmatic build — regex braces ({1,3} etc.) must not pass
+    # through an f-string
+    reps = "coalesce(text, '')"
+    counts = []
+    for name, pat in textfn.PII_PATTERNS:
+        reps = "regexp_replace(" + reps + ", '" + pat + "', '<" + name.upper() + ">', 'g')"
+        counts.append(
+            "length(regexp_extract_all(coalesce(text, ''), '" + pat + "')) AS n_" + name
+        )
+    return (
+        """
+    WITH pii_docs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text ||
+               ' reach bob.smith+hr@example.co.uk or 555-123-4567 from 192.168.10.1'
+             ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id, """
+        + reps
+        + " AS clean_text,\n           "
+        + ",\n           ".join(counts)
+        + "\n    FROM pii_docs"
+    )
+
+
+@register("pii_redaction", _pii_sql(), tags=["text", "scale"])
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-prep PII scrub: typed placeholder redaction (email / ipv4 /
+    phone) + per-type audit counts, pure chained regexp_replace (one
+    codegen stage — this pass touches every byte of a 100 TB corpus, so
+    it must stay JVM-side). PII is synthesized onto every 7th doc since
+    the testdata is PII-free word salad; both engines see the same bytes.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    pii = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " reach bob.smith+hr@example.co.uk or 555-123-4567 from 192.168.10.1"
+                ),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    t = F.col("text")
+    return pii.select(
+        "doc_id",
+        textfn.pii_redact(t).alias("clean_text"),
+        *[
+            textfn.pii_count(t, name).cast("long").alias(f"n_{name}")
+            for name, _ in textfn.PII_PATTERNS
+        ],
+    )
+
+
 # ===========================================================================
 # Near-dup dedup: n-gram Jaccard / MinHash-LSH / SimHash
 # ===========================================================================

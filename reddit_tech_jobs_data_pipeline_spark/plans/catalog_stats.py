@@ -390,3 +390,79 @@ def approx_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         <= 0.05 * F.col("exact_customers")
     ).alias("approx_within_5pct")
     return agg.select("exact_customers", within)
+
+
+@register(
+    "kmv_distinct_sketch",
+    """
+    WITH dh AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM dh
+    ),
+    sk AS (
+      SELECT event_type, max(h) AS kth, count(*) AS n_kept
+      FROM ranked WHERE rn <= 64 GROUP BY event_type
+    ),
+    ex AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_distinct FROM events
+      GROUP BY event_type
+    )
+    SELECT sk.event_type, ex.exact_distinct,
+           round(CASE WHEN n_kept < 64 THEN n_kept * 1.0
+                      ELSE 63 * 4294967296.0 / kth END, 2) AS kmv_estimate,
+           round(abs(CASE WHEN n_kept < 64 THEN n_kept * 1.0
+                          ELSE 63 * 4294967296.0 / kth END - exact_distinct)
+                 / exact_distinct, 4) AS rel_err
+    FROM sk JOIN ex ON ex.event_type = sk.event_type
+    """,
+    tags=["agg", "sketch", "scale"],
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002): keep
+    the k=64 smallest distinct 32-bit hashes per group; estimate
+    |D| = (k-1)·M/h_(k). Unlike HLL++ (whose estimate is
+    implementation-defined — see approx_distinct_accuracy's bound-check
+    contract), KMV is ENGINE-AGNOSTIC deterministic: md5-derived hashes
+    + an order statistic reproduce bit-identically anywhere, so the
+    oracle matches the estimate itself, not just a tolerance. Mergeable
+    by construction — k-min of a union is the k-min of the partials'
+    k-mins (tests/test_kmv.py proves it), so partial sketches combine
+    across partitions/days without re-reading raw data; state is k longs
+    per group vs count-distinct's full key set. The per-group
+    row_number window is a per-group sort, hash-partitioned on the
+    group key — no global sort anywhere."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    dh = ev.select("event_type", h.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kept = dh.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 64)
+    sk = kept.groupBy("event_type").agg(
+        F.max("h").alias("kth"), F.count(F.lit(1)).alias("n_kept")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    est = F.when(F.col("n_kept") < 64, F.col("n_kept").cast("double")).otherwise(
+        F.lit(63 * 4294967296.0) / F.col("kth")
+    )
+    return (
+        sk.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            F.round(est, 2).alias("kmv_estimate"),
+            F.round(F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), 4).alias(
+                "rel_err"
+            ),
+        )
+    )
