@@ -462,6 +462,155 @@ def incremental_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_e2e_sql(num_hashes: int = 16, bands: int = 4, min_agree: int = 12) -> str:
+    # the daily-ingest chain: batch quality filter → PII scrub → MinHash
+    # vs the store's signatures → survivors packed into token shards.
+    # Assembled from the same deterministic fragments as the standalone
+    # oracles (quality CASE, PII replace chain, KM hash family).
+    r = num_hashes // bands
+    mh_aggs = ",\n      ".join(
+        f"min((w1 + {i} * w2) % 4294967291) AS mh_{i}" for i in range(num_hashes)
+    )
+    band_array = ", ".join(
+        "'" + str(bd) + ":' || "
+        + " || '|' || ".join(f"CAST(mh_{bd * r + j} AS VARCHAR)" for j in range(r))
+        for bd in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN x.mh_{i} = y.mh_{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    reps = "coalesce(text, '')"
+    for name, pat in textfn.PII_PATTERNS:
+        reps = "regexp_replace(" + reps + ", '" + pat + "', '<" + name.upper() + ">', 'g')"
+
+    def sig_block(alias: str) -> str:
+        return f"""
+    {alias}_toks AS (SELECT id, {_TOKS} AS ws FROM {alias}_src),
+    {alias}_sh AS (
+      SELECT id, unnest(list_distinct(list_transform(
+        generate_series(1, greatest(length(ws) - 2, 0)),
+        i -> array_to_string(ws[i:i+2], ' ')))) AS shingle
+      FROM {alias}_toks WHERE length(ws) >= 3
+    ),
+    {alias}_shw AS (
+      SELECT id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS w1,
+             ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS w2
+      FROM {alias}_sh
+    ),
+    {alias}_sig AS (SELECT id, {mh_aggs} FROM {alias}_shw GROUP BY id),
+    {alias}_stack AS (SELECT id, unnest([{band_array}]) AS bkey FROM {alias}_sig)"""
+
+    return f"""
+    s_src AS (SELECT id, text FROM corpus WHERE id < 100000 AND id % 3 <> 0),
+    b_raw AS (
+      SELECT id, CASE WHEN id % 7 = 0 THEN text ||
+        ' reach bob.smith+hr@example.co.uk or 555-123-4567 from 192.168.10.1'
+      ELSE text END AS text
+      FROM corpus WHERE id >= 100000 OR id % 3 = 0
+    ),
+    b_q AS (
+      SELECT id, text FROM (SELECT id, text, {_TOKS} AS ws FROM b_raw)
+      WHERE (CASE WHEN length(ws) BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+          + (CASE WHEN length(ws) > 0 AND
+               length(list_filter(ws, t -> list_contains({_STOP_SQL}, t))) * 1.0 / length(ws) > 0.05
+             THEN 0.2 ELSE 0.0 END)
+          + (CASE WHEN coalesce(length(text),0) = 0 OR
+               length(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0 / length(text) < 0.2
+             THEN 0.2 ELSE 0.0 END)
+          + (CASE WHEN length(ws) > 0 AND
+               list_aggregate(list_transform(ws, t -> length(t)), 'sum') * 1.0 / length(ws)
+                 BETWEEN 2.0 AND 12.0
+             THEN 0.2 ELSE 0.0 END) >= 0.6
+    ),
+    b_src AS (SELECT id, {reps} AS text FROM b_q),
+    {sig_block("s")},
+    {sig_block("b")},
+    sd AS (
+      SELECT DISTINCT c.id_a AS id FROM (
+        SELECT DISTINCT b.id AS id_a, s.id AS id_b
+        FROM b_stack b JOIN s_stack s ON b.bkey = s.bkey
+      ) c JOIN b_sig x ON x.id = c.id_a JOIN s_sig y ON y.id = c.id_b
+      WHERE {agree} >= {min_agree}
+    ),
+    bd AS (
+      SELECT DISTINCT c.id_b AS id FROM (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM b_stack a JOIN b_stack b ON a.bkey = b.bkey AND a.id < b.id
+      ) c JOIN b_sig x ON x.id = c.id_a JOIN b_sig y ON y.id = c.id_b
+      WHERE {agree} >= {min_agree}
+    ),
+    survivors AS (
+      SELECT id FROM b_sig
+      WHERE id NOT IN (SELECT id FROM sd) AND id NOT IN (SELECT id FROM bd)
+    ),
+    surv_tok AS (
+      SELECT t.id, length(t.ws) AS n_tok
+      FROM b_toks t JOIN survivors USING (id)
+    ),
+    packed AS (
+      SELECT id, n_tok,
+             CAST(floor((sum(n_tok) OVER (ORDER BY id
+                           ROWS UNBOUNDED PRECEDING) - n_tok) / 4096.0)
+                  AS BIGINT) AS shard_id
+      FROM surv_tok
+    )
+    SELECT shard_id, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS shard_tokens
+    FROM packed GROUP BY shard_id
+    """
+
+
+@register(
+    "incremental_corpus_daily_e2e",
+    f"""
+    WITH {_CORPUS_SQL},
+    {_incremental_e2e_sql(16, 4, 12)}
+    """,
+    tags=["pipeline", "incremental", "scale"],
+)
+def incremental_corpus_daily_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DAILY-INGEST counterpart of corpus_prep_e2e: today's crawl
+    (every 3rd original + all perturbed copies, some rows carrying
+    synthesized PII) runs quality filter → PII scrub → incremental
+    MinHash dedup against YESTERDAY'S signature store (the other
+    originals — corpus text never re-read) → survivors packed into 4096-
+    token shards by the two-phase distributed prefix sum. Composes four
+    independently-oracled operators against ONE oracle, so interface
+    drift between them cannot hide. At 100 TB the batch is ~1% of the
+    corpus: every stage here is proportional to the batch (plus one
+    band-index join), which is the entire point of the incremental
+    path."""
+    corpus = _corpus_df(spark, sf_dir)
+    store = corpus.filter((F.col("id") < 100000) & (F.col("id") % 3 != 0))
+    batch_raw = corpus.filter((F.col("id") >= 100000) | (F.col("id") % 3 == 0)).select(
+        "id",
+        F.when(
+            F.col("id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " reach bob.smith+hr@example.co.uk or 555-123-4567 from 192.168.10.1"
+                ),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    bq = batch_raw.filter(textfn.quality_score(F.col("text")) >= 0.6)
+    bclean = bq.select("id", textfn.pii_redact(F.col("text")).alias("text"))
+    store_sig = dedup.minhash_signatures(store, "text", "id", num_hashes=16, n=3)
+    batch_sig = dedup.minhash_signatures(bclean, "text", "id", num_hashes=16, n=3)
+    flags = dedup.incremental_lsh_ingest(
+        store_sig, batch_sig, num_hashes=16, bands=4, min_agree=12
+    )
+    survivors = bclean.join(flags.filter("is_new").select("id"), "id").select(
+        "id", textfn.token_count(F.col("text")).alias("n_tok")
+    )
+    packed = packing.pack_token_budget(survivors, "id", "n_tok", 4096, scale=True)
+    return packing.shard_summary(packed, "n_tok")
+
+
 def _simhash_sql(width: int = 16, band_bits: int = 4, max_hamming: int = 2) -> str:
     high = "('8','9','a','b','c','d','e','f')"
     bit_exprs = ",\n      ".join(
