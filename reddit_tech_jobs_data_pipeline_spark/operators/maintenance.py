@@ -1,0 +1,146 @@
+"""Table maintenance for the parquet lake: small-file compaction and
+multi-dimensional (Z-order) file layout.
+
+At 100 TB the scan cost of a table is set less by its logical size than
+by its FILE GEOMETRY: thousands of kilobyte files per partition (the
+natural residue of incremental micro-batch appends, e.g. the reference's
+daily loads — dags/dag.py:449) drown a scan in open/seek overhead, and
+files whose min/max footer stats span the whole key domain make
+stats-based skipping useless. Compaction fixes the first; Z-ordering
+fixes the second for multi-column predicates (a single-column sort only
+helps that column).
+
+Both rewrite data files only — pure DataFrame jobs, no table format
+required; with a transactional format (Delta/Iceberg) the same rewrites
+run under OPTIMIZE. Swap-by-staging mirrors sources/sink.py's
+last-writer-wins rewrite.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def table_file_sizes(spark: SparkSession, path: str) -> list[int]:
+    """Byte sizes of the table's data files, via the JVM FileSystem API
+    (works on any Hadoop-supported store, not just local disk)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    sizes: list[int] = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if not name.startswith(("_", ".")):
+            sizes.append(f.getLen())
+    return sizes
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    partition_col: str | None = None,
+) -> int:
+    """Rewrite ``path`` into ≈``target_bytes`` files; returns the new
+    file count. Output file count = ceil(current_bytes / target): sized
+    from the table's REAL bytes, not row counts, so the same call is
+    right at any SF. For a partitioned table pass ``partition_col``:
+    rows are hash-distributed per partition value so each partition
+    compacts independently (at 100 TB you'd additionally restrict to
+    recently-appended partitions — the write path below is already
+    per-partition). Swap is write-to-staging + overwrite, the same crash
+    shape as sink.py's merge rewrite."""
+    current = sum(table_file_sizes(spark, path))
+    n_out = max(1, math.ceil(current / target_bytes))
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + "__compact_staging"
+    if partition_col is None:
+        df.repartition(n_out).write.mode("overwrite").parquet(staging)
+    else:
+        n_parts = df.select(partition_col).distinct().count()
+        per_part = max(1, math.ceil(n_out / max(n_parts, 1)))
+        df.repartition(per_part * n_parts, F.col(partition_col)).write.mode(
+            "overwrite"
+        ).partitionBy(partition_col).parquet(staging)
+    spark.read.parquet(staging).write.mode("overwrite").parquet(path)
+    return len(table_file_sizes(spark, path))
+
+
+def morton_code(a: Column, b: Column, bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of two non-negative ints into a
+    Z-order (Morton) key — pure Catalyst bit arithmetic, codegen'd.
+    Callers with non-integer columns rank them first (see
+    zorder_write)."""
+    code = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+        code = (
+            code.bitwiseOR(F.shiftleft(abit, 2 * i)).bitwiseOR(
+                F.shiftleft(bbit, 2 * i + 1)
+            )
+        )
+    return code
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    num_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` range-partitioned and sorted by the Morton key of
+    (col_a, col_b): every output file then covers a small RECTANGLE of
+    the 2-D key space, so parquet footer min/max stats prune files for
+    predicates on EITHER column (a plain sort would prune only its lead
+    column). Columns are first mapped to dense integer ranks via ntile
+    (scale note: ntile here is a per-column global-order window — at
+    real scale substitute approx-quantile bucketing exactly as
+    revenue_decile_share_scale does; the layout downstream is
+    unchanged). tests/test_maintenance.py MEASURES the effect on footer
+    stats rather than trusting this docstring."""
+    n_buckets = 1 << bits
+    from pyspark.sql import Window
+
+    ra = F.ntile(n_buckets).over(Window.orderBy(F.col(col_a))) - 1
+    rb = F.ntile(n_buckets).over(Window.orderBy(F.col(col_b))) - 1
+    keyed = df.withColumn("__z", morton_code(ra, rb, bits))
+    (
+        keyed.repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_stat_coverage(path: str, col: str) -> float:
+    """Mean fraction of the column's global [min, max] range that a
+    single data file's footer stats span — the file-skipping figure of
+    merit (1.0 = every file covers everything, stats prune nothing;
+    1/num_files = perfect clustering)."""
+    import pyarrow.parquet as pq
+
+    spans: list[tuple[float, float]] = []
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(root, fn))
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            spans.append((lo, hi))
+    gmin = min(s[0] for s in spans)
+    gmax = max(s[1] for s in spans)
+    rng = (gmax - gmin) or 1
+    return sum((hi - lo) / rng for lo, hi in spans) / len(spans)

@@ -1,0 +1,82 @@
+"""Compaction and Z-order layout: measured, not asserted-by-docstring."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from reddit_tech_jobs_data_pipeline_spark.operators import maintenance
+from reddit_tech_jobs_data_pipeline_spark.sources import testdata
+
+
+@pytest.fixture()
+def fragmented_events(spark, tmp_path):
+    """events written as 64 tiny files — the micro-batch-append residue."""
+    path = str(tmp_path / "frag")
+    ev = testdata.load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.repartition(64).write.parquet(path)
+    return path, ev.count()
+
+
+def test_compact_collapses_small_files(spark, fragmented_events):
+    path, n_rows = fragmented_events
+    assert len(maintenance.table_file_sizes(spark, path)) == 64
+    total = sum(maintenance.table_file_sizes(spark, path))
+    # target = half the table → exactly 2 output files
+    n_files = maintenance.compact(spark, path, target_bytes=total // 2 + 1)
+    assert n_files == 2
+    assert spark.read.parquet(path).count() == n_rows
+
+
+def test_compact_partitioned_keeps_partition_dirs(spark, tmp_path):
+    path = str(tmp_path / "frag_part")
+    ev = testdata.load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.repartition(16).write.partitionBy("event_type").parquet(path)
+    before = len(maintenance.table_file_sizes(spark, path))
+    total = sum(maintenance.table_file_sizes(spark, path))
+    maintenance.compact(
+        spark, path, target_bytes=total + 1, partition_col="event_type"
+    )
+    after = len(maintenance.table_file_sizes(spark, path))
+    assert after < before
+    got = spark.read.parquet(path)
+    assert got.count() == ev.count()
+    assert set(r.event_type for r in got.select("event_type").distinct().collect()) == set(
+        r.event_type for r in ev.select("event_type").distinct().collect()
+    )
+
+
+def test_morton_code_interleaves(spark):
+    rows = spark.range(1).select(
+        maintenance.morton_code(F.lit(0b101), F.lit(0b011), bits=3).alias("z")
+    )
+    # a bits -> even positions, b bits -> odd: a=101, b=011 → z=011011? check:
+    # i=0: a0=1→bit0, b0=1→bit1; i=1: a1=0→bit2, b1=1→bit3; i=2: a2=1→bit4, b2=0→bit5
+    assert rows.first().z == 0b011011
+
+
+def test_zorder_layout_tightens_footer_stats_on_both_columns(spark, tmp_path):
+    ev = testdata.load_table(spark, "/root/testdata/sf0.001", "events")
+    base = str(tmp_path / "plain")
+    zpath = str(tmp_path / "zord")
+    # baseline: hash-partitioned write — every file spans ~the full range
+    ev.repartition(8).write.parquet(base)
+    maintenance.zorder_write(ev, zpath, "user_id", "value", num_files=8, bits=8)
+
+    # uniform key: hash layout spans ~full range per file, z-order must
+    # cover ~sqrt(1/num_files) of each axis
+    plain_u = maintenance.file_stat_coverage(base, "user_id")
+    z_u = maintenance.file_stat_coverage(zpath, "user_id")
+    assert plain_u > 0.9, f"user_id: hash layout should span ~full range, got {plain_u}"
+    assert z_u < 0.6, f"user_id: z-order coverage {z_u} not tight"
+    # heavy-tailed double: the RAW-range coverage metric is diluted by
+    # outliers on both layouts — require the relative improvement
+    for col in ("user_id", "value"):
+        plain = maintenance.file_stat_coverage(base, col)
+        z = maintenance.file_stat_coverage(zpath, col)
+        assert z < plain / 1.5, f"{col}: z {z} vs plain {plain}"
+
+    got = spark.read.parquet(zpath)
+    assert got.count() == ev.count()
+    assert set(got.columns) == set(ev.columns)
