@@ -1047,9 +1047,7 @@ def _cosine_sql(a: str, b: str) -> str:
     )
 
 
-@register(
-    "ann_cosine_topk",
-    f"""
+_BRUTE_ANN_SQL = f"""
     WITH c AS (SELECT vec_id AS neighbor_id, {_DVEC} AS cvec FROM embeddings),
     q AS (SELECT vec_id AS query_id, {_DVEC} AS qvec FROM embeddings WHERE vec_id < 10),
     scored AS (
@@ -1062,12 +1060,26 @@ def _cosine_sql(a: str, b: str) -> str:
                                    ORDER BY cosine DESC, neighbor_id) AS rank
       FROM scored
     ) WHERE rank <= 5
-    """,
-    tags=["similarity", "scale"],
-)
+    """
+
+
+@register("ann_cosine_topk", _BRUTE_ANN_SQL, tags=["similarity", "scale"])
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register("ann_arrow_topk", _BRUTE_ANN_SQL, tags=["similarity", "scale"])
+def ann_arrow_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInArrow fast path for the same exact top-k: per Arrow
+    batch, one numpy GEMM scores the whole batch against every query and
+    emits only each query's per-batch top-k; the final per-query window
+    merges partials (top-k of unioned partial top-ks ≡ global top-k
+    under the same total order). Same oracle as ann_cosine_topk — the
+    two paths must agree. See operators/similarity.brute_force_topk_arrow
+    for when GEMM beats the Catalyst fold."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk_arrow(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
 def _bucket_sql(nbits: int) -> str:
