@@ -39,6 +39,86 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "per_source_quota_cap",
+    """
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+    tags=["sampling", "corpus", "scale"],
+)
+def per_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/source quota capping — the anti-monoculture policy every
+    web-scale corpus applies (no single domain may dominate the mix):
+    keep at most N docs per source, deterministic survivor order. One
+    hash shuffle on source + per-group top-N; a hot domain is exactly
+    the skew case, so at 100 TB the rank runs per (source, salt) first
+    and re-ranks the ≤ salt·N survivors, mirroring the two-phase
+    rank/ntile in operators/ranking.py."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("source", "doc_id")
+    )
+
+
+@register(
+    "quality_weighted_sample",
+    """
+    WITH toks AS (SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS ws FROM documents),
+    scored AS (
+      SELECT doc_id,
+        (CASE WHEN length(ws) BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+        + (CASE WHEN length(ws) > 0 AND
+             length(list_filter(ws, t -> list_contains(['the','a','an','and','or','of','to','is','in','it'], t))) * 1.0 / length(ws) > 0.05
+           THEN 0.2 ELSE 0.0 END)
+        + (CASE WHEN coalesce(length(text),0) = 0 OR
+             length(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0 / length(text) < 0.2
+           THEN 0.2 ELSE 0.0 END)
+        + (CASE WHEN length(ws) > 0 AND
+             list_aggregate(list_transform(ws, t -> length(t)), 'sum') * 1.0 / length(ws)
+               BETWEEN 2.0 AND 12.0
+           THEN 0.2 ELSE 0.0 END) AS q
+      FROM toks
+    )
+    SELECT doc_id, round(q, 2) AS quality FROM scored
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 < q
+    """,
+    tags=["sampling", "corpus", "scale"],
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional corpus sampling (upsample good text, drop
+    junk probabilistically): keep a doc iff its deterministic md5
+    uniform u(doc_id) < quality_score. Stable under repartitioning and
+    reruns — rand(seed) is neither on a cluster — so a resampled mixture
+    is REPRODUCIBLE, which is what makes the training corpus auditable.
+    Pure narrow filter: no shuffle at all."""
+    from reddit_tech_jobs_data_pipeline_spark.functions import text as textfn
+
+    docs = _t(spark, sf_dir, "documents")
+    q = textfn.quality_score(F.col("text"))
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        / F.lit(4294967296.0)
+    )
+    # filter on the UNROUNDED score (bit-identical across engines);
+    # round only for display
+    return (
+        docs.select("doc_id", q.alias("__q"), u.alias("__u"))
+        .filter(F.col("__u") < F.col("__q"))
+        .select("doc_id", F.round("__q", 2).alias("quality"))
+    )
+
+
+@register(
     "daily_counts_gapfilled",
     """
     WITH bounds AS (
