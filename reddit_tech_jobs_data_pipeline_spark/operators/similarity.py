@@ -147,6 +147,38 @@ def brute_force_topk_arrow(
     )
 
 
+def standardize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension z-score standardization of an embedding column —
+    the feature-prep step before distance-based ops when dimensions have
+    unequal scales.
+
+    Two-phase: (1) per-dimension mean/stddev via posexplode + one
+    aggregation (map-side combined; output is D rows — tiny); (2) the D
+    stats come back as LITERAL arrays and normalization is a narrow
+    ``zip_with`` — no second shuffle, no join, and the corpus never
+    moves. The driver-side collect is D scalars (bounded, like the
+    k-means centroid collect), not data."""
+    vec = _dvec(F.col(vec_col))
+    ex = df.select(F.posexplode(vec).alias("pos", "v"))
+    stats = (
+        ex.groupBy("pos")
+        .agg(F.avg("v").alias("m"), F.stddev_pop("v").alias("s"))
+        .orderBy("pos")
+        .collect()
+    )
+    means = F.array(*[F.lit(r.m) for r in stats])
+    stds = F.array(*[F.lit(r.s) for r in stats])
+    idx = F.sequence(F.lit(0), F.lit(len(stats) - 1))
+    z = F.zip_with(
+        vec,
+        idx,
+        lambda v, i: (v - F.element_at(means, i + 1)) / F.element_at(stds, i + 1),
+    )
+    return df.select(F.col(id_col), z.alias("z_embedding"))
+
+
 def sign_bucket(vec: Column, nbits: int = 8) -> Column:
     """LSH bucket key: concatenated sign bits of the first nbits components."""
     return F.concat_ws(

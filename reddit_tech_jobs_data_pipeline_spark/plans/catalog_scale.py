@@ -1082,6 +1082,43 @@ def ann_arrow_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk_arrow(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+@register(
+    "embedding_standardize",
+    f"""
+    WITH e AS (
+      SELECT vec_id, unnest({_DVEC}) AS v,
+             unnest(generate_series(1, length(embedding))) AS pos
+      FROM embeddings
+    ),
+    st AS (SELECT pos, avg(v) AS m, stddev_pop(v) AS s FROM e GROUP BY pos)
+    SELECT e.vec_id,
+           round(max(CASE WHEN e.pos = 1 THEN (v - m) / s END), 4) AS z1,
+           round(max(CASE WHEN e.pos = 2 THEN (v - m) / s END), 4) AS z2,
+           round(max(CASE WHEN e.pos = 3 THEN (v - m) / s END), 4) AS z3
+    FROM e JOIN st USING (pos) GROUP BY e.vec_id
+    """,
+    tags=["similarity", "features", "scale"],
+)
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score feature prep (see
+    operators/similarity.standardize_embeddings: one D-row aggregation,
+    stats as literals, narrow zip_with — corpus never reshuffles). The
+    oracle recomputes the same stats; cross-engine float-sum
+    reassociation in avg/stddev is ~1e-12 relative, absorbed by the 4-dp
+    rounding (accepted-noise class, cf. pagerank_suppliers_scale).
+    First three standardized dims are compared — enough to pin both
+    phases without a 64-column result."""
+    emb = _t(spark, sf_dir, "embeddings")
+    z = similarity.standardize_embeddings(emb)
+    return z.select(
+        "vec_id",
+        *[
+            F.round(F.element_at("z_embedding", i + 1), 4).alias(f"z{i + 1}")
+            for i in range(3)
+        ],
+    )
+
+
 def _bucket_sql(nbits: int) -> str:
     return " || ".join(
         f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(nbits)
