@@ -39,6 +39,39 @@ def test_static_partition_pruning_reaches_scan(spark, typed_events_path):
     assert "event_type" in pf, plan
 
 
+def test_runtime_bloom_filter_injected_for_selective_join(spark):
+    """Runtime bloom-filter join pruning: with a selective predicate on
+    the creation side, Spark injects a bloom semi-filter
+    (might_contain) into the probe-side scan, so fact rows that cannot
+    join die at the scan instead of crossing the shuffle. At 100 TB this
+    fires out of the box (the probe side clears the 10 GB
+    applicationSideScanSizeThreshold); locally we shrink the thresholds
+    to put sf0.01 in the same regime, assert the plan shape, and check
+    the filtered join is semantics-preserving."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = testdata.load_table(spark, "/root/testdata/sf0.01", "lineitem")
+        orders = testdata.load_table(spark, "/root/testdata/sf0.01", "orders").filter(
+            "o_totalprice > 400000"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString().lower()
+        assert "might_contain" in plan, plan
+        n_bloom = j.count()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    plain = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    assert n_bloom == plain
+
+
 def test_dynamic_partition_pruning_from_dim_filter(spark, typed_events_path):
     fact = spark.read.parquet(typed_events_path)
     dim = spark.createDataFrame(
