@@ -382,6 +382,11 @@ def incremental_lsh_ingest(
     signatures a caller appends to the store — the store grows by
     survivors only, keeping every later run's join right-sized.
     """
+    # the batch signature feeds banding, both candidate joins, and both
+    # verification sides — materialize once (same pattern as the shingle
+    # table in minhash_lsh_dedup_pairs; at scale this is the batch's
+    # signature parquet, written anyway as the store-append input)
+    batch_sig = batch_sig.localCheckpoint()
     store_keys = banded_keys(store_sig, num_hashes, bands)
     batch_keys = banded_keys(batch_sig, num_hashes, bands)
 
