@@ -102,18 +102,29 @@ def zorder_write(
     (col_a, col_b): every output file then covers a small RECTANGLE of
     the 2-D key space, so parquet footer min/max stats prune files for
     predicates on EITHER column (a plain sort would prune only its lead
-    column). Columns are first mapped to dense integer ranks via ntile
-    (scale note: ntile here is a per-column global-order window — at
-    real scale substitute approx-quantile bucketing exactly as
-    revenue_decile_share_scale does; the layout downstream is
-    unchanged). tests/test_maintenance.py MEASURES the effect on footer
+    column). Columns are first mapped to equi-depth integer buckets via
+    the DISTRIBUTED exact rank (operators/ranking.py two-phase prefix
+    sum) + ntile arithmetic — no global-sort window anywhere, so the
+    whole layout job is range shuffles + narrow arithmetic at any scale.
+    The row count is a scalar probe (bounded collect, same class as the
+    watermark). tests/test_maintenance.py MEASURES the effect on footer
     stats rather than trusting this docstring."""
-    n_buckets = 1 << bits
-    from pyspark.sql import Window
+    from reddit_tech_jobs_data_pipeline_spark.operators.ranking import (
+        global_row_number,
+        ntile_from_rank,
+    )
 
-    ra = F.ntile(n_buckets).over(Window.orderBy(F.col(col_a))) - 1
-    rb = F.ntile(n_buckets).over(Window.orderBy(F.col(col_b))) - 1
-    keyed = df.withColumn("__z", morton_code(ra, rb, bits))
+    n_buckets = 1 << bits
+    n_rows = F.lit(df.count())
+    keyed = global_row_number(
+        df, [F.col(col_a), F.col(col_b)], "__ra", scale=True
+    )
+    keyed = global_row_number(
+        keyed, [F.col(col_b), F.col(col_a)], "__rb", scale=True
+    )
+    za = ntile_from_rank(F.col("__ra"), n_rows, n_buckets) - 1
+    zb = ntile_from_rank(F.col("__rb"), n_rows, n_buckets) - 1
+    keyed = keyed.withColumn("__z", morton_code(za, zb, bits)).drop("__ra", "__rb")
     (
         keyed.repartitionByRange(num_files, "__z")
         .sortWithinPartitions("__z")
