@@ -63,3 +63,22 @@ def fk_check(
 def suite(checks: list[DataFrame]) -> DataFrame:
     """Union per-check reports into one (check_name, violations) table."""
     return reduce(lambda a, b: a.unionByName(b), checks)
+
+
+def observe_quality(
+    df: DataFrame, name: str, metrics: dict[str, Column]
+) -> tuple[DataFrame, "object"]:
+    """Attach FREE in-flight quality metrics to a DataFrame via
+    ``df.observe``: the named aggregates are computed by the SAME job
+    that materializes ``df`` — zero extra passes, zero extra shuffles —
+    and read back from the Observation after any action. This is how a
+    100 TB pipeline stage reports row counts / null rates / domain
+    violations without re-scanning its input (the dq.suite checks above
+    each cost a pass; observation piggy-backs on work already done).
+    Returns (observed_df, observation); call ``observation.get`` after
+    an action on the returned DataFrame.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *[c.alias(k) for k, c in metrics.items()]), obs

@@ -317,6 +317,53 @@ def salted_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "try_error_battery",
+    """
+    SELECT p_partkey,
+           TRY_CAST(CASE WHEN p_partkey % 3 = 0
+                         THEN CAST(p_partkey AS VARCHAR) ELSE p_name END
+                    AS BIGINT) AS maybe_int,
+           strftime(try_strptime('2024-' || lpad(CAST(p_partkey % 15 + 1 AS VARCHAR), 2, '0') || '-28',
+                                 '%Y-%m-%d'), '%Y-%m-%d') AS maybe_date,
+           round(CASE WHEN p_partkey % 5 = 0 THEN NULL
+                      ELSE p_retailprice / (p_partkey % 5) END, 4) AS maybe_ratio
+    FROM part
+    """,
+    tags=["errors", "sql"],
+)
+def try_error_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe per-expression error tolerance — the engine-level
+    generalization of the reference's per-row try/except skips
+    (dags/dag.py:210,270-272,417-419; §2.3 F5): ``try_cast`` /
+    ``try_to_timestamp`` / ``try_divide`` turn malformed ints,
+    impossible dates (month 13-15), and zero divides into NULLs instead
+    of killing the task — row-level tolerance with zero Python and no
+    exception-control-flow, safe under ANSI mode. The oracle mirrors
+    with TRY_CAST / try_strptime / NULL-guarded division."""
+    part = _t(spark, sf_dir, "part")
+    maybe_int = (
+        F.when(F.col("p_partkey") % 3 == 0, F.col("p_partkey").cast("string"))
+        .otherwise(F.col("p_name"))
+        .try_cast("bigint")
+    )
+    date_str = F.concat(
+        F.lit("2024-"),
+        F.lpad((F.col("p_partkey") % 15 + 1).cast("string"), 2, "0"),
+        F.lit("-28"),
+    )
+    maybe_date = F.date_format(
+        F.try_to_timestamp(date_str, F.lit("yyyy-MM-dd")), "yyyy-MM-dd"
+    )
+    maybe_ratio = F.round(F.try_divide("p_retailprice", F.col("p_partkey") % 5), 4)
+    return part.select(
+        "p_partkey",
+        maybe_int.alias("maybe_int"),
+        maybe_date.alias("maybe_date"),
+        maybe_ratio.alias("maybe_ratio"),
+    )
+
+
+@register(
     "unpivot_measures",
     """
     WITH wide AS (

@@ -160,3 +160,26 @@ class TestDq:
         df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
         got = _rows(dq.predicate_check(df, "v_pos", F.col("v") <= 0))
         assert got == {("v_pos", 0)}
+
+
+class TestObserveQuality:
+    def test_metrics_ride_the_materializing_job(self, spark):
+        from reddit_tech_jobs_data_pipeline_spark.operators.dq import observe_quality
+        from reddit_tech_jobs_data_pipeline_spark.sources.testdata import load_table
+        import pyspark.sql.functions as F
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        observed, obs = observe_quality(
+            ev,
+            "ingest_dq",
+            {
+                "n_rows": F.count(F.lit(1)),
+                "null_users": F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)),
+                "max_value": F.max("value"),
+            },
+        )
+        n = observed.count()  # one action; metrics piggy-back on it
+        got = obs.get
+        assert got["n_rows"] == n == 1000
+        assert got["null_users"] == 0
+        assert got["max_value"] == ev.agg(F.max("value")).first()[0]
