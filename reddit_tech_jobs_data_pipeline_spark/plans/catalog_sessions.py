@@ -64,3 +64,64 @@ def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "session_window_native",
+    """
+    WITH ms AS (
+      -- millisecond truncation on BOTH engines: the parquet ts encoding
+      -- has been nanos and micros across testdata generations, and the
+      -- two engines truncate to their native precision differently at
+      -- sub-ms resolution; comparing at ms makes the gap arithmetic
+      -- encoding-proof (same rationale as user_sessions' whole-second e)
+      SELECT user_id, value, epoch_ms(ts) AS tms FROM events
+    ),
+    flagged AS (
+      SELECT user_id, value, tms,
+        CASE WHEN lag(tms) OVER w IS NULL OR tms - lag(tms) OVER w > 1800000
+             THEN 1 ELSE 0 END AS new_session
+      FROM ms WINDOW w AS (PARTITION BY user_id ORDER BY tms)
+    ),
+    sessioned AS (
+      SELECT user_id, value, tms,
+        sum(new_session) OVER (PARTITION BY user_id ORDER BY tms
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+      FROM flagged
+    )
+    SELECT user_id, min(tms) AS session_start_ms,
+           max(tms) + 1800000 AS session_end_ms,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM sessioned GROUP BY user_id, seq
+    """,
+    tags=["window", "sessionization", "streaming-semantics"],
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``F.session_window`` (the groupBy form that also runs
+    unchanged under readStream): dynamic-gap sessions per user, window
+    end = last event + gap. Complements the applyInPandasWithState
+    sessionizer (custom per-session state) and the lag/flag/sum batch
+    operator (user_sessions) — three expressions of one semantic, this
+    one letting Spark's session-window aggregation do the merging. Gap
+    boundary is INCLUSIVE (an exactly-30-min gap merges — verified
+    empirically), which the oracle mirrors with ``> 1800000``.
+    Timestamps are ms-truncated on both engines first; see oracle
+    comment. One shuffle on user_id; state (streaming) bounded by the
+    watermark as usual."""
+    ev = _t(spark, sf_dir, "events")
+    ms = ev.select(
+        "user_id",
+        "value",
+        F.timestamp_millis(F.unix_millis("ts")).alias("tsm"),
+    )
+    agg = ms.groupBy("user_id", F.session_window("tsm", "30 minutes").alias("sw")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return agg.select(
+        "user_id",
+        F.unix_millis("sw.start").alias("session_start_ms"),
+        F.unix_millis("sw.end").alias("session_end_ms"),
+        "n_events",
+        "total_value",
+    )
