@@ -16,6 +16,8 @@ from reddit_tech_jobs_data_pipeline_spark.plans.catalog_posts import _CORPUS_SQL
 from reddit_tech_jobs_data_pipeline_spark.streaming.events import (
     run_dedup_stream_batchlike,
     run_interval_join_batchlike,
+    run_session_windows_batchlike,
+    run_stream_static_join_batchlike,
     run_windowed_counts_batchlike,
 )
 
@@ -211,6 +213,54 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle runs — watermarks only bound STATE, they drop no rows of
     a finite in-order replay."""
     return run_interval_join_batchlike(spark, sf_dir)
+
+
+@register(
+    "streaming_session_windows",
+    """
+    WITH ms AS (SELECT user_id, value, epoch_ms(ts) AS tms FROM events),
+    flagged AS (
+      SELECT user_id, value, tms,
+        CASE WHEN lag(tms) OVER w IS NULL OR tms - lag(tms) OVER w > 1800000
+             THEN 1 ELSE 0 END AS new_session
+      FROM ms WINDOW w AS (PARTITION BY user_id ORDER BY tms)
+    ),
+    sessioned AS (
+      SELECT user_id, value, tms,
+        sum(new_session) OVER (PARTITION BY user_id ORDER BY tms
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+      FROM flagged
+    )
+    SELECT user_id, min(tms) AS session_start_ms,
+           max(tms) + 1800000 AS session_end_ms,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM sessioned GROUP BY user_id, seq
+    """,
+    tags=["streaming", "sessionization"],
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window running under readStream (complete mode over the
+    finite replay); equals the batch session_window_native, which is
+    what the shared oracle asserts. Session state is bounded by the
+    watermark — sessions whose window end precedes it are finalized and
+    evicted."""
+    return run_session_windows_batchlike(spark, sf_dir)
+
+
+@register(
+    "streaming_static_join",
+    """
+    SELECT c.c_mktsegment, e.event_type,
+           count(*) AS n_events, round(sum(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+    tags=["streaming", "join"],
+)
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment join + windowless agg in
+    complete mode; equals the batch join the oracle runs."""
+    return run_stream_static_join_batchlike(spark, sf_dir)
 
 
 @register(

@@ -269,3 +269,81 @@ def run_dedup_stream_batchlike(
         out = spark.table(name).localCheckpoint()
         q.stop()
     return out
+
+
+def run_session_windows_batchlike(
+    spark: SparkSession, sf_dir: str, name: str = "stream_session_windows"
+) -> DataFrame:
+    """Native session_window aggregation running AS A STREAM (the same
+    expression catalog_sessions.session_window_native runs in batch):
+    watermark bounds session state, sessions merge as events arrive,
+    complete mode over the finite replay equals the batch answer.
+    Timestamps ms-truncated as in the batch twin (encoding-proof)."""
+    ev = read_events_stream(spark, sf_dir)
+    ms = ev.select(
+        "user_id", "value", F.timestamp_millis(F.unix_millis("ts")).alias("tsm")
+    )
+    agg = (
+        ms.withWatermark("tsm", "2 hours")
+        .groupBy("user_id", F.session_window("tsm", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis("sw.start").alias("session_start_ms"),
+            F.unix_millis("sw.end").alias("session_end_ms"),
+            "n_events",
+            "total_value",
+        )
+    )
+    with _stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(name).localCheckpoint()
+        q.stop()
+    return out
+
+
+def run_stream_static_join_batchlike(
+    spark: SparkSession, sf_dir: str, name: str = "stream_static_join"
+) -> DataFrame:
+    """Stream-static enrichment join: the streaming fact joins a STATIC
+    dimension (customer) re-read per micro-batch — no state at all on
+    the dim side (unlike stream-stream joins), the canonical shape for
+    attaching slowly-changing reference data to a firehose. The dim is
+    broadcast when it fits (it is a dimension; it fits), so the stream
+    never reshuffles."""
+    import os as _os
+
+    ev = read_events_stream(spark, sf_dir)
+    dim = spark.read.parquet(_os.path.join(sf_dir, "customer.parquet")).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    with _stream_shuffle_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(name).localCheckpoint()
+        q.stop()
+    return out
