@@ -84,6 +84,42 @@ def test_survivor_only_store_growth_is_idempotent(spark):
     assert replay.filter("is_new").count() == 0
 
 
+def test_persisted_band_index_joins_without_store_side_exchange(spark):
+    """The 100 TB claim behind incremental ingest: the corpus band index
+    is PERSISTED bucketed by bkey, so each day's batch joins it with no
+    shuffle of the (huge) store side — only the (small) batch side may
+    exchange. Plan-asserted like tests/test_bucketed.py."""
+    from reddit_tech_jobs_data_pipeline_spark.sources.bucketed import write_bucketed
+
+    store = _sig(
+        spark, [(i, f"stored document number {i} with shared suffix tokens") for i in range(40)]
+    )
+    write_bucketed(banded_keys(store), "band_index_b", "bkey", 8)
+    try:
+        # materialize the probe first: its own signature aggregation
+        # shuffle is not the claim under test
+        batch_keys = banded_keys(
+            _sig(spark, [(100, "stored document number 7 with shared suffix tokens")])
+        ).localCheckpoint()
+        # repartition the probe side to the same hash layout; the bucketed
+        # store side must plan with NO Exchange of its own
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            idx = spark.table("band_index_b").withColumnRenamed("id", "store_id")
+            joined = batch_keys.repartition(8, "bkey").join(idx, "bkey")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            # exactly one Exchange (the batch side); the bucketed store
+            # scan feeds the join with none
+            assert plan.count("Exchange") == 1, plan
+            assert "SelectedBucketsCount" in plan, plan
+            assert joined.filter("store_id = 7").count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS band_index_b")
+
+
 def test_banded_keys_refactor_matches_candidate_pairs(spark):
     """lsh_candidate_pairs now routes through banded_keys; its candidate
     set over a mixed corpus must still pair the near-identical docs."""
