@@ -1352,3 +1352,61 @@ def ivf_trained_ann_topk_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 20),
         k=5, num_cells=8, nprobe=2, train_iters=2, dim=64,
     )
+
+
+@register(
+    "corpus_profile_report",
+    f"""
+    WITH toks AS (SELECT doc_id, text, lang, source, {_TOKS} AS ws FROM documents),
+    scored AS (
+      SELECT doc_id, lang, source, length(ws) AS n_tok,
+        (CASE WHEN length(ws) BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+        + (CASE WHEN length(ws) > 0 AND
+             length(list_filter(ws, t -> list_contains({_STOP_SQL}, t))) * 1.0 / length(ws) > 0.05
+           THEN 0.2 ELSE 0.0 END)
+        + (CASE WHEN coalesce(length(text),0) = 0 OR
+             length(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0 / length(text) < 0.2
+           THEN 0.2 ELSE 0.0 END)
+        + (CASE WHEN length(ws) > 0 AND
+             list_aggregate(list_transform(ws, t -> length(t)), 'sum') * 1.0 / length(ws)
+               BETWEEN 2.0 AND 12.0
+           THEN 0.2 ELSE 0.0 END) AS q
+      FROM toks
+    )
+    SELECT count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           round(avg(q), 4) AS mean_quality,
+           CAST(sum(CASE WHEN q >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass,
+           round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS frac_en,
+           CAST(max(n_tok) AS BIGINT) AS max_doc_tokens,
+           CAST(sum(CASE WHEN n_tok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+    FROM scored
+    """,
+    tags=["text", "profile", "scale"],
+)
+def corpus_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus health dashboard in ONE scan: doc/source counts, token
+    budget, mean quality, quality-gate pass count, language share, and
+    degenerate-doc count, all as conditional aggregates over a single
+    pass (map-side combined; the shuffle carries one partial row per
+    task). This is the report a 100 TB ingest emits per snapshot —
+    profiling must never cost more passes than the data prep itself."""
+    docs = _t(spark, sf_dir, "documents")
+    q = textfn.quality_score(F.col("text"))
+    n_tok = textfn.token_count(F.col("text"))
+    pre = docs.select(
+        "lang", "source", q.alias("q"), n_tok.alias("n_tok")
+    )
+    return pre.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.avg("q"), 4).alias("mean_quality"),
+        F.sum(F.when(F.col("q") >= 0.6, 1).otherwise(0)).cast("long").alias("n_quality_pass"),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)) / F.count(F.lit(1)), 4
+        ).alias("frac_en"),
+        F.max("n_tok").cast("long").alias("max_doc_tokens"),
+        F.sum(F.when(F.col("n_tok") == 0, 1).otherwise(0)).cast("long").alias("n_empty"),
+    )
