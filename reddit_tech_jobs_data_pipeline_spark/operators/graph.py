@@ -345,3 +345,65 @@ def cooccurrence_edges(
     return half.unionByName(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+
+
+def sssp_min_dist(
+    edges: DataFrame,
+    seed: int,
+    max_iters: int = 64,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Weighted single-source shortest paths (Bellman-Ford relaxation):
+    (node, dist) with dist = min total edge weight from ``seed``;
+    unreachable nodes absent. Integer weights ⇒ bit-exact on any engine.
+
+    Each round relaxes EVERY current distance through the edge list and
+    folds with ``min`` (union + groupBy — map-side combined), converging
+    in ≤ longest-shortest-path-hops rounds with an early stop as soon as
+    a round improves nothing. Same scale template as bfs_min_hops: the
+    distance table is localCheckpointed per round (O(1) plan depth), the
+    edge list is cached once and released in ``finally``, and
+    ``broadcast=False`` hash-partitions the relax join for distance
+    tables too big to ship — nothing need fit on one machine.
+    """
+    spark = edges.sparkSession
+    with iterative_shuffle_partitions(spark):
+        e = (
+            edges.select(
+                F.col(src).alias("src"),
+                F.col(dst).alias("dst"),
+                F.col(weight).cast("long").alias("w"),
+            )
+            .distinct()
+            .cache()
+        )
+        try:
+            hint = F.broadcast if broadcast else (lambda df: df)
+            dist = (
+                spark.range(1)
+                .select(F.lit(seed).cast("long").alias("node"), F.lit(0).cast("long").alias("d"))
+                .localCheckpoint()
+            )
+            for _ in range(max_iters):
+                cand = e.join(hint(dist), e.src == dist.node).select(
+                    F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d")
+                )
+                relaxed = (
+                    dist.unionByName(cand)
+                    .groupBy("node")
+                    .agg(F.min("d").alias("d"))
+                    .localCheckpoint()
+                )
+                improved = relaxed.join(
+                    hint(dist.withColumnRenamed("d", "d_old")), "node", "left"
+                ).filter(F.col("d_old").isNull() | (F.col("d") < F.col("d_old")))
+                done = improved.isEmpty()
+                dist = relaxed
+                if done:
+                    break
+            return dist.select("node", F.col("d").alias("dist"))
+        finally:
+            e.unpersist()

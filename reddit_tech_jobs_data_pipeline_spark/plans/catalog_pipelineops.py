@@ -708,3 +708,50 @@ def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     out = _crb(events, cap=100.0, drift=-50.0, floor=0.0)
     return out.select("event_id", "user_id", F.round("balance", 4).alias("balance"))
+
+
+# ===========================================================================
+# Weighted single-source shortest paths on the directed chain+skip DAG
+# (chain k->k+1 costs 2; skip k->k+2 costs 1 when k % 3 <> 0 — skips are
+# the fast lane but are periodically unavailable, so optimal paths mix).
+# Restricted to k < 300: the recursive oracle enumerates distinct
+# (node, dist) states, O(n * distinct-dists) of them.
+# ===========================================================================
+
+
+@register(
+    "sssp_part_chain",
+    """
+    WITH RECURSIVE ks AS (SELECT p_partkey AS k FROM part WHERE p_partkey < 300),
+    edges AS (
+      SELECT k AS src, k + 1 AS dst, 2 AS w FROM ks WHERE k + 1 < 300
+      UNION ALL
+      SELECT k AS src, k + 2 AS dst, 1 AS w FROM ks WHERE k % 3 <> 0 AND k + 2 < 300
+    ),
+    walk(node, d) AS (
+      SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      UNION
+      SELECT e.dst, w.d + e.w FROM edges e JOIN walk w ON e.src = w.node
+    )
+    SELECT node, min(d) AS dist FROM walk GROUP BY node
+    """,
+    tags=["graph", "iterative"],
+)
+def sssp_part_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bellman-Ford relaxation (operators/graph.sssp_min_dist) vs the
+    recursive-CTE min-distance oracle — integer weights, bit-exact. The
+    oracle explores every distinct (node, dist) state of the DAG; the
+    Spark loop converges in ≤ shortest-path-hop rounds with early stop,
+    one relax join + one min fold per round, distances checkpointed so
+    the plan stays O(1) deep."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.graph import sssp_min_dist
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    ks = part.select(F.col("p_partkey").alias("k"))
+    chain = ks.filter(F.col("k") + 1 < 300).select(
+        F.col("k").alias("src"), (F.col("k") + 1).alias("dst"), F.lit(2).alias("w")
+    )
+    skip = ks.filter((F.col("k") % 3 != 0) & (F.col("k") + 2 < 300)).select(
+        F.col("k").alias("src"), (F.col("k") + 2).alias("dst"), F.lit(1).alias("w")
+    )
+    return sssp_min_dist(chain.unionByName(skip), seed=0, max_iters=310)

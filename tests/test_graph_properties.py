@@ -148,3 +148,67 @@ class TestGraphProperties:
         }
         got = {(r.src, r.dst) for r in cooccurrence_edges(df, "g", "n").collect()}
         assert got == expect
+
+
+class TestSSSP:
+    @SETTINGS
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 8), st.integers(0, 8), st.integers(1, 5)),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def test_matches_dijkstra_reference(self, spark, rows):
+        """Bellman-Ford relaxation vs a pure-Python Dijkstra on random
+        small weighted digraphs (self-loops dropped — they never improve
+        a distance)."""
+        import heapq
+
+        from reddit_tech_jobs_data_pipeline_spark.operators.graph import sssp_min_dist
+
+        rows = [(a, b, w) for a, b, w in rows if a != b]
+        if not rows:
+            return
+        adj = defaultdict(list)
+        for a, b, w in rows:
+            adj[a].append((b, w))
+        best = {0: 0}
+        heap = [(0, 0)]
+        while heap:
+            d, n = heapq.heappop(heap)
+            if d > best.get(n, float("inf")):
+                continue
+            for m, w in adj[n]:
+                if d + w < best.get(m, float("inf")):
+                    best[m] = d + w
+                    heapq.heappush(heap, (d + w, m))
+
+        df = spark.createDataFrame(rows, "src long, dst long, w long")
+        got = {r.node: r.dist for r in sssp_min_dist(df, 0, max_iters=30).collect()}
+        assert got == best
+
+    def test_broadcast_and_partitioned_paths_agree(self, spark):
+        from reddit_tech_jobs_data_pipeline_spark.operators.graph import sssp_min_dist
+
+        rows = [(i, i + 1, 2) for i in range(20)] + [
+            (i, i + 2, 1) for i in range(19) if i % 3
+        ]
+        df = spark.createDataFrame(rows, "src long, dst long, w long")
+        a = {tuple(r) for r in sssp_min_dist(df, 0, broadcast=True).collect()}
+        b = {tuple(r) for r in sssp_min_dist(df, 0, broadcast=False).collect()}
+        assert a == b and a
+
+    def test_unit_weights_reduce_to_bfs_hops(self, spark):
+        from reddit_tech_jobs_data_pipeline_spark.operators.graph import (
+            bfs_min_hops,
+            sssp_min_dist,
+        )
+
+        rows = [(i, i + 1, 1) for i in range(15)] + [
+            (i, i + 3, 1) for i in range(12)
+        ]
+        df = spark.createDataFrame(rows, "src long, dst long, w long")
+        dist = {r.node: r.dist for r in sssp_min_dist(df, 0).collect()}
+        hops = {r.node: r.hops for r in bfs_min_hops(df, 0, max_hops=20).collect()}
+        assert dist == hops
