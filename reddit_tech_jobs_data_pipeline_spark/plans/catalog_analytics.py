@@ -470,3 +470,56 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     blobs = multimodal.synthesize_blobs(docs)
     return multimodal.frame_sample(blobs)
+
+
+def _resize_pixels_sql() -> str:
+    # NN 2x2 -> 3x3: src index map floor(i*2/3) = [0, 0, 1] per axis; the
+    # flattened 27 output bytes reference md5 bytes (r*2 + c)*3 + ch
+    idx = [0, 0, 1]
+    terms = [
+        f"CAST({_hex_byte_sql((r * 2 + c) * 3 + ch)} AS VARCHAR)"
+        for r in idx
+        for c in idx
+        for ch in range(3)
+    ]
+    return " || ',' || ".join(terms)
+
+
+@register(
+    "multimodal_resize",
+    f"""
+    WITH h AS (
+      SELECT doc_id AS id, md5(coalesce(text, '')) AS hx FROM documents
+    )
+    SELECT id,
+           CAST(1 AS BOOLEAN) AS decode_ok,
+           '3x3x3' AS shape_s,
+           {_resize_pixels_sql()} AS pixels_s
+    FROM h
+    """,
+    tags=["multimodal", "scale"],
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize, oracle-checked: each document becomes a 2×2
+    binary P6 PPM (pixels = first 12 md5 bytes), decoded and
+    nearest-neighbor-resampled to 3×3 by pure numpy on the executors
+    (operators/multimodal.resize_images); the oracle reproduces the NN
+    index map (floor(i·2/3) = [0,0,1]) arithmetically over the md5 hex,
+    so an off-by-one in the resample indexing breaks the hash match.
+    Completes the decode / feature-extract / RESIZE / frame-sample
+    multimodal quartet."""
+    docs = _t(spark, sf_dir, "documents")
+    blobs = docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat(
+            F.lit(b"P6\n2 2\n255\n"),
+            F.expr("substring(unhex(md5(encode(coalesce(text, ''), 'UTF-8'))), 1, 12)"),
+        ).alias("content"),
+    )
+    out = multimodal.resize_images(blobs, 3, 3)
+    return out.select(
+        "id",
+        "decode_ok",
+        F.concat_ws("x", F.transform("shape", lambda d: d.cast("string"))).alias("shape_s"),
+        F.concat_ws(",", F.transform("pixels", lambda v: v.cast("string"))).alias("pixels_s"),
+    )
