@@ -130,3 +130,71 @@ def corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("k").isNull(), 1)).alias("n_quarantined"),
         F.sum(F.col("k").cast("int")).alias("sum_k"),
     )
+
+
+@register(
+    "csv_permissive_quarantine",
+    """
+    WITH lines AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 11 = 0 THEN CAST(doc_id AS VARCHAR)
+             WHEN doc_id % 13 = 0 THEN CAST(doc_id AS VARCHAR) || ',xERR'
+             WHEN doc_id % 17 = 0 THEN CAST(doc_id AS VARCHAR) || ',' || CAST(n_chars AS VARCHAR) || ',extra'
+             ELSE CAST(doc_id AS VARCHAR) || ',' || CAST(n_chars AS VARCHAR)
+        END AS line
+      FROM documents
+    ),
+    split AS (
+      SELECT doc_id, line, str_split(line, ',') AS fs FROM lines
+    )
+    SELECT doc_id,
+           TRY_CAST(fs[1] AS BIGINT) AS a,
+           CASE WHEN length(fs) >= 2 THEN TRY_CAST(fs[2] AS BIGINT) END AS b,
+           (length(fs) <> 2 OR TRY_CAST(fs[2] AS BIGINT) IS NULL) AS was_quarantined
+    FROM split
+    """,
+    tags=["source", "csv", "errors"],
+)
+def csv_permissive_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV parse with PERMISSIVE per-row tolerance (§2.3 F5 for the CSV
+    format): from_csv + columnNameOfCorruptRecord marks short rows, bad
+    casts, and extra-field rows as quarantined while still salvaging the
+    parseable fields (a missing trailing field parses as NULL; an extra
+    field still yields both columns) — no task death, no row loss, the
+    split the reference's try/except loop approximated one row at a
+    time. The oracle reproduces the same triage with str_split +
+    TRY_CAST."""
+    docs = _t(spark, sf_dir, "documents")
+    line = (
+        F.when(F.col("doc_id") % 11 == 0, F.col("doc_id").cast("string"))
+        .when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.col("doc_id").cast("string"), F.lit(",xERR")),
+        )
+        .when(
+            F.col("doc_id") % 17 == 0,
+            F.concat_ws(
+                ",",
+                F.col("doc_id").cast("string"),
+                F.col("n_chars").cast("string"),
+                F.lit("extra"),
+            ),
+        )
+        .otherwise(
+            F.concat_ws(",", F.col("doc_id").cast("string"), F.col("n_chars").cast("string"))
+        )
+    )
+    parsed = docs.select(
+        "doc_id",
+        F.from_csv(
+            line,
+            "a bigint, b bigint, _corrupt string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("p"),
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("p.a").alias("a"),
+        F.col("p.b").alias("b"),
+        F.col("p._corrupt").isNotNull().alias("was_quarantined"),
+    )
