@@ -95,6 +95,43 @@ def upsert_gold(spark: SparkSession, path: str, new: DataFrame, version_col: str
     spark.catalog.refreshByPath(path)
 
 
+def purge_keys(spark: SparkSession, path: str, keys: DataFrame, key_col: str = "post_id") -> int:
+    """Targeted row deletion (the right-to-erasure / bad-record purge
+    corner of the sink's CRUD surface): remove every row whose key
+    appears in ``keys``, rewriting ONLY the partitions that contain one.
+
+    Two phases, both pruned: (1) a semi-join over the table finds the
+    affected partition values — at 100 TB this is a broadcast semi-join
+    of the (tiny) key list against the partition column projection;
+    (2) those partitions are re-written via left_anti and dynamic
+    partition overwrite through the same stage-then-swap as upsert_gold.
+    Untouched partitions keep their files byte-identical
+    (tests/test_purge.py proves it). Returns the number of rows removed.
+    """
+    keys = keys.select(F.col(key_col)).distinct()
+    table = spark.read.parquet(path)
+    touched = [
+        r[0]
+        for r in table.join(F.broadcast(keys), key_col, "left_semi")
+        .select(PARTITION_COL)
+        .distinct()
+        .collect()
+    ]
+    if not touched:
+        return 0
+    affected = table.filter(F.col(PARTITION_COL).isin(touched))
+    n_before = affected.count()
+    kept = affected.join(F.broadcast(keys), key_col, "left_anti")
+    staging = path.rstrip("/") + "__purge_staging"
+    kept.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(staging)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.read.parquet(staging).write.mode("overwrite").partitionBy(PARTITION_COL).parquet(path)
+    _rm(staging)
+    spark.catalog.refreshByPath(path)
+    n_after = spark.read.parquet(path).filter(F.col(PARTITION_COL).isin(touched)).count()
+    return n_before - n_after
+
+
 def _rm(path: str) -> None:
     import shutil
 
