@@ -212,3 +212,77 @@ def regex_extract_all_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
     ).orderBy("doc_id")
+
+
+@register(
+    "scd2_point_in_time_join",
+    """
+    WITH ordered AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders
+    ), chg AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      FROM ordered WHERE prev IS NULL OR prev <> o_orderpriority
+    ), vers AS (
+      SELECT o_custkey AS custkey, o_orderdate AS vdate,
+             o_orderpriority AS priority
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+        FROM chg
+      ) WHERE rn = 1
+    )
+    SELECT e.o_orderkey, e.o_custkey AS custkey,
+           strftime(e.o_orderdate, '%Y-%m-%d') AS order_date,
+           v.priority AS priority_asof
+    FROM orders e ASOF JOIN vers v
+      ON e.o_custkey = v.custkey AND e.o_orderdate >= v.vdate
+    """,
+    tags=["etl", "scd2", "asof"],
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (versioned-dimension) join: every order picks up
+    the attribute version valid AT its date — the read side of SCD2,
+    done with the engine's as-of operator (union + window: one shuffle
+    on the key, NO per-key range blowup) composed against the same
+    change-log the scd2_customer_priority build emits. The version
+    table is deduped to one change per (custkey, date) so the as-of
+    pick is unambiguous; the oracle runs DuckDB's NATIVE ASOF JOIN —
+    two entirely different physical strategies, same rows."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.asof import asof_join
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = (
+        orders.select(
+            "o_custkey",
+            "o_orderpriority",
+            "o_orderdate",
+            "o_orderkey",
+            F.lag("o_orderpriority").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority")))
+        .drop("prev")
+    )
+    w2 = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    vers = (
+        chg.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").alias("o_orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+    ev = orders.select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"), "o_orderdate"
+    )
+    joined = asof_join(ev, vers, by=["custkey"], ts_col="o_orderdate", payload_cols=["priority"])
+    return joined.select(
+        "o_orderkey",
+        "custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.col("priority_asof"),
+    )
