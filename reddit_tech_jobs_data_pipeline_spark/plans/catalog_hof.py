@@ -162,3 +162,61 @@ def props_digit_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_runs"),
     ).orderBy("event_id")
+
+
+@register(
+    "map_functions_battery",
+    """
+    WITH counts AS (
+      SELECT user_id, event_type, count(*) AS n FROM events
+      GROUP BY user_id, event_type
+    ),
+    tot AS (SELECT user_id, sum(n) AS total FROM counts GROUP BY user_id),
+    kept AS (
+      SELECT c.user_id, c.event_type,
+             round(c.n * 1.0 / t.total, 4) AS rate
+      FROM counts c JOIN tot t USING (user_id)
+      WHERE c.n >= 2
+    )
+    SELECT user_id,
+           string_agg(event_type || '=' || CAST(rate AS VARCHAR), '|'
+                      ORDER BY event_type) AS rates_s
+    FROM kept GROUP BY user_id
+    """,
+    tags=["hof", "map"],
+)
+def map_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType pipeline entirely in map-native functions: per-user
+    counts → map_from_entries → map_filter (drop singletons) →
+    transform_values (count → share of the user's total, via one
+    aggregate over map_values) → sorted canonical string. No second
+    explode/re-aggregate round trip after the map is built — the map
+    column IS the per-user state, transformed in place by JVM-codegen'd
+    lambdas. The map is serialized through sorted entries because map
+    iteration order is engine-defined (same playbook rule as arrays)."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("m")
+    )
+    # total = the user's FULL event count (including dropped singleton
+    # types) — folded from the UNFILTERED map's values, before map_filter
+    rates = (
+        m.withColumn(
+            "total",
+            F.aggregate(F.map_values("m"), F.lit(0).cast("long"), lambda a, x: a + x),
+        )
+        .withColumn("m", F.map_filter("m", lambda _k, v: v >= 2))
+        .withColumn(
+            "m", F.transform_values("m", lambda _k, v: F.round(v / F.col("total"), 4))
+        )
+    )
+    entries = F.array_sort(
+        F.transform(
+            F.map_entries("m"),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"].cast("string")),
+        )
+    )
+    return rates.filter(F.size("m") > 0).select(
+        "user_id", F.array_join(entries, "|").alias("rates_s")
+    )
