@@ -73,3 +73,32 @@ class extract_job_details:
             _first_match(title, _FIELD),
             sorted(k for k in vocab.TECH_KEYWORDS if k in toks),
         )
+
+
+@udtf(returnType="event_type string, n bigint, first_id bigint, last_id bigint")
+class partition_stats:
+    """TABLE-argument UDTF (Spark 4): consumes
+    ``TABLE(...) PARTITION BY event_type ORDER BY event_id`` — the
+    accumulate-then-terminate shape for per-partition custom logic the
+    built-in aggregates can't express (arbitrary Python state walked in
+    partition order, rows emitted at partition end). The engine's third
+    stateful escape hatch alongside applyInPandas (vectorized) and
+    applyInPandasWithState (streaming); this one is row-at-a-time by
+    design, for logic that needs it."""
+
+    def __init__(self) -> None:
+        self.key = None
+        self.n = 0
+        self.first = None
+        self.last = None
+
+    def eval(self, row):
+        self.key = row["event_type"]
+        self.n += 1
+        if self.first is None:
+            self.first = row["event_id"]
+        self.last = row["event_id"]
+
+    def terminate(self):
+        if self.key is not None:
+            yield (self.key, self.n, self.first, self.last)

@@ -198,3 +198,31 @@ def csv_permissive_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.b").alias("b"),
         F.col("p._corrupt").isNotNull().alias("was_quarantined"),
     )
+
+
+@register(
+    "udtf_table_arg_stats",
+    """
+    SELECT event_type, count(*) AS n,
+           min(event_id) AS first_id, max(event_id) AS last_id
+    FROM events GROUP BY event_type
+    """,
+    tags=["udtf", "source"],
+)
+def udtf_table_arg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TABLE-argument UDTF end-to-end: partition_stats consumes the
+    events table PARTITION BY event_type ORDER BY event_id and emits one
+    summary row per partition from terminate(); the oracle is the plain
+    GROUP BY the custom walker must agree with (first/last under the
+    declared order = min/max). Proves the partition-by + ordered-row
+    delivery contract, not just the function body."""
+    from reddit_tech_jobs_data_pipeline_spark.functions.udtfs import partition_stats
+
+    spark.udtf.register("partition_stats_udtf", partition_stats)
+    _t(spark, sf_dir, "events").select("event_id", "event_type").createOrReplaceTempView(
+        "udtf_events_v"
+    )
+    return spark.sql(
+        "SELECT * FROM partition_stats_udtf(TABLE(udtf_events_v) "
+        "PARTITION BY event_type ORDER BY event_id)"
+    )
