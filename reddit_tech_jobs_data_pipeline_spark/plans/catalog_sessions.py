@@ -125,3 +125,35 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@register(
+    "bitmap_distinct_rollup",
+    """
+    SELECT CAST(month(ts) AS INTEGER) AS m,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM events GROUP BY 1
+    """,
+    tags=["agg", "distinct", "bitmap", "scale"],
+)
+def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-rollup distinct counting (Spark 4 bitmap aggregates): each
+    (month, day) gets a compressed user-id bitmap
+    (bitmap_construct_agg), and monthly distincts come from OR-merging
+    the daily bitmaps — NOT from re-scanning events. This is the
+    materializable distinct-count primitive at 100 TB: daily bitmaps
+    persist as bytes, any coarser rollup (week, month, campaign window)
+    is a cheap bitmap_or_agg over them, and unlike HLL/KMV the answer
+    stays EXACT — which is why the plain COUNT(DISTINCT) oracle can
+    gate it with a hash match."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.select(
+        F.month("ts").alias("m"), F.dayofmonth("ts").alias("d"), "user_id"
+    ).groupBy("m", "d").agg(
+        # +1: bitmap_bit_position is 1-based (position = value - 1); id 0
+        # would alias — the shift is a bijection, distinct count unchanged
+        F.bitmap_construct_agg(F.bitmap_bit_position(F.col("user_id") + 1)).alias("bm")
+    )
+    return daily.groupBy("m").agg(
+        F.bitmap_count(F.bitmap_or_agg("bm")).alias("distinct_users")
+    ).select(F.col("m").cast("int").alias("m"), "distinct_users")
