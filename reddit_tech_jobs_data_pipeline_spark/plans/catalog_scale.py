@@ -691,6 +691,38 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "near_dup_clusters_star",
+    f"""
+    WITH RECURSIVE {_CORPUS_SQL}, {_SHINGLE_SQL},
+    {_minhash_sql(16, 4)},
+    {_JACCARD_VERIFY_SQL.format(candidate_filter="JOIN cand ON cand.id_a = a.id AND cand.id_b = b.id")},
+    pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard_raw >= 0.7),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    )
+    SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+    """,
+    tags=["dedup", "iterative", "scale"],
+)
+def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters as near_dup_clusters, computed by large-star/
+    small-star contraction (O(log n) rounds vs O(diameter) — see
+    operators/dedup.cluster_near_dups_star); the identical recursive-CTE
+    oracle gates both, so the two iterative schemes must agree exactly."""
+    corpus = _corpus_df(spark, sf_dir)
+    pairs = dedup.minhash_lsh_dedup_pairs(
+        corpus, "text", "id", num_hashes=16, bands=4, n=3, threshold=0.7
+    )
+    return dedup.cluster_near_dups_star(pairs)
+
+
+@register(
     "corpus_prep_e2e",
     f"""
     WITH toks AS (SELECT doc_id, text, {_TOKS} AS ws FROM documents),

@@ -212,3 +212,41 @@ class TestSSSP:
         dist = {r.node: r.dist for r in sssp_min_dist(df, 0).collect()}
         hops = {r.node: r.hops for r in bfs_min_hops(df, 0, max_hops=20).collect()}
         assert dist == hops
+
+
+class TestStarCC:
+    @SETTINGS
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 12), st.integers(0, 12)),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def test_star_contraction_matches_label_propagation(self, spark, rows):
+        from reddit_tech_jobs_data_pipeline_spark.operators.dedup import (
+            cluster_near_dups,
+            cluster_near_dups_star,
+        )
+
+        rows = [(a, b) for a, b in rows if a != b]
+        if not rows:
+            return
+        pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+        lp = {r.id: r.cluster_id for r in cluster_near_dups(pairs).collect()}
+        star = {r.id: r.cluster_id for r in cluster_near_dups_star(pairs).collect()}
+        assert star == lp
+
+    def test_long_chain_converges_in_few_rounds(self, spark):
+        """A 64-node path has diameter 63 — label propagation needs ~63
+        rounds; star contraction must finish well inside max_iter=10 and
+        still label every node with the chain minimum."""
+        from reddit_tech_jobs_data_pipeline_spark.operators.dedup import (
+            cluster_near_dups_star,
+        )
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+        )
+        out = {r.id: r.cluster_id for r in cluster_near_dups_star(pairs, max_iter=10).collect()}
+        assert out == {i: 0 for i in range(64)}
