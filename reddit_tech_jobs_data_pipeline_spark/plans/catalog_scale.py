@@ -1058,7 +1058,10 @@ def near_dup_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_lsh_dedup_pairs(
         corpus, "text", "id", num_hashes=16, bands=4, n=3, threshold=0.7
     )
-    clusters = dedup.cluster_near_dups(pairs)
+    # star contraction: O(log n) rounds regardless of component shape —
+    # the right CC for a materialization that must survive chain-shaped
+    # dup components (labels identical to cluster_near_dups, both gated)
+    clusters = dedup.cluster_near_dups_star(pairs)
     dupes = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
     return corpus.join(dupes, "id", "left_anti").select(
         "id", F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("text_len")
