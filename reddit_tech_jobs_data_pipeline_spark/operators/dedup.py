@@ -589,6 +589,67 @@ def _cluster_near_dups_star(pairs: DataFrame, max_iter: int) -> DataFrame:
     return labels.unionByName(roots)
 
 
+def edit_distance_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """Typo-level near-dup join: pairs within levenshtein ``max_dist``,
+    found by the q-gram COUNT FILTER (Gravano et al., VLDB'01): edit
+    distance ≤ d implies the q-gram multisets share at least
+    max(|a|,|b|) − q + 1 − q·d grams, so candidates come from an
+    inverted q-gram index join (multiset intersection =
+    Σ min(count_a, count_b), computed on the (id, gram, count) table —
+    distinct-gram intersection would NOT be lossless) plus a length
+    window |len_a − len_b| ≤ d; only candidates pay the O(len²)
+    levenshtein verify. Character-level complement to the token-level
+    Jaccard/MinHash family (catches transpositions and single-char typos
+    that leave token sets intact). Skew note: the gram join fans out on
+    hot q-grams exactly like shingles — the same max_df-style guard
+    applies if a corpus has degenerate gram distributions, at the cost
+    of losing the losslessness theorem for pruned grams."""
+    s = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(F.col(id_col).alias("id"), s.alias("s")).filter(
+        F.length("s") >= q
+    )
+    grams = base.select(
+        "id",
+        F.length("s").alias("len"),
+        F.explode(
+            F.expr(f"transform(sequence(1, length(s) - {q - 1}), i -> substring(s, i, {q}))")
+        ).alias("gram"),
+    )
+    gcounts = grams.groupBy("id", "len", "gram").agg(F.count(F.lit(1)).alias("c"))
+    a = gcounts.select(
+        F.col("id").alias("id_a"), F.col("len").alias("la"), "gram", F.col("c").alias("ca")
+    )
+    b = gcounts.select(
+        F.col("id").alias("id_b"), F.col("len").alias("lb"), "gram", F.col("c").alias("cb")
+    )
+    common = (
+        a.join(b, "gram")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= max_dist)
+        )
+        .groupBy("id_a", "id_b", "la", "lb")
+        .agg(F.sum(F.least("ca", "cb")).alias("n_common"))
+    )
+    bound = F.greatest("la", "lb") - F.lit(q - 1) - F.lit(q * max_dist)
+    cand = common.filter(F.col("n_common") >= bound).select("id_a", "id_b")
+    sa = base.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
+    sb = base.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("dist", F.levenshtein("sa", "sb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

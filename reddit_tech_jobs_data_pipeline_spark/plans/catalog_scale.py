@@ -366,6 +366,54 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "edit_distance_near_dup",
+    """
+    WITH ec AS (
+      SELECT doc_id AS id, substr(lower(text), 1, 40) AS s
+      FROM documents WHERE length(text) >= 40
+      UNION ALL
+      SELECT doc_id + 100000 AS id,
+             substr(lower(text), 1, 9) || substr(lower(text), 11, 1)
+               || substr(lower(text), 10, 1) || substr(lower(text), 12, 29) AS s
+      FROM documents WHERE doc_id % 5 = 0 AND length(text) >= 40
+    ),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.s, b.s) AS dist
+      FROM ec a JOIN ec b
+        ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 2
+    )
+    SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist FROM pairs WHERE dist <= 2
+    """,
+    tags=["dedup", "scale"],
+)
+def edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup join (see
+    operators/dedup.edit_distance_near_dup_pairs): the corpus is 40-char
+    document prefixes plus copies with characters 10/11 transposed
+    (levenshtein 2 from their originals); the q-gram count filter must
+    find every pair the oracle's EXHAUSTIVE length-blocked levenshtein
+    join finds — matching it proves the count-filter pruning lossless,
+    exactly as jaccard_prefix_filter_join does for token-level prefix
+    pruning."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 40)
+    lt = F.lower(F.col("text"))
+    originals = docs.select(
+        F.col("doc_id").alias("id"), F.substring(lt, 1, 40).alias("s")
+    )
+    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("id"),
+        F.concat(
+            F.substring(lt, 1, 9),
+            F.substring(lt, 11, 1),
+            F.substring(lt, 10, 1),
+            F.substring(lt, 12, 29),
+        ).alias("s"),
+    )
+    corpus = originals.unionByName(copies)
+    return dedup.edit_distance_near_dup_pairs(corpus, "s", "id", max_dist=2, q=2)
+
+
 def _incremental_minhash_sql(
     num_hashes: int = 16, bands: int = 4, min_agree: int = 12
 ) -> str:
