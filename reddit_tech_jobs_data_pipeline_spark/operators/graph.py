@@ -147,6 +147,7 @@ def pagerank(
     iterations: int = 3,
     commutative: bool = False,
     symmetric: bool = False,
+    seeds: list | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list, unrolled ``iterations`` times.
 
@@ -177,9 +178,16 @@ def pagerank(
     ``symmetric=True`` when the caller KNOWS every edge exists in both
     directions (e.g. ``cooccurrence_edges`` output): the node set is then
     derived from one endpoint column, halving the distinct's input.
+
+    ``seeds`` switches to PERSONALIZED PageRank: the (1 - d) teleport
+    mass restarts uniformly over the seed set instead of all nodes
+    (init likewise), scoring every node by proximity to the seeds — the
+    similar-items / trust-propagation variant. The seed list is a
+    driver-side literal (bounded, like the node-count probe); all other
+    machinery (both numeric modes, checkpoint cadence) is shared.
     """
     with iterative_shuffle_partitions(edges.sparkSession):
-        return _pagerank(edges, damping, iterations, commutative, symmetric)
+        return _pagerank(edges, damping, iterations, commutative, symmetric, seeds)
 
 
 def _pagerank(
@@ -188,6 +196,7 @@ def _pagerank(
     iterations: int,
     commutative: bool,
     symmetric: bool,
+    seeds: list | None = None,
 ) -> DataFrame:
     # edges feed every iteration plus nodes/outdeg — persist once; the
     # co-occurrence derivation upstream is a join far costlier than the
@@ -216,7 +225,20 @@ def _pagerank(
             .agg(F.count(F.lit(1)).alias("outdeg"))
             .localCheckpoint()
         )
-        pr = nodes.select("node", (F.lit(1.0) / F.lit(n_nodes)).alias("pr"))
+        if seeds is None:
+            teleport = F.lit(1.0 - damping) / F.lit(n_nodes)
+            pr = nodes.select("node", (F.lit(1.0) / F.lit(n_nodes)).alias("pr"))
+        else:
+            in_seed = F.col("node").isin([int(x) for x in seeds])
+            teleport = F.when(
+                in_seed, F.lit(1.0 - damping) / F.lit(float(len(seeds)))
+            ).otherwise(F.lit(0.0))
+            pr = nodes.select(
+                "node",
+                F.when(in_seed, F.lit(1.0) / F.lit(float(len(seeds))))
+                .otherwise(F.lit(0.0))
+                .alias("pr"),
+            )
         if commutative:
             # out-degree is loop-invariant: attach it to the edge list ONCE
             # (one join) instead of re-joining every iteration; the
@@ -259,7 +281,7 @@ def _pagerank(
                 .select(
                     "node",
                     (
-                        F.lit(1.0 - damping) / F.lit(n_nodes)
+                        teleport
                         + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
                     ).alias("pr"),
                 )

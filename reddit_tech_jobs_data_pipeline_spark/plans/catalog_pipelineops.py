@@ -755,3 +755,72 @@ def sssp_part_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").alias("src"), (F.col("k") + 2).alias("dst"), F.lit(1).alias("w")
     )
     return sssp_min_dist(chain.unionByName(skip), seed=0, max_iters=310)
+
+
+def _ppr_sql(iterations: int, n_seeds: int) -> str:
+    d = "CAST(0.85 AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    tele = f"(({one} - {d}) / {n_seeds})"
+    seed_case = "CASE WHEN {col} IN (SELECT node FROM sd) THEN {val} ELSE CAST(0.0 AS DOUBLE) END"
+    parts = [
+        f"sd AS (SELECT node FROM nodes ORDER BY node LIMIT {n_seeds})",
+        "p0 AS (SELECT node, "
+        + seed_case.format(col="node", val=f"{one} / {n_seeds}")
+        + " AS pr FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""c{i} AS (
+      SELECT e.src, e.dst, p.pr / o.outdeg AS contrib
+      FROM edges e JOIN p{i - 1} p ON p.node = e.src
+      JOIN outdeg o ON o.src = e.src
+    ),
+    s{i} AS (
+      SELECT dst AS node,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(contrib ORDER BY src)),
+                         (a, b) -> a + b) AS in_sum
+      FROM c{i} GROUP BY dst
+    ),
+    p{i} AS (
+      SELECT n.node,
+             {seed_case.format(col="n.node", val=tele)}
+               + {d} * coalesce(s.in_sum, CAST(0.0 AS DOUBLE)) AS pr
+      FROM nodes n LEFT JOIN s{i} s ON s.node = n.node
+    )"""
+        )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {_PR_EDGES_SQL},
+    {body}
+    SELECT node, round(pr, 6) AS ppr FROM p{iterations}
+    """
+
+
+@register(
+    "personalized_pagerank_suppliers",
+    _ppr_sql(iterations=3, n_seeds=2),
+    tags=["graph", "iterative"],
+)
+def personalized_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (teleport restarts at the two smallest
+    supplier nodes): scores every supplier by co-supply proximity to the
+    seeds — the similar-items/trust-propagation variant of
+    pagerank_suppliers, same ordered-fold bit-parity recipe, seeded
+    teleport per operators/graph.pagerank(seeds=...). The seed pick (two
+    smallest node ids) is derived identically on both engines; on Spark
+    it is one bounded 2-row collect."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.graph import pagerank
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(lineitem, "l_partkey", "l_suppkey")
+    seeds = [
+        r.node
+        for r in edges.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(2)
+        .collect()
+    ]
+    pr = pagerank(edges, damping=0.85, iterations=3, symmetric=True, seeds=seeds)
+    return pr.select("node", F.round("pr", 6).alias("ppr"))
