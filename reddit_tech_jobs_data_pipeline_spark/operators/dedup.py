@@ -589,6 +589,35 @@ def _cluster_near_dups_star(pairs: DataFrame, max_iter: int) -> DataFrame:
     return labels.unionByName(roots)
 
 
+def incremental_cluster_update(
+    labels: DataFrame, new_pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Incremental connected-components maintenance: fold an EXISTING
+    labeling (id, cluster_id) with a batch of new near-dup pairs without
+    re-reading the historical pair graph. The old labels are themselves
+    star edges (node → component root) that preserve each old
+    component's connectivity, so CC over (label-edges ∪ new pairs) equals
+    CC over (all old pairs ∪ new pairs) — the daily-ingest counterpart
+    of incremental_lsh_ingest for the CLUSTER side: state carried
+    forward is one row per doc, not the pair history. Star contraction
+    re-converges in O(log n) rounds; in the common case (new pairs touch
+    few components) almost all stars are already fixpoints after one
+    pass."""
+    label_edges = labels.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("id_a"), F.col("cluster_id").alias("id_b")
+    )
+    singletons = labels.select(F.col("id"))
+    merged = cluster_near_dups_star(
+        label_edges.unionByName(new_pairs.select("id_a", "id_b")), max_iter
+    )
+    # docs that were singleton components and stay untouched by new
+    # pairs never appear in any edge — restore their self-labels
+    untouched = singletons.join(merged.select("id"), "id", "left_anti").withColumn(
+        "cluster_id", F.col("id")
+    )
+    return merged.unionByName(untouched)
+
+
 def edit_distance_near_dup_pairs(
     df: DataFrame,
     text_col: str,

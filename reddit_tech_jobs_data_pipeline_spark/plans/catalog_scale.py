@@ -771,6 +771,45 @@ def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_cluster_update",
+    f"""
+    WITH RECURSIVE {_CORPUS_SQL}, {_SHINGLE_SQL},
+    {_minhash_sql(16, 4)},
+    {_JACCARD_VERIFY_SQL.format(candidate_filter="JOIN cand ON cand.id_a = a.id AND cand.id_b = b.id")},
+    pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard_raw >= 0.7),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    )
+    SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+    """,
+    tags=["dedup", "incremental", "iterative", "scale"],
+)
+def incremental_cluster_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster maintenance: the near-dup pairs are split
+    into YESTERDAY's ((id_a + id_b) % 3 != 0 — clustered first, only the
+    labels kept) and TODAY's batch (the rest); the update folds labels +
+    new pairs WITHOUT the historical pair set
+    (operators/dedup.incremental_cluster_update) and must equal the
+    from-scratch clustering of ALL pairs — which is exactly what the
+    shared recursive-CTE oracle computes. Carried state is one row per
+    doc; the pair history is never re-read."""
+    corpus = _corpus_df(spark, sf_dir)
+    pairs = dedup.minhash_lsh_dedup_pairs(
+        corpus, "text", "id", num_hashes=16, bands=4, n=3, threshold=0.7
+    ).localCheckpoint()
+    old = pairs.filter((F.col("id_a") + F.col("id_b")) % 3 != 0)
+    new = pairs.filter((F.col("id_a") + F.col("id_b")) % 3 == 0)
+    labels_old = dedup.cluster_near_dups_star(old)
+    return dedup.incremental_cluster_update(labels_old, new)
+
+
+@register(
     "corpus_prep_e2e",
     f"""
     WITH toks AS (SELECT doc_id, text, {_TOKS} AS ws FROM documents),
