@@ -429,3 +429,105 @@ def sssp_min_dist(
             return dist.select("node", F.col("d").alias("dist"))
         finally:
             e.unpersist()
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    commutative: bool = False,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over a directed edge
+    list, unrolled ``iterations`` times with L1 normalization after each
+    half-step. Returns (node, hub, auth).
+
+    Same two-numeric-mode recipe as ``pagerank``: the default folds both
+    the per-node incoming sums AND the global normalizer as ORDERED
+    sequential folds (bit-parity with the unrolled-SQL oracle);
+    ``commutative=True`` swaps every fold for a map-side-combined
+    ``F.sum`` — the 100 TB plan — at the cost of ~1e-15 reassociation
+    noise. The global L1 norm is ONE scalar per half-step either way
+    (the ordered variant folds a collected per-node list — oracle-parity
+    plumbing, not the scale path)."""
+    with iterative_shuffle_partitions(edges.sparkSession):
+        return _hits(edges, iterations, commutative)
+
+
+def _ordered_sum(df: DataFrame, key: str, val: str, out: str) -> DataFrame:
+    return (
+        df.groupBy(key)
+        .agg(F.array_sort(F.collect_list(F.struct(F.col("src_ord"), F.col(val)))).alias("cs"))
+        .select(
+            key,
+            F.aggregate(
+                F.transform("cs", lambda c: c[val]), F.lit(0.0), lambda a, x: a + x
+            ).alias(out),
+        )
+    )
+
+
+def _hits(edges: DataFrame, iterations: int, commutative: bool) -> DataFrame:
+    edges = edges.select("src", "dst").distinct().cache()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    try:
+        state = nodes.select(
+            "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
+        ).localCheckpoint()
+
+        def norm_of(df: DataFrame, col: str) -> float:
+            if commutative:
+                return df.agg(F.sum(col)).first()[0]
+            # ordered global fold: same IEEE sequence as the oracle's
+            # list_reduce over values ORDER BY node
+            row = df.agg(
+                F.array_sort(F.collect_list(F.struct("node", col))).alias("cs")
+            ).select(
+                F.aggregate(
+                    F.transform("cs", lambda c: c[col]), F.lit(0.0), lambda a, x: a + x
+                ).alias("s")
+            ).first()
+            return row.s
+
+        for _ in range(iterations):
+            # authority half-step: a(v) = sum of h(u) over u -> v
+            contrib = edges.join(
+                state.select(F.col("node").alias("src"), "hub"), "src"
+            ).select(F.col("dst").alias("node"), F.col("src").alias("src_ord"), "hub")
+            if commutative:
+                raw_a = contrib.groupBy("node").agg(F.sum("hub").alias("a_raw"))
+            else:
+                raw_a = _ordered_sum(contrib, "node", "hub", "a_raw")
+            st = (
+                state.drop("auth")
+                .join(raw_a, "node", "left")
+                .withColumn("auth", F.coalesce("a_raw", F.lit(0.0)))
+                .drop("a_raw")
+                .localCheckpoint()
+            )
+            na = float(norm_of(st, "auth"))
+            st = st.withColumn("auth", F.col("auth") / F.lit(na))
+            # hub half-step: h(u) = sum of a(v) over u -> v
+            contrib = edges.join(
+                st.select(F.col("node").alias("dst"), "auth"), "dst"
+            ).select(F.col("src").alias("node"), F.col("dst").alias("src_ord"), "auth")
+            if commutative:
+                raw_h = contrib.groupBy("node").agg(F.sum("auth").alias("h_raw"))
+            else:
+                raw_h = _ordered_sum(contrib, "node", "auth", "h_raw")
+            st = (
+                st.drop("hub")
+                .join(raw_h, "node", "left")
+                .withColumn("hub", F.coalesce("h_raw", F.lit(0.0)))
+                .drop("h_raw")
+                .localCheckpoint()
+            )
+            nh = float(norm_of(st, "hub"))
+            state = st.withColumn("hub", F.col("hub") / F.lit(nh)).localCheckpoint()
+        return state.select("node", "hub", "auth")
+    finally:
+        edges.unpersist()
+        nodes.unpersist()

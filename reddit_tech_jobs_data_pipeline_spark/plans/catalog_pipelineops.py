@@ -824,3 +824,78 @@ def personalized_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
     ]
     pr = pagerank(edges, damping=0.85, iterations=3, symmetric=True, seeds=seeds)
     return pr.select("node", F.round("pr", 6).alias("ppr"))
+
+
+def _hits_sql(iterations: int) -> str:
+    z = "CAST(0.0 AS DOUBLE)"
+    fold = "list_reduce(list_prepend({z}, list({val} ORDER BY {ord})), (x, y) -> x + y)"
+    parts = [
+        """hedges AS (
+      SELECT k AS src, k + 1 AS dst FROM hks WHERE k + 1 < 300
+      UNION ALL
+      SELECT k AS src, k + 2 AS dst FROM hks WHERE k % 3 <> 0 AND k + 2 < 300
+    ),
+    hnodes AS (SELECT src AS node FROM hedges UNION SELECT dst FROM hedges),
+    st0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub, CAST(1.0 AS DOUBLE) AS auth FROM hnodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        araw = fold.format(z=z, val="s.hub", ord="e.src")
+        hraw = fold.format(z=z, val="b.auth", ord="e.dst")
+        anrm = fold.format(z=z, val="auth", ord="node")
+        hnrm = fold.format(z=z, val="hub", ord="node")
+        parts.append(
+            f"""ar{i} AS MATERIALIZED (
+      SELECT e.dst AS node, {araw} AS a_raw
+      FROM hedges e JOIN st{i - 1} s ON s.node = e.src GROUP BY e.dst
+    ),
+    sa{i} AS MATERIALIZED (
+      SELECT s.node, s.hub, coalesce(r.a_raw, {z}) AS auth
+      FROM st{i - 1} s LEFT JOIN ar{i} r ON r.node = s.node
+    ),
+    an{i} AS (SELECT {anrm} AS nrm FROM sa{i}),
+    sb{i} AS MATERIALIZED (SELECT node, hub, auth / n.nrm AS auth FROM sa{i} CROSS JOIN an{i} n),
+    hr{i} AS MATERIALIZED (
+      SELECT e.src AS node, {hraw} AS h_raw
+      FROM hedges e JOIN sb{i} b ON b.node = e.dst GROUP BY e.src
+    ),
+    sc{i} AS MATERIALIZED (
+      SELECT s.node, coalesce(r.h_raw, {z}) AS hub, s.auth
+      FROM sb{i} s LEFT JOIN hr{i} r ON r.node = s.node
+    ),
+    hn{i} AS (SELECT {hnrm} AS nrm FROM sc{i}),
+    st{i} AS MATERIALIZED (SELECT node, hub / n.nrm AS hub, auth FROM sc{i} CROSS JOIN hn{i} n)"""
+        )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH hks AS (SELECT p_partkey AS k FROM part WHERE p_partkey < 300),
+    {body}
+    SELECT node, round(hub, 6) AS hub, round(auth, 6) AS auth FROM st{iterations}
+    """
+
+
+@register(
+    "hits_part_chain",
+    _hits_sql(iterations=3),
+    tags=["graph", "iterative"],
+)
+def hits_part_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities on the directed chain+skip DAG (skip
+    edges make some nodes strong hubs, convergence asymmetric) — the
+    third member of the link-analysis family beside pagerank and
+    personalized pagerank, same ordered-fold bit-parity recipe for
+    per-node sums AND the global L1 normalizers
+    (operators/graph.hits)."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.graph import hits
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    ks = part.select(F.col("p_partkey").alias("k"))
+    chain = ks.filter(F.col("k") + 1 < 300).select(
+        F.col("k").alias("src"), (F.col("k") + 1).alias("dst")
+    )
+    skip = ks.filter((F.col("k") % 3 != 0) & (F.col("k") + 2 < 300)).select(
+        F.col("k").alias("src"), (F.col("k") + 2).alias("dst")
+    )
+    out = hits(chain.unionByName(skip), iterations=3)
+    return out.select(
+        "node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
