@@ -899,3 +899,31 @@ def hits_part_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
     )
+
+
+@register(
+    "hits_part_chain_scale",
+    _hits_sql(iterations=3),
+    tags=["graph", "iterative", "scale"],
+)
+def hits_part_chain_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS scale mode: every fold (per-node sums and the global L1
+    normalizers) is a commutative map-side-combined F.sum — no per-node
+    arrays, no collected global list. Same oracle as hits_part_chain:
+    reassociation noise (~1e-15 relative) sits far inside the 6-dp
+    rounding, with the same accepted boundary-flip residual documented
+    at pagerank_suppliers_scale."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.graph import hits
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    ks = part.select(F.col("p_partkey").alias("k"))
+    chain = ks.filter(F.col("k") + 1 < 300).select(
+        F.col("k").alias("src"), (F.col("k") + 1).alias("dst")
+    )
+    skip = ks.filter((F.col("k") % 3 != 0) & (F.col("k") + 2 < 300)).select(
+        F.col("k").alias("src"), (F.col("k") + 2).alias("dst")
+    )
+    out = hits(chain.unionByName(skip), iterations=3, commutative=True)
+    return out.select(
+        "node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
