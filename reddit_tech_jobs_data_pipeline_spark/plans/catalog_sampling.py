@@ -119,6 +119,55 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_systematic_sample",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             length(list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')) AS w
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, w,
+             sum(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cw
+      FROM toks
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS w
+    FROM c WHERE (cw // 500) > ((cw - w) // 500)
+    """,
+    tags=["sampling", "corpus", "scale"],
+)
+def weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional SYSTEMATIC sampling: walk the cumulative
+    token-count axis and keep every doc whose weight interval crosses a
+    multiple of the step (500 tokens) — each doc selected with
+    probability ∝ its weight, expected one pick per step of corpus mass,
+    ZERO randomness. Integer arithmetic end-to-end, so unlike
+    exponential-key (A-ES) weighted reservoirs there is no float
+    ordering to disagree across engines or partitionings. The cumulative
+    weight comes from the engine's two-phase distributed prefix sum
+    (operators/packing.py — no single-partition sort), which the
+    oracle's global window must agree with exactly. The right tool for
+    'sample N tokens worth of docs, biased by length' corpus draws."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.packing import (
+        distributed_prefix_sum,
+    )
+    from reddit_tech_jobs_data_pipeline_spark.functions import text as textfn
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", textfn.token_count(F.col("text")).cast("long").alias("w")
+    )
+    cum = distributed_prefix_sum(toks, [F.col("doc_id")], {"w": "cw"})
+    step = 500
+    return (
+        cum.filter(
+            F.floor(F.col("cw") / step) > F.floor((F.col("cw") - F.col("w")) / step)
+        )
+        .select("doc_id", "w")
+    )
+
+
+@register(
     "daily_counts_gapfilled",
     """
     WITH bounds AS (
