@@ -157,3 +157,39 @@ def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.groupBy("m").agg(
         F.bitmap_count(F.bitmap_or_agg("bm")).alias("distinct_users")
     ).select(F.col("m").cast("int").alias("m"), "distinct_users")
+
+
+@register(
+    "bitmap_rolling_distinct",
+    """
+    WITH days AS (SELECT DISTINCT dayofyear(ts) AS d FROM events)
+    SELECT days.d,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS rolling7_users
+    FROM days JOIN events e
+      ON dayofyear(e.ts) BETWEEN days.d - 6 AND days.d
+    GROUP BY days.d
+    """,
+    tags=["agg", "distinct", "bitmap", "window", "scale"],
+)
+def bitmap_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day EXACT distinct users from daily bitmaps: one
+    bitmap per day, window ``bitmap_or_agg`` over the trailing 7 rows,
+    ``bitmap_count`` of the union. The window runs over the DAILY table
+    (365 rows/year of bitmap bytes), never the event stream — a year of
+    rolling exact distincts costs one scan to build the bitmaps plus a
+    365-row window, where the naive form (the oracle's range self-join)
+    re-counts every 7-day slice of raw events. Exactness is what
+    separates this from HLL rollups; the oracle's per-slice
+    COUNT(DISTINCT) must agree row-for-row."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.dayofyear("ts").alias("d"), "user_id")
+        .groupBy("d")
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position(F.col("user_id") + 1)).alias("bm"))
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return daily.withColumn(
+        "rolling7_users", F.bitmap_count(F.bitmap_or_agg("bm").over(w))
+    ).select(F.col("d").cast("long").alias("d"), "rolling7_users")
