@@ -193,3 +193,63 @@ def bitmap_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.withColumn(
         "rolling7_users", F.bitmap_count(F.bitmap_or_agg("bm").over(w))
     ).select(F.col("d").cast("long").alias("d"), "rolling7_users")
+
+
+@register(
+    "bitmap_retention",
+    """
+    WITH m AS (
+      SELECT DISTINCT CAST((dayofyear(ts) - 1) // 7 AS BIGINT) AS m, user_id
+      FROM events
+    ),
+    months AS (SELECT DISTINCT m FROM m),
+    pairs AS (
+      SELECT a.m AS m_from, b.m AS m_to FROM months a JOIN months b ON b.m = a.m + 1
+    )
+    SELECT p.m_from, p.m_to,
+           CAST(count(DISTINCT CASE WHEN x.user_id IS NOT NULL AND y.user_id IS NOT NULL
+                                    THEN x.user_id END) AS BIGINT) AS retained
+    FROM pairs p
+    LEFT JOIN m x ON x.m = p.m_from
+    LEFT JOIN m y ON y.m = p.m_to AND y.user_id = x.user_id
+    GROUP BY p.m_from, p.m_to
+    """,
+    tags=["agg", "distinct", "bitmap", "retention", "scale"],
+)
+def bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retained users from PERSISTED weekly bitmaps,
+    via inclusion-exclusion: |A ∩ B| = |A| + |B| − |A ∪ B| — Spark ships
+    or_agg but no and_agg, and the identity makes intersections free
+    anyway. Each consecutive month pair is one row of bitmap arithmetic
+    over the (months × bitmap-bytes) table; the raw events are scanned
+    once ever, not once per cohort question — the same materializable-
+    bitmap story as bitmap_distinct_rollup extended to set ALGEBRA, and
+    still exact (the oracle's distinct self-join must agree)."""
+    ev = _t(spark, sf_dir, "events")
+    monthly = (
+        ev.select(
+            F.floor((F.dayofyear("ts") - 1) / 7).cast("long").alias("m"), "user_id"
+        )
+        .groupBy("m")
+        .agg(
+            F.bitmap_construct_agg(F.bitmap_bit_position(F.col("user_id") + 1)).alias("bm"),
+            F.countDistinct("user_id").alias("cnt"),
+        )
+    )
+    a = monthly.select(F.col("m").alias("m_from"), F.col("bm").alias("bm_a"), F.col("cnt").alias("ca"))
+    b = monthly.select(F.col("m").alias("m_to"), F.col("bm").alias("bm_b"), F.col("cnt").alias("cb"))
+    pairs = a.join(b, F.col("m_to") == F.col("m_from") + 1)
+    # |A ∪ B| via or_agg over the two bitmaps of the pair
+    unioned = (
+        pairs.select(
+            "m_from", "m_to", "ca", "cb",
+            F.explode(F.array("bm_a", "bm_b")).alias("bm"),
+        )
+        .groupBy("m_from", "m_to", "ca", "cb")
+        .agg(F.bitmap_count(F.bitmap_or_agg("bm")).alias("cu"))
+    )
+    return unioned.select(
+        "m_from",
+        "m_to",
+        (F.col("ca") + F.col("cb") - F.col("cu")).cast("long").alias("retained"),
+    )
