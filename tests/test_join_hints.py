@@ -59,3 +59,20 @@ def test_hints_do_not_change_results(spark, tables):
         assert (
             li.join(orders.hint(h), li.l_orderkey == orders.o_orderkey).count() == base
         )
+
+
+class TestOrcFormat:
+    def test_orc_roundtrip_and_pushdown(self, spark, tmp_path):
+        """Format breadth beyond parquet: the columnar sink/scan contract
+        (schema fidelity, predicate pushdown reaching the scan) holds for
+        ORC too — same lake layout code paths, different container."""
+        ev = testdata.load_table(spark, "/root/testdata/sf0.001", "events")
+        path = str(tmp_path / "events_orc")
+        ev.write.orc(path)
+        back = spark.read.orc(path)
+        assert back.schema == ev.schema
+        assert back.count() == ev.count()
+        q = back.filter("user_id = 7").select("event_id", "user_id")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "user_id" in plan.split("PushedFilters", 1)[1][:200]
+        assert q.count() == ev.filter("user_id = 7").count()
