@@ -624,6 +624,7 @@ def edit_distance_near_dup_pairs(
     id_col: str,
     max_dist: int = 2,
     q: int = 2,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """Typo-level near-dup join: pairs within levenshtein ``max_dist``,
     found by the q-gram COUNT FILTER (Gravano et al., VLDB'01): edit
@@ -635,22 +636,63 @@ def edit_distance_near_dup_pairs(
     window |len_a − len_b| ≤ d; only candidates pay the O(len²)
     levenshtein verify. Character-level complement to the token-level
     Jaccard/MinHash family (catches transpositions and single-char typos
-    that leave token sets intact). Skew note: the gram join fans out on
-    hot q-grams exactly like shingles — the same max_df-style guard
-    applies if a corpus has degenerate gram distributions, at the cost
-    of losing the losslessness theorem for pruned grams."""
+    that leave token sets intact).
+
+    SHORT STRINGS: when max(|a|,|b|) ≤ q−1+q·d the count-filter bound is
+    ≤ 0 and a within-distance pair can legitimately share ZERO q-grams
+    (e.g. 'ab' vs 'cd' at q=2, d=2), so the inverted-index join would
+    miss it — and strings shorter than q have no grams at all. All
+    strings of length ≤ q−1+q·d therefore route through a direct
+    length-blocked levenshtein join (equi-join on length buckets, each
+    left row replicated 2d+1 times — bounded, and short strings are
+    cheap to verify). A short↔long pair (one side < q, other > q−1+q·d)
+    is impossible within distance d because the length gap alone exceeds
+    d. The union is lossless: gram-path candidates are restricted to
+    pairs with max length > q−1+q·d (where the theorem holds), the short
+    path covers the rest, and the two sets are disjoint by construction.
+
+    SKEW GUARD: the gram join fans out quadratically on hot q-grams
+    exactly like shingles. ``max_gram_df`` drops any gram whose document
+    frequency exceeds it from the index (both sides), capping per-gram
+    join fan-out at max_gram_df². Pruning alone would break the count
+    bound (a doc of mostly-hot grams shares few SURVIVING grams even
+    with its twin), so the bound is lowered by the pruned-occurrence
+    slack: shared_pruned ≤ min(pruned_a, pruned_b), hence
+    shared_surviving ≥ bound − min(pruned_a, pruned_b). With that
+    adjustment the guard stays LOSSLESS for every pair that still
+    shares ≥ 1 surviving gram; the residual recall cost is exactly the
+    pairs whose shared grams are ALL hot (adjusted bound ≤ 0 and zero
+    surviving overlap — e.g. two identical all-hot-gram strings), which
+    the inverted index can no longer see. Measured in
+    tests/test_skew_guards.py and SCALE.md. Leave it None (default) for
+    the unconditionally lossless join."""
     s = F.coalesce(F.col(text_col), F.lit(""))
-    base = df.select(F.col(id_col).alias("id"), s.alias("s")).filter(
-        F.length("s") >= q
-    )
+    all_strs = df.select(F.col(id_col).alias("id"), s.alias("s"), F.length(s).alias("len"))
+    short_len = q - 1 + q * max_dist
+    base = all_strs.filter(F.col("len") >= q)
     grams = base.select(
         "id",
-        F.length("s").alias("len"),
+        F.col("len"),
         F.explode(
             F.expr(f"transform(sequence(1, length(s) - {q - 1}), i -> substring(s, i, {q}))")
         ).alias("gram"),
     )
     gcounts = grams.groupBy("id", "len", "gram").agg(F.count(F.lit(1)).alias("c"))
+    pruned = None
+    if max_gram_df is not None:
+        hot = (
+            gcounts.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_gram_df)
+            .select("gram")
+        )
+        # per-doc pruned occurrence counts feed the bound adjustment below
+        pruned = (
+            gcounts.join(F.broadcast(hot), "gram", "left_semi")
+            .groupBy("id")
+            .agg(F.sum("c").alias("pruned_cnt"))
+        )
+        gcounts = gcounts.join(F.broadcast(hot), "gram", "left_anti")
     a = gcounts.select(
         F.col("id").alias("id_a"), F.col("len").alias("la"), "gram", F.col("c").alias("ca")
     )
@@ -667,11 +709,44 @@ def edit_distance_near_dup_pairs(
         .agg(F.sum(F.least("ca", "cb")).alias("n_common"))
     )
     bound = F.greatest("la", "lb") - F.lit(q - 1) - F.lit(q * max_dist)
-    cand = common.filter(F.col("n_common") >= bound).select("id_a", "id_b")
-    sa = base.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
-    sb = base.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
+    if pruned is not None:
+        pa = pruned.select(F.col("id").alias("id_a"), F.col("pruned_cnt").alias("pa"))
+        pb = pruned.select(F.col("id").alias("id_b"), F.col("pruned_cnt").alias("pb"))
+        common = (
+            common.join(pa, "id_a", "left").join(pb, "id_b", "left")
+        )
+        slack = F.least(
+            F.coalesce(F.col("pa"), F.lit(0)), F.coalesce(F.col("pb"), F.lit(0))
+        )
+        bound = bound - slack
+    cand = (
+        common.filter(
+            (F.col("n_common") >= bound) & (F.greatest("la", "lb") > short_len)
+        )
+        .select("id_a", "id_b")
+    )
+    # short-string path: all pairs with BOTH lengths ≤ short_len, blocked
+    # by length (right side keys on its own length; left side fans out to
+    # the 2d+1 lengths it can pair with — an equi-join, never a cross)
+    short = all_strs.filter(F.col("len") <= short_len)
+    sh_a = short.select(
+        F.col("id").alias("id_a"),
+        F.col("len").alias("la"),
+        F.explode(
+            F.sequence(F.col("len") - max_dist, F.col("len") + max_dist)
+        ).alias("lkey"),
+    )
+    sh_b = short.select(F.col("id").alias("id_b"), F.col("len").alias("lkey"))
+    cand_short = (
+        sh_a.join(sh_b, "lkey")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    sa = all_strs.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
+    sb = all_strs.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
     return (
-        cand.join(sa, "id_a")
+        cand.unionByName(cand_short)
+        .join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("dist", F.levenshtein("sa", "sb"))
         .filter(F.col("dist") <= max_dist)

@@ -63,14 +63,27 @@ def compact(
     staging = path.rstrip("/") + "__compact_staging"
     if partition_col is None:
         df.repartition(n_out).write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging).write.mode("overwrite").parquet(path)
     else:
         n_parts = df.select(partition_col).distinct().count()
         per_part = max(1, math.ceil(n_out / max(n_parts, 1)))
         df.repartition(per_part * n_parts, F.col(partition_col)).write.mode(
             "overwrite"
         ).partitionBy(partition_col).parquet(staging)
-    spark.read.parquet(staging).write.mode("overwrite").parquet(path)
+        # the final swap must keep the partitioned directory layout —
+        # downstream partition pruning and PARTITION_COL-based rewrites
+        # (purge_keys, upsert) depend on the col=value dirs existing
+        spark.read.parquet(staging).write.mode("overwrite").partitionBy(
+            partition_col
+        ).parquet(path)
+    _rm_staging(staging)
     return len(table_file_sizes(spark, path))
+
+
+def _rm_staging(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
 
 
 def morton_code(a: Column, b: Column, bits: int = 16) -> Column:

@@ -77,6 +77,7 @@ def brute_force_topk_arrow(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_queries: int = 10_000,
 ) -> DataFrame:
     """``mapInArrow`` variant of brute_force_topk — identical output.
 
@@ -86,7 +87,13 @@ def brute_force_topk_arrow(
     per-query window merges partials, which is exact because top-k of a
     union of per-batch top-ks equals global top-k under the same
     (rounded cosine desc, id asc) order. The corpus never moves — the
-    query matrix rides the task closure like a broadcast.
+    query matrix ships via an explicit ``sparkContext.broadcast`` (one
+    torrent transfer per executor, NOT re-serialized per task the way a
+    closure capture would be). Above ``max_broadcast_queries`` query
+    rows the driver-side collect + broadcast stops being "small dim"
+    territory and the call falls back to the distributed Catalyst path
+    (brute_force_topk), which never materializes the query set on the
+    driver.
 
     When to prefer this over the Catalyst ``F.aggregate`` fold: wide
     vectors × many queries, where a BLAS GEMM over an Arrow batch beats
@@ -98,12 +105,17 @@ def brute_force_topk_arrow(
     import numpy as np
     import pyarrow as pa
 
+    if queries.limit(max_broadcast_queries + 1).count() > max_broadcast_queries:
+        return brute_force_topk(corpus, queries, k, id_col, vec_col)
+
     qrows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, qn))
 
     def score(batches):
+        q_ids, qn = bc.value
         for batch in batches:
             n = batch.num_rows
             if n == 0:
@@ -159,7 +171,10 @@ def standardize_embeddings(
     stats come back as LITERAL arrays and normalization is a narrow
     ``zip_with`` — no second shuffle, no join, and the corpus never
     moves. The driver-side collect is D scalars (bounded, like the
-    k-means centroid collect), not data."""
+    k-means centroid collect), not data.
+
+    A constant dimension has stddev 0; its divisor is clamped to 1 so
+    the z-score comes out exactly 0 (v == mean) instead of null/Inf."""
     vec = _dvec(F.col(vec_col))
     ex = df.select(F.posexplode(vec).alias("pos", "v"))
     stats = (
@@ -169,7 +184,7 @@ def standardize_embeddings(
         .collect()
     )
     means = F.array(*[F.lit(r.m) for r in stats])
-    stds = F.array(*[F.lit(r.s) for r in stats])
+    stds = F.array(*[F.lit(r.s if (r.s or 0.0) > 0.0 else 1.0) for r in stats])
     idx = F.sequence(F.lit(0), F.lit(len(stats) - 1))
     z = F.zip_with(
         vec,

@@ -87,8 +87,7 @@ def upsert_gold(spark: SparkSession, path: str, new: DataFrame, version_col: str
     merged = merge_upsert(old, new, ["post_id"], version_col)
     staging = path.rstrip("/") + "__staging"
     merged.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(staging)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    spark.read.parquet(staging).write.mode("overwrite").partitionBy(PARTITION_COL).parquet(path)
+    _dynamic_overwrite(spark, staging, path)
     _rm(staging)
     # drop the cached file listing for the path — stale entries would point
     # readers at the overwritten part files
@@ -107,6 +106,15 @@ def purge_keys(spark: SparkSession, path: str, keys: DataFrame, key_col: str = "
     partition overwrite through the same stage-then-swap as upsert_gold.
     Untouched partitions keep their files byte-identical
     (tests/test_purge.py proves it). Returns the number of rows removed.
+
+    Partitions whose rows are ALL purged need special care: dynamic
+    partition overwrite only replaces partitions PRESENT in the staged
+    data, so an emptied partition would silently survive the swap. After
+    staging we diff the staged partition values against ``touched`` and
+    explicitly delete every emptied partition directory (Hadoop FS API,
+    so it works on any store). If EVERY touched partition empties, the
+    staged data has no partitions at all and the swap is skipped
+    entirely — only the deletes run.
     """
     keys = keys.select(F.col(key_col)).distinct()
     table = spark.read.parquet(path)
@@ -124,12 +132,63 @@ def purge_keys(spark: SparkSession, path: str, keys: DataFrame, key_col: str = "
     kept = affected.join(F.broadcast(keys), key_col, "left_anti")
     staging = path.rstrip("/") + "__purge_staging"
     kept.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(staging)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    spark.read.parquet(staging).write.mode("overwrite").partitionBy(PARTITION_COL).parquet(path)
+    staged_vals = _partition_values(spark, staging)
+    emptied = [v for v in touched if str(v) not in staged_vals]
+    if staged_vals:
+        _dynamic_overwrite(spark, staging, path)
+    for v in emptied:
+        _fs_delete(spark, f"{path.rstrip('/')}/{PARTITION_COL}={v}")
     _rm(staging)
     spark.catalog.refreshByPath(path)
-    n_after = spark.read.parquet(path).filter(F.col(PARTITION_COL).isin(touched)).count()
+    # explicit schema: a fully-emptied table has no files to infer from
+    n_after = (
+        spark.read.schema(table.schema)
+        .parquet(path)
+        .filter(F.col(PARTITION_COL).isin(touched))
+        .count()
+    )
     return n_before - n_after
+
+
+def _dynamic_overwrite(spark: SparkSession, staging: str, path: str) -> None:
+    """Swap staged partitions into ``path`` under dynamic partition
+    overwrite, saving and restoring the session-level mode so a later
+    mode=overwrite write that expects static semantics is unaffected."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        spark.read.parquet(staging).write.mode("overwrite").partitionBy(
+            PARTITION_COL
+        ).parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def _partition_values(spark: SparkSession, path: str) -> set[str]:
+    """Partition values present as ``col=value`` directories under
+    ``path`` (stringified, matching Spark's partition-dir encoding)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    vals: set[str] = set()
+    if not fs.exists(p):
+        return vals
+    for status in fs.listStatus(p):
+        name = status.getPath().getName()
+        if status.isDirectory() and "=" in name:
+            vals.add(name.split("=", 1)[1])
+    return vals
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(p, True)
 
 
 def _rm(path: str) -> None:

@@ -42,9 +42,16 @@ def test_compact_partitioned_keeps_partition_dirs(spark, tmp_path):
     assert after < before
     got = spark.read.parquet(path)
     assert got.count() == ev.count()
-    assert set(r.event_type for r in got.select("event_type").distinct().collect()) == set(
-        r.event_type for r in ev.select("event_type").distinct().collect()
-    )
+    types = set(r.event_type for r in ev.select("event_type").distinct().collect())
+    assert set(r.event_type for r in got.select("event_type").distinct().collect()) == types
+    # the partitioned DIRECTORY layout must survive the swap — partition
+    # pruning and PARTITION_COL-based rewrites depend on the col=value dirs
+    import os
+
+    dirs = {d for d in os.listdir(path) if d.startswith("event_type=")}
+    assert dirs == {f"event_type={t}" for t in types}
+    # staging dir is cleaned up
+    assert not os.path.exists(path + "__compact_staging")
 
 
 def test_morton_code_interleaves(spark):

@@ -53,6 +53,48 @@ def test_purge_missing_keys_is_noop(spark, tmp_path):
     assert os.path.getmtime(os.path.join(path, "created_date=2024-01-01")) == mtime
 
 
+def test_purge_entire_partition_deletes_its_directory(spark, tmp_path):
+    # ALL of day-1's rows purged plus one day-2 row: dynamic partition
+    # overwrite alone would leave the emptied day-1 partition behind —
+    # purge_keys must delete its directory explicitly
+    path = str(tmp_path / "gold")
+    sink.write_gold(_posts(spark, 1).unionByName(_posts(spark, 2)), path)
+    keys = spark.createDataFrame(
+        [("t3_1_0",), ("t3_1_1",), ("t3_1_2",), ("t3_2_1",)], "post_id string"
+    )
+    removed = sink.purge_keys(spark, path, keys)
+    assert removed == 4
+    out = spark.read.parquet(path)
+    assert {r.post_id for r in out.select("post_id").collect()} == {"t3_2_0", "t3_2_2"}
+    assert not os.path.exists(os.path.join(path, "created_date=2024-01-01"))
+    assert not os.path.exists(path + "__purge_staging")
+
+
+def test_purge_every_partition_empties_table(spark, tmp_path):
+    # every touched partition empties → no staged partitions at all; the
+    # swap is skipped and only directory deletes run
+    path = str(tmp_path / "gold")
+    sink.write_gold(_posts(spark, 1).unionByName(_posts(spark, 2)), path)
+    keys = spark.createDataFrame(
+        [(f"t3_{d}_{i}",) for d in (1, 2) for i in range(3)], "post_id string"
+    )
+    removed = sink.purge_keys(spark, path, keys)
+    assert removed == 6
+    assert not os.path.exists(os.path.join(path, "created_date=2024-01-01"))
+    assert not os.path.exists(os.path.join(path, "created_date=2024-01-02"))
+    full_schema = sink_schema() + ", created_date date"
+    assert spark.read.schema(full_schema).parquet(path).count() == 0
+
+
+def test_purge_restores_partition_overwrite_mode(spark, tmp_path):
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key)
+    path = str(tmp_path / "gold")
+    sink.write_gold(_posts(spark, 1), path)
+    sink.purge_keys(spark, path, spark.createDataFrame([("t3_1_0",)], "post_id string"))
+    assert spark.conf.get(key) == prev
+
+
 def test_purge_is_idempotent(spark, tmp_path):
     path = str(tmp_path / "gold")
     sink.write_gold(_posts(spark, 1), path)

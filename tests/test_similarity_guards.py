@@ -1,0 +1,61 @@
+"""Guards added to the similarity family:
+
+* ``brute_force_topk_arrow`` ships the query matrix via an explicit
+  ``sparkContext.broadcast`` (never re-serialized per task) and, above
+  ``max_broadcast_queries`` query rows, falls back to the distributed
+  Catalyst path rather than collecting a large query set to the driver.
+
+* ``standardize_embeddings`` clamps a zero stddev (constant dimension)
+  so z-scores come out exactly 0 instead of null/Infinity.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from reddit_tech_jobs_data_pipeline_spark.operators import similarity
+from reddit_tech_jobs_data_pipeline_spark.sources import testdata
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_arrow_topk_size_guard_falls_back_and_agrees(spark):
+    emb = testdata.load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    expected = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in similarity.brute_force_topk(emb, queries, k=3).collect()
+    }
+    # guard trips (8 queries > 4) → Catalyst fallback, same results
+    guarded = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in similarity.brute_force_topk_arrow(
+            emb, queries, k=3, max_broadcast_queries=4
+        ).collect()
+    }
+    assert guarded == expected
+    # guard does not trip → broadcast GEMM path, same results
+    arrow = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in similarity.brute_force_topk_arrow(
+            emb, queries, k=3, max_broadcast_queries=100
+        ).collect()
+    }
+    assert arrow == expected
+
+
+def test_standardize_constant_dimension_yields_zero(spark):
+    # dim 1 is constant (stddev 0) → its z-scores must be exactly 0,
+    # never null or ±Inf; dim 0 standardizes normally
+    df = spark.createDataFrame(
+        [(1, [1.0, 7.0]), (2, [2.0, 7.0]), (3, [3.0, 7.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = similarity.standardize_embeddings(df).orderBy("vec_id").collect()
+    for r in rows:
+        z1 = r.z_embedding[1]
+        assert z1 == 0.0 and math.isfinite(z1)
+    z0 = [r.z_embedding[0] for r in rows]
+    assert abs(sum(z0)) < 1e-12 and z0[0] < 0 < z0[2]
