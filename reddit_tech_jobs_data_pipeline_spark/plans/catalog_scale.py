@@ -1379,7 +1379,7 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "kmeans_lloyd_clusters_scale",
     _kmeans_sql(k=8, dim=64, iters=2),
-    tags=["ml", "iterative", "scale"],
+    tags=["ml", "iterative", "scale", "float-tol"],
 )
 def kmeans_lloyd_clusters_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB k-means update: ``commutative=True`` sums centroid
@@ -1387,10 +1387,10 @@ def kmeans_lloyd_clusters_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cluster membership array → no hub-cluster skew). Centroid norms
     differ from the ordered fold only by float reassociation noise, far
     inside the 4-decimal rounding both engines apply — so the bit-exact
-    ordered-fold SQL oracle still hash-matches. Known residual
-    (accepted, as for pagerank_suppliers_scale): a norm within noise of
-    a 4-dp boundary could flake the hash gate; with 8 values the odds
-    are negligible and the strict gate is worth more than immunity."""
+    ordered-fold SQL oracle still hash-matches. Gated under numeric
+    tolerance locally (``float-tol`` tag in tools/check_oracle.py), with
+    4-dp boundary margins asserted by tools/boundary_margin.py — see
+    pagerank_suppliers_scale for the full rationale."""
     from reddit_tech_jobs_data_pipeline_spark.operators.kmeans import lloyd_kmeans
 
     emb = _t(spark, sf_dir, "embeddings")

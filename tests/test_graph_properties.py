@@ -121,6 +121,29 @@ class TestGraphProperties:
 
     @SETTINGS
     @given(edges_strategy)
+    def test_seeded_pagerank_ordered_and_commutative_agree(self, spark, edges):
+        # personalized (seeded) teleport through BOTH numeric modes:
+        # the commutative scale path must match the ordered fold under
+        # tolerance — pins seeds= + commutative=True together, the
+        # combination personalized_pagerank_suppliers_scale runs
+        df = spark.createDataFrame(edges, "src long, dst long")
+        seeds = sorted({s for s, _ in edges})[:2]
+        ordered = {
+            r.node: r.pr
+            for r in pagerank(df, iterations=3, seeds=seeds).collect()
+        }
+        comm = {
+            r.node: r.pr
+            for r in pagerank(
+                df, iterations=3, seeds=seeds, commutative=True
+            ).collect()
+        }
+        assert set(ordered) == set(comm)
+        for v, x in ordered.items():
+            assert abs(comm[v] - x) <= 1e-9 * max(abs(x), 1e-9), v
+
+    @SETTINGS
+    @given(edges_strategy)
     def test_components_match_union_find(self, spark, edges):
         pairs = spark.createDataFrame(edges, "id_a long, id_b long")
         got = {r.id: r.cluster_id for r in cluster_near_dups(pairs).collect()}

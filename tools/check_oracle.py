@@ -4,6 +4,16 @@ Runs every catalog query on Spark and its oracle on DuckDB at the given
 SF dir, then compares row count, sorted-column schema shape, and an
 order-insensitive value comparison (sorted rows, stringified values).
 
+Queries tagged ``float-tol`` in the registry (the commutative scale
+modes, whose float sums differ from the ordered-fold oracle by
+reassociation noise) compare their float columns under a 1e-9 relative
+tolerance instead of stringified equality, so a value within noise of a
+rounding boundary can never flake the gate. Rows are aligned on the
+non-float columns (a unique key for every tagged query); non-float
+columns still compare exactly. tools/boundary_margin.py separately
+asserts the unrounded values sit clear of their rounding boundaries,
+which keeps the driver's stringified-hash gate safe as well.
+
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
 
@@ -18,8 +28,39 @@ import duckdb
 import pandas as pd
 
 import __spark_entry__ as entry_mod
+from reddit_tech_jobs_data_pipeline_spark.plans.catalog import get_registry
 from reddit_tech_jobs_data_pipeline_spark.schemas import TESTDATA_TABLES
 from reddit_tech_jobs_data_pipeline_spark.session import get_spark
+
+FLOAT_RTOL = 1e-9
+FLOAT_ATOL = 1e-12
+
+
+def compare_float_tol(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
+    """Tolerance comparison for float-tol-tagged queries: align rows on
+    the (exactly-compared) non-float columns, then require every float
+    column to agree within FLOAT_RTOL/FLOAT_ATOL. Returns an error
+    message or None."""
+    import numpy as np
+
+    float_cols = sorted(c for c in a.columns if str(a[c].dtype).startswith("float"))
+    key_cols = sorted(c for c in a.columns if c not in float_cols)
+    if not key_cols:
+        return "float-tol compare needs at least one non-float key column"
+    a = a.sort_values(key_cols).reset_index(drop=True)
+    b = b.sort_values(key_cols).reset_index(drop=True)
+    for c in key_cols:
+        if not a[c].map(repr).equals(b[c].map(repr)):
+            return f"key column {c} differs"
+    for c in float_cols:
+        av, bv = a[c].to_numpy(dtype=float), b[c].to_numpy(dtype=float)
+        if not np.allclose(av, bv, rtol=FLOAT_RTOL, atol=FLOAT_ATOL, equal_nan=True):
+            worst = int(np.nanargmax(np.abs(av - bv)))
+            return (
+                f"float column {c} beyond tolerance at row {worst}: "
+                f"spark={av[worst]!r} duck={bv[worst]!r}"
+            )
+    return None
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -82,6 +123,15 @@ def main() -> int:
         if dt_diff:
             print(f"FAIL {name}: dtype mismatch {dt_diff}")
             failures.append(name)
+            continue
+        spec = get_registry().get(name)
+        if spec is not None and "float-tol" in spec.tags:
+            err = compare_float_tol(spark_pd, duck_pd)
+            if err:
+                print(f"FAIL {name}: {err}")
+                failures.append(name)
+            else:
+                print(f"OK   {name}: {len(a)} rows (float-tol)")
             continue
         if not a.equals(b):
             neq = (a != b).any(axis=1)
