@@ -453,11 +453,22 @@ def cluster_near_dups(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
         iterative_shuffle_partitions,
     )
 
-    with iterative_shuffle_partitions(pairs.sparkSession):
-        return _cluster_near_dups(pairs, max_iter)
+    # materialize the symmetrized edge list OUTSIDE the pinned context
+    # (full-data distinct at session sizing) and size the loop's pin from
+    # its count — a cheap probe of the already-checkpointed blocks
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    with iterative_shuffle_partitions(pairs.sparkSession, rows=edges.count()):
+        return _cluster_near_dups(edges, max_iter)
 
 
-def _cluster_near_dups(pairs: DataFrame, max_iter: int) -> DataFrame:
+def _cluster_near_dups(edges: DataFrame, max_iter: int) -> DataFrame:
     # localCheckpoint, not cache: a .cache() only short-circuits physical
     # execution — the LOGICAL plan still re-derives the full lineage every
     # round, so an unrolled loop's plan grows O(iterations²) (the round-2
@@ -465,12 +476,8 @@ def _cluster_near_dups(pairs: DataFrame, max_iter: int) -> DataFrame:
     # Eager localCheckpoint materializes each round AND truncates the plan
     # to a leaf, keeping analysis O(1) per round; the checkpoint blocks are
     # ContextCleaner-GC'd with the DataFrame, so nothing leaks past the call.
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
-        .localCheckpoint()
-    )
+    # (The symmetrized edge table itself arrives checkpointed from the
+    # wrapper.)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -528,8 +535,14 @@ def cluster_near_dups_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         iterative_shuffle_partitions,
     )
 
-    with iterative_shuffle_partitions(pairs.sparkSession):
-        return _cluster_near_dups_star(pairs, max_iter)
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    with iterative_shuffle_partitions(pairs.sparkSession, rows=edges.count()):
+        return _cluster_near_dups_star(edges, max_iter)
 
 
 def _star_edges(e: DataFrame, large: bool) -> DataFrame:
@@ -559,13 +572,8 @@ def _star_edges(e: DataFrame, large: bool) -> DataFrame:
     return out.filter(F.col("u") != F.col("v")).distinct()
 
 
-def _cluster_near_dups_star(pairs: DataFrame, max_iter: int) -> DataFrame:
-    edges = (
-        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
-    )
+def _cluster_near_dups_star(edges: DataFrame, max_iter: int) -> DataFrame:
+    # edges arrive normalized (u, v), self-loop-free, and checkpointed
     all_nodes = (
         edges.select(F.col("u").alias("id"))
         .unionByName(edges.select(F.col("v").alias("id")))

@@ -25,23 +25,48 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+ITER_ROWS_PER_PARTITION = 2_000_000
+
+
 @contextlib.contextmanager
-def iterative_shuffle_partitions(spark: SparkSession):
+def iterative_shuffle_partitions(spark: SparkSession, rows: int | None = None):
     """Pin ``spark.sql.shuffle.partitions`` for an iterative operator's
     eager loop, then restore.
 
     The loop stages of graph/label-propagation operators shuffle tables
-    whose cardinality is per-NODE (ranks, frontiers, labels) — far
-    smaller than the session default sized for fact scans — and each
-    iteration executes eagerly (localCheckpoint / convergence counts),
-    so per-task scheduling overhead multiplies across iterations:
-    measured at sf0.1, pagerank runs 7.6 s at 32 shuffle partitions vs
-    4.0 s at 8 with identical results (bfs 3.4 s vs 2.5 s). At real
-    scale SIZE UP via SPARK_GRAFT_ITER_PARTITIONS so per-task state
-    stays in memory — the point is matching partition count to the
-    iterated table, not shrinking it. Results are partition-invariant
-    (proved by the oracle sweep at 7/5/3 partitions)."""
-    n = os.environ.get("SPARK_GRAFT_ITER_PARTITIONS", "8")
+    whose cardinality is per-NODE or per-EDGE — usually far smaller than
+    the session default sized for fact scans — and each iteration
+    executes eagerly (localCheckpoint / convergence counts), so per-task
+    scheduling overhead multiplies across iterations: measured at sf0.1,
+    pagerank runs 7.6 s at 32 shuffle partitions vs 4.0 s at 8 with
+    identical results (bfs 3.4 s vs 2.5 s).
+
+    The count is ADAPTIVE for the SCALE modes (``commutative=True`` /
+    ``broadcast=False``): the operator materializes its edge table
+    BEFORE entering the context (the derivation is a full-data shuffle
+    that belongs at session sizing — measured at sf1.0, deriving the
+    83.4M-edge co-supply list under a pinned 8 made bfs 2.5× slower),
+    counts it (one cheap probe of the cached/checkpointed blocks), and
+    passes ``rows``; the pin becomes ``clamp(rows / 2M, 8, 2048)`` — 8
+    at test SF (the measured loop optimum), growing linearly once the
+    iterated table is big enough that a fixed 8 would spill. Measured on
+    the sf1.0 graph (SCALE.md): pagerank at the fixed 8 ran 71.7 s;
+    sized to the data it runs ~23 s. The ordered/broadcast oracle-parity
+    modes — test-SF paths by design — pass no ``rows`` and keep the
+    fixed pin with lazy cache fill, so their cost profile is unchanged.
+    SPARK_GRAFT_ITER_PARTITIONS overrides everything (the
+    partition-invariance sweep uses it to prove results don't depend on
+    this knob)."""
+    env = os.environ.get("SPARK_GRAFT_ITER_PARTITIONS")
+    per_part = int(
+        os.environ.get("SPARK_GRAFT_ITER_ROWS_PER_PARTITION", ITER_ROWS_PER_PARTITION)
+    )
+    if env is not None:
+        n = env
+    elif rows is not None:
+        n = str(max(8, min(2048, -(-rows // per_part))))
+    else:
+        n = "8"
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n)
     try:
@@ -76,8 +101,24 @@ def bfs_min_hops(
     graph identically.
     """
     spark = edges.sparkSession
-    with iterative_shuffle_partitions(spark):
-        return _bfs_min_hops(spark, edges, seed, max_hops, src, dst, broadcast)
+    prepared = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .cache()
+    )
+    if broadcast:
+        # test-SF mode by design (frontier/visited ship to every task):
+        # fixed pin, derivation materializes lazily under it — unchanged
+        # cost profile
+        with iterative_shuffle_partitions(spark):
+            return _bfs_min_hops(spark, prepared, seed, max_hops, broadcast)
+    # billion-node mode: materialize + count OUTSIDE the pinned context
+    # (the edge derivation is a full-data shuffle that belongs at session
+    # sizing — measured at sf1.0, deriving under a pinned 8 made bfs 2.5×
+    # slower) and size the loop's pin from the count
+    n_edges = prepared.count()
+    with iterative_shuffle_partitions(spark, rows=n_edges):
+        return _bfs_min_hops(spark, prepared, seed, max_hops, broadcast)
 
 
 def _bfs_min_hops(
@@ -85,17 +126,10 @@ def _bfs_min_hops(
     edges: DataFrame,
     seed: int,
     max_hops: int,
-    src: str,
-    dst: str,
     broadcast: bool,
 ) -> DataFrame:
-    # the edge list is referenced once per level — persist it, or the
-    # (potentially expensive) edge derivation re-executes every level
-    edges = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .cache()
-    )
+    # ``edges`` arrives normalized (src, dst), deduplicated, and cached
+    # by the wrapper — referenced once per level without re-derivation
     try:
         # textbook frontier BFS: each level expands only the NEW nodes
         # (neighbors minus visited) and the loop stops as soon as the
@@ -186,7 +220,17 @@ def pagerank(
     driver-side literal (bounded, like the node-count probe); all other
     machinery (both numeric modes, checkpoint cadence) is shared.
     """
-    with iterative_shuffle_partitions(edges.sparkSession):
+    if not commutative:
+        # oracle-parity mode is the test-SF path by design (per-iteration
+        # broadcast + collect_list): fixed pin, unchanged cost profile
+        with iterative_shuffle_partitions(edges.sparkSession):
+            return _pagerank(edges, damping, iterations, commutative, symmetric, seeds)
+    # scale mode: cache + count OUTSIDE the pinned context — the edge
+    # derivation materializes at session sizing (right for a fact-scale
+    # join), and the count sizes the loop's pin to the data
+    edges = edges.cache()
+    n_edges = edges.count()
+    with iterative_shuffle_partitions(edges.sparkSession, rows=n_edges):
         return _pagerank(edges, damping, iterations, commutative, symmetric, seeds)
 
 
@@ -392,16 +436,19 @@ def sssp_min_dist(
     tables too big to ship — nothing need fit on one machine.
     """
     spark = edges.sparkSession
-    with iterative_shuffle_partitions(spark):
-        e = (
-            edges.select(
-                F.col(src).alias("src"),
-                F.col(dst).alias("dst"),
-                F.col(weight).cast("long").alias("w"),
-            )
-            .distinct()
-            .cache()
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("long").alias("w"),
         )
+        .distinct()
+        .cache()
+    )
+    # scale mode (broadcast=False) sizes the loop's pin from the edge
+    # count; the broadcast test-SF mode keeps the fixed pin and lazy fill
+    n_edges = None if broadcast else e.count()
+    with iterative_shuffle_partitions(spark, rows=n_edges):
         try:
             hint = F.broadcast if broadcast else (lambda df: df)
             dist = (
@@ -448,8 +495,12 @@ def hits(
     noise. The global L1 norm is ONE scalar per half-step either way
     (the ordered variant folds a collected per-node list — oracle-parity
     plumbing, not the scale path)."""
-    with iterative_shuffle_partitions(edges.sparkSession):
-        return _hits(edges, iterations, commutative)
+    prepared = edges.select("src", "dst").distinct().cache()
+    # commutative scale mode sizes the loop's pin from the edge count;
+    # the ordered oracle-parity mode keeps the fixed pin and lazy fill
+    n_edges = prepared.count() if commutative else None
+    with iterative_shuffle_partitions(edges.sparkSession, rows=n_edges):
+        return _hits(prepared, iterations, commutative)
 
 
 def _ordered_sum(df: DataFrame, key: str, val: str, out: str) -> DataFrame:
@@ -466,7 +517,9 @@ def _ordered_sum(df: DataFrame, key: str, val: str, out: str) -> DataFrame:
 
 
 def _hits(edges: DataFrame, iterations: int, commutative: bool) -> DataFrame:
-    edges = edges.select("src", "dst").distinct().cache()
+    # edges arrive normalized/deduplicated/cached from the wrapper; the
+    # extra cache() here is an idempotent no-op on the same plan
+    edges = edges.cache()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))

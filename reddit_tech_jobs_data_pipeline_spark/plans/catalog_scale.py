@@ -510,6 +510,132 @@ def incremental_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_incremental_sql(
+    num_hashes: int = 16, bands: int = 4, min_agree: int = 12
+) -> str:
+    # Two-round simulation of the foreachBatch ingest: round 1 dedups the
+    # originals against an EMPTY store (batch-internal only; survivors
+    # become the store), round 2 dedups the copies against that survivor
+    # store plus themselves. Final store = round-1 survivors ∪ round-2
+    # survivors — exactly what stream_dedup_ingest leaves on disk.
+    r = num_hashes // bands
+    mh_aggs = ",\n      ".join(
+        f"min((w1 + {i} * w2) % 4294967291) AS mh_{i}" for i in range(num_hashes)
+    )
+    band_array = ", ".join(
+        "'" + str(b) + ":' || "
+        + " || '|' || ".join(f"CAST(mh_{b * r + j} AS VARCHAR)" for j in range(r))
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN x.mh_{i} = y.mh_{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+    shw AS (
+      SELECT id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS w1,
+             ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS w2
+      FROM sh
+    ),
+    sig AS (SELECT id, {mh_aggs} FROM shw GROUP BY id),
+    orig AS (SELECT * FROM sig WHERE id < 100000),
+    batch2 AS (SELECT * FROM sig WHERE id >= 100000),
+    ostack AS (SELECT id, unnest([{band_array}]) AS bkey FROM orig),
+    o_pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM ostack a JOIN ostack b ON a.bkey = b.bkey AND a.id < b.id
+    ),
+    o_dups AS (
+      SELECT DISTINCT c.id_b AS id
+      FROM o_pairs c JOIN orig x ON x.id = c.id_a JOIN orig y ON y.id = c.id_b
+      WHERE {agree} >= {min_agree}
+    ),
+    s1 AS (SELECT * FROM orig WHERE id NOT IN (SELECT id FROM o_dups)),
+    s1stack AS (SELECT id, unnest([{band_array}]) AS bkey FROM s1),
+    bstack AS (SELECT id, unnest([{band_array}]) AS bkey FROM batch2),
+    c_store AS (
+      SELECT DISTINCT b.id AS id_a, s.id AS id_b
+      FROM bstack b JOIN s1stack s ON b.bkey = s.bkey
+    ),
+    c_batch AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bstack a JOIN bstack b ON a.bkey = b.bkey AND a.id < b.id
+    ),
+    b_dups AS (
+      SELECT DISTINCT c.id_a AS id
+      FROM c_store c JOIN batch2 x ON x.id = c.id_a JOIN s1 y ON y.id = c.id_b
+      WHERE {agree} >= {min_agree}
+      UNION
+      SELECT DISTINCT c.id_b AS id
+      FROM c_batch c JOIN batch2 x ON x.id = c.id_a JOIN batch2 y ON y.id = c.id_b
+      WHERE {agree} >= {min_agree}
+    ),
+    s2 AS (SELECT * FROM batch2 WHERE id NOT IN (SELECT id FROM b_dups))
+    SELECT id FROM s1 UNION ALL SELECT id FROM s2
+    """
+
+
+@register(
+    "streaming_incremental_dedup",
+    f"""
+    WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
+    {_streaming_incremental_sql(16, 4, 12)}
+    """,
+    tags=["streaming", "dedup", "incremental", "scale"],
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The foreachBatch incremental-dedup chain END-TO-END through the
+    real streaming engine (streaming/incremental_dedup.stream_dedup_ingest):
+    the originals arrive as micro-batch 1 (empty store → batch-internal
+    dedup, survivors persisted), the perturbed copies as micro-batch 2
+    (deduped against the persisted survivor store + themselves), and the
+    query returns the final on-disk signature store's ids. The oracle
+    simulates the two rounds in SQL over the identical hash family —
+    matching it proves the streaming composition (file ordering via
+    mtime, store append, is_new routing) preserves the batch operator's
+    exact semantics. Restart/replay exactly-once is pinned separately in
+    tests/test_streaming_incremental_dedup.py."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from reddit_tech_jobs_data_pipeline_spark.streaming.incremental_dedup import (
+        stream_dedup_ingest,
+    )
+
+    base = tempfile.mkdtemp(prefix="spark_graft_stream_dedup_")
+    src, store, ckpt = f"{base}/src", f"{base}/store", f"{base}/ckpt"
+    docs = _t(spark, sf_dir, "documents")
+    originals = docs.select(F.col("doc_id").alias("id"), "text")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("id"),
+        F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
+    )
+    originals.coalesce(1).write.mode("append").parquet(src)
+    first_files = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    copies.coalesce(1).write.mode("append").parquet(src)
+    # force deterministic micro-batch order: FileStreamSource consumes by
+    # modification time, so pin originals strictly earlier
+    now = _time.time()
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            older = f in first_files
+            os.utime(os.path.join(src, f), (now - 100 if older else now,) * 2)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream_dedup_ingest(
+        spark, src, schema, store, ckpt, max_files_per_trigger=1
+    )
+    out = spark.read.parquet(store).select("id").orderBy("id")
+    ids = out.collect()  # bounded: survivor ids only; frees the tmp dir
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(ids, "id long")
+
+
 def _incremental_e2e_sql(num_hashes: int = 16, bands: int = 4, min_agree: int = 12) -> str:
     # the daily-ingest chain: batch quality filter → PII scrub → MinHash
     # vs the store's signatures → survivors packed into token shards.
