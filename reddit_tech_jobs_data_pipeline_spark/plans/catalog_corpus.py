@@ -309,3 +309,199 @@ def revenue_gini_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = spend.agg(F.count(F.lit(1)).cast("long").alias("n"))
     return _gini_from_ranked(ranked.crossJoin(F.broadcast(n)))
+
+
+# ===========================================================================
+# URL canonicalization + domain rollup (functions/urls.py) — the
+# web-corpus hygiene stage (C4/RefinedWeb-style): dedupe by canonical
+# URL, quota by registrable domain. Documents carry no URL column, so
+# both engines synthesize the SAME deterministic raw URL per doc_id
+# (mixed-case scheme/host, default + non-default ports, tracking
+# params, fragments, trailing slashes, multi-label ccTLD hosts) — the
+# established perturbed-copies pattern.
+# ===========================================================================
+
+_RAW_URL_SQL = """
+  urls AS (
+    SELECT doc_id, source,
+      (CASE doc_id % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTPS' ELSE 'https' END)
+      || '://'
+      || (CASE doc_id % 4 WHEN 0 THEN 'WWW.Example.COM' WHEN 1 THEN 'news.Site.co.uk'
+                          WHEN 2 THEN 'cdn.Example.com' ELSE 'sub.domain.org' END)
+      || (CASE doc_id % 5 WHEN 0 THEN ':80' WHEN 1 THEN '' WHEN 2 THEN ':443'
+                          WHEN 3 THEN ':8080' ELSE '' END)
+      || (CASE (doc_id + 2) % 5 WHEN 0 THEN '/a/b/' WHEN 1 THEN '/a/b' WHEN 2 THEN '/'
+                                WHEN 3 THEN '' ELSE '/x//' END)
+      || (CASE (doc_id + 1) % 4 WHEN 0 THEN '?utm_source=x&b=2&a=1' WHEN 1 THEN '?gclid=9'
+                                WHEN 2 THEN '' ELSE '?z=1&utm_campaign=c&y=2' END)
+      || (CASE (doc_id + 1) % 3 WHEN 0 THEN '#sec' ELSE '' END)
+      AS raw_url
+    FROM documents
+  )
+"""
+
+_URL_RE_SQL = r"'^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?.*$'"
+_TRACK_RE_SQL = r"'^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid)='"
+
+_CANON_SQL = f"""
+  parts AS (
+    SELECT doc_id, source, raw_url,
+           lower(regexp_extract(raw_url, {_URL_RE_SQL}, 1)) AS scheme,
+           lower(regexp_extract(raw_url, {_URL_RE_SQL}, 2)) AS auth0,
+           regexp_replace(regexp_extract(raw_url, {_URL_RE_SQL}, 3), '/+$', '') AS path,
+           regexp_extract(raw_url, {_URL_RE_SQL}, 4) AS q
+    FROM urls
+  ),
+  canon AS (
+    SELECT doc_id, source, raw_url,
+      scheme,
+      CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
+           WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+           ELSE auth0 END AS auth,
+      path,
+      CASE WHEN len(list_filter(string_split(substr(q, 2), '&'),
+                     x -> x <> '' AND NOT regexp_matches(x, {_TRACK_RE_SQL}))) > 0
+           THEN '?' || array_to_string(
+                  list_sort(list_filter(string_split(substr(q, 2), '&'),
+                    x -> x <> '' AND NOT regexp_matches(x, {_TRACK_RE_SQL}))), '&')
+           ELSE '' END AS qc
+    FROM parts
+  ),
+  curls AS (
+    SELECT doc_id, source, raw_url,
+           scheme || '://' || auth || path || qc AS canon_url,
+           regexp_replace(regexp_replace(auth, '^[^@]*@', ''), ':[0-9]*$', '') AS host
+    FROM canon
+  ),
+  domains AS (
+    SELECT doc_id, source, raw_url, canon_url, host,
+      CASE WHEN len(string_split(host, '.')) >= 3
+            AND string_split(host, '.')[len(string_split(host, '.')) - 1]
+                IN ('co','com','org','net','ac','gov','edu')
+           THEN concat_ws('.',
+                  string_split(host, '.')[len(string_split(host, '.')) - 2],
+                  string_split(host, '.')[len(string_split(host, '.')) - 1],
+                  string_split(host, '.')[len(string_split(host, '.'))])
+           WHEN len(string_split(host, '.')) >= 2
+           THEN concat_ws('.',
+                  string_split(host, '.')[len(string_split(host, '.')) - 1],
+                  string_split(host, '.')[len(string_split(host, '.'))])
+           ELSE host END AS domain
+    FROM curls
+  )
+"""
+
+
+def _raw_urls_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    i = F.col("doc_id")
+
+    def pick(mod, options, col=i):
+        c = F.when(col % mod == 0, F.lit(options[0]))
+        for k in range(1, mod):
+            c = c.when(col % mod == k, F.lit(options[k]))
+        return c
+
+    raw = F.concat(
+        pick(3, ["http", "HTTPS", "https"]),
+        F.lit("://"),
+        pick(4, ["WWW.Example.COM", "news.Site.co.uk", "cdn.Example.com", "sub.domain.org"]),
+        pick(5, [":80", "", ":443", ":8080", ""]),
+        pick(5, ["/a/b/", "/a/b", "/", "", "/x//"], col=i + 2),
+        pick(4, ["?utm_source=x&b=2&a=1", "?gclid=9", "", "?z=1&utm_campaign=c&y=2"], col=i + 1),
+        pick(3, ["#sec", "", ""], col=i + 1),
+    )
+    return _t(spark, sf_dir, "documents").select("doc_id", "source", raw.alias("raw_url"))
+
+
+@register(
+    "url_canonicalize_battery",
+    f"""
+    WITH {_RAW_URL_SQL}, {_CANON_SQL}
+    SELECT doc_id, raw_url, canon_url, host, domain
+    FROM domains WHERE doc_id < 120
+    """,
+    tags=["corpus", "urls"],
+)
+def url_canonicalize_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every canonicalization rule exercised and cross-engine-pinned:
+    case folding, default-port stripping (http:80 and https:443 strip,
+    https:80/:8080 survive), fragment drop, tracking-param removal with
+    byte-order param sort, trailing-slash trim, and the registrable-
+    domain heuristic incl. the co.uk allowlist branch. Pure Catalyst —
+    the plan is a single narrow projection."""
+    from reddit_tech_jobs_data_pipeline_spark.functions import urls as U
+
+    raw = _raw_urls_df(spark, sf_dir).filter(F.col("doc_id") < 120)
+    host = U.url_host(F.col("raw_url"))
+    return raw.select(
+        "doc_id",
+        "raw_url",
+        U.canonicalize_url(F.col("raw_url")).alias("canon_url"),
+        host.alias("host"),
+        U.registrable_domain(host).alias("domain"),
+    )
+
+
+@register(
+    "canonical_url_dedup",
+    f"""
+    WITH {_RAW_URL_SQL}, {_CANON_SQL}
+    SELECT canon_url, count(*) AS n_docs, min(doc_id) AS keeper_doc
+    FROM domains GROUP BY canon_url
+    """,
+    tags=["corpus", "urls", "dedup"],
+)
+def canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup: group by CANONICAL url (raw variants that
+    differ only by case/port/params/fragment/slashes collapse together),
+    keeper = min doc_id — the pre-text web-corpus dedup pass. One
+    hash-shuffle groupBy on the canonical string; at 100 TB this is the
+    cheapest dedup stage and runs before any shingling touches text."""
+    from reddit_tech_jobs_data_pipeline_spark.functions import urls as U
+
+    raw = _raw_urls_df(spark, sf_dir)
+    return (
+        raw.select("doc_id", U.canonicalize_url(F.col("raw_url")).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+    )
+
+
+@register(
+    "domain_doc_rollup",
+    f"""
+    WITH {_RAW_URL_SQL}, {_CANON_SQL}
+    SELECT domain, count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources,
+           count(DISTINCT canon_url) AS n_urls
+    FROM domains GROUP BY domain
+    """,
+    tags=["corpus", "urls"],
+)
+def domain_doc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain rollup — the unit of per-site quotas and
+    blocklists in web-corpus curation. Aggregates shuffle on the
+    low-cardinality domain key with map-side partial aggregation;
+    hot-domain skew is the known risk and the two-phase salted agg
+    (salted_agg_equivalence) is the mitigation at 100 TB."""
+    from reddit_tech_jobs_data_pipeline_spark.functions import urls as U
+
+    raw = _raw_urls_df(spark, sf_dir)
+    host = U.url_host(F.col("raw_url"))
+    canon = U.canonicalize_url(F.col("raw_url"))
+    return (
+        raw.select(
+            "source",
+            canon.alias("canon_url"),
+            U.registrable_domain(host).alias("domain"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.countDistinct("canon_url").alias("n_urls"),
+        )
+    )
