@@ -1,0 +1,115 @@
+"""Mixture-weighted corpus composition: allocate a global token budget
+across sources by target weights — the domain-mixing stage of a
+training-data pipeline (Pile/Dolma-style "X% web, Y% code, Z% papers"),
+bounded by what each source actually has.
+
+The allocation is EXACT WATER-FILLING: find the single threshold ``t``
+such that ``Σ_i min(avail_i, w_i·t) = budget``. Sources whose whole
+inventory fits under ``w_i·t`` are capped (they contribute everything);
+the rest get tokens proportional to their weight. Closed form via
+sorting — no iteration: with sources sorted ascending by
+``r_i = avail_i / w_i``, hypothesize that the first ``j−1`` are capped;
+then ``t_j = (budget − Σ_{i<j} avail_i) / Σ_{i≥j} w_i``, and exactly one
+``j`` satisfies ``r_{j−1} ≤ t_j ≤ r_j`` (the water level is monotone).
+If the budget exceeds total inventory, every source is capped.
+
+Scale note: the threshold solve runs on the PER-SOURCE totals table —
+one row per source (tens, not billions) — so its global-order window is
+a bounded K-row computation, the same license as the k-means K-row
+centroid fold (documented, deliberate). Everything per-document (token
+counts, per-source running prefixes, the final selection) shuffles only
+on the source key with map-side combines. Allocations floor ``w·t`` to
+whole tokens; both engines compute the identical double ``t`` from the
+identical integer operands, so the floor is cross-engine deterministic
+(integer-exact-operand class, see catalog playbook).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def waterfill_threshold(totals: DataFrame, budget_col: str = "budget") -> DataFrame:
+    """Input: one row per source with ``source``, ``avail`` (long),
+    ``w`` (long), and a constant ``budget`` column. Output: the input
+    plus ``alloc`` (long) — min(avail, floor(w·t)) at the solved
+    threshold, or ``avail`` for every source when budget ≥ Σ avail."""
+    k_win = Window.orderBy((F.col("avail") / F.col("w")), F.col("source"))
+    ordered = totals.select(
+        "source",
+        "avail",
+        "w",
+        F.col(budget_col).alias("__b"),
+        (F.col("avail") / F.col("w")).alias("__r"),
+        F.row_number().over(k_win).alias("__j"),
+    )
+    cum = ordered.select(
+        "*",
+        F.coalesce(
+            F.sum("avail").over(k_win.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        ).alias("__a_before"),
+        F.sum("w")
+        .over(k_win.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        .alias("__w_from"),
+        F.lag("__r").over(k_win).alias("__r_prev"),
+    )
+    t_j = (F.col("__b") - F.col("__a_before")) / F.col("__w_from")
+    valid = (
+        (t_j <= F.col("__r"))
+        & (F.col("__r_prev").isNull() | (t_j >= F.col("__r_prev")))
+    )
+    t_row = cum.agg(F.max(F.when(valid, t_j)).alias("__t"))
+    out = cum.crossJoin(F.broadcast(t_row))
+    alloc = F.when(
+        F.col("__t").isNull(), F.col("avail")  # budget ≥ total inventory
+    ).otherwise(
+        F.least(
+            F.col("avail"), F.floor(F.col("w") * F.col("__t")).cast("long")
+        )
+    )
+    return out.select("source", "avail", "w", alloc.alias("alloc"))
+
+
+def mixture_select(
+    docs: DataFrame,
+    allocations: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tok_col: str = "n_tok",
+) -> DataFrame:
+    """Greedy per-source prefix selection under each source's
+    allocation: documents in deterministic ``id_col`` order are taken
+    while the source's running token total stays ≤ its ``alloc``.
+    Returns the per-source realization: (source, w, avail, alloc,
+    n_docs_sel, tokens_sel). The running prefix is a window partitioned
+    by source — distributed, never global."""
+    s_win = (
+        Window.partitionBy(source_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = docs.select(
+        source_col, id_col, tok_col, F.sum(tok_col).over(s_win).alias("__cum")
+    )
+    sel = (
+        cum.join(allocations.select(source_col, "alloc"), source_col)
+        .filter(F.col("__cum") <= F.col("alloc"))
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_sel"),
+            F.sum(tok_col).cast("long").alias("tokens_sel"),
+        )
+    )
+    return (
+        allocations.join(sel, source_col, "left")
+        .select(
+            source_col,
+            "w",
+            "avail",
+            "alloc",
+            F.coalesce("n_docs_sel", F.lit(0)).cast("long").alias("n_docs_sel"),
+            F.coalesce("tokens_sel", F.lit(0).cast("long")).alias("tokens_sel"),
+        )
+    )

@@ -379,3 +379,101 @@ def ivf_materialized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_index_topk(
         spark, path, emb.filter(F.col("vec_id") < 20), cents, k=5, nprobe=2
     )
+
+
+# ===========================================================================
+# Mixture-weighted corpus composition (operators/mixture.py): exact
+# water-filling of a global token budget across sources by target
+# weight, capped by per-source inventory — the domain-mixing stage of a
+# training corpus. Weights derive deterministically from the source id;
+# budget = 50% of total inventory, so some sources cap (their whole
+# inventory fits under w·t) and others are weight-limited at every SF.
+# ===========================================================================
+
+_MIXTURE_SQL = r"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             length(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                x -> x <> '')) AS n_tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    totals AS (
+      SELECT source, CAST(sum(n_tok) AS BIGINT) AS avail,
+             (CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 4) + 1 AS w
+      FROM toks GROUP BY source
+    ),
+    b AS (SELECT CAST(floor(sum(avail) * 0.5) AS BIGINT) AS budget FROM totals),
+    cum AS (
+      SELECT t.*, b.budget,
+        CAST(avail AS DOUBLE) / w AS r,
+        coalesce(sum(avail) OVER (ORDER BY CAST(avail AS DOUBLE) / w, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a_before,
+        sum(w) OVER (ORDER BY CAST(avail AS DOUBLE) / w, source
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS w_from,
+        lag(CAST(avail AS DOUBLE) / w) OVER (ORDER BY CAST(avail AS DOUBLE) / w,
+                                             source) AS r_prev
+      FROM totals t CROSS JOIN b
+    ),
+    tv AS (
+      SELECT max(CASE WHEN (budget - a_before) / w_from <= r
+                       AND (r_prev IS NULL OR (budget - a_before) / w_from >= r_prev)
+                 THEN (budget - a_before) / w_from END) AS t
+      FROM cum
+    ),
+    alloc AS (
+      SELECT c.source, c.avail, c.w,
+             CASE WHEN tv.t IS NULL THEN c.avail
+                  ELSE least(c.avail, CAST(floor(c.w * tv.t) AS BIGINT)) END AS alloc
+      FROM cum c CROSS JOIN tv
+    ),
+    cumdoc AS (
+      SELECT source, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cm
+      FROM toks
+    ),
+    sel AS (
+      SELECT c.source, count(*) AS n_docs_sel, CAST(sum(c.n_tok) AS BIGINT) AS tokens_sel
+      FROM cumdoc c JOIN alloc a ON a.source = c.source
+      WHERE c.cm <= a.alloc
+      GROUP BY c.source
+    )
+    SELECT a.source, a.w, a.avail, a.alloc,
+           CAST(coalesce(s.n_docs_sel, 0) AS BIGINT) AS n_docs_sel,
+           coalesce(s.tokens_sel, 0) AS tokens_sel
+    FROM alloc a LEFT JOIN sel s ON s.source = a.source
+"""
+
+
+@register(
+    "corpus_mixture_waterfill",
+    _MIXTURE_SQL,
+    tags=["sampling", "corpus", "mixture", "scale"],
+)
+def corpus_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing allocation + greedy per-source realization (see
+    operators/mixture.py for the water-filling math and the K-row
+    boundedness license). Weights (source-id % 4) + 1; budget = 50% of
+    total inventory. The oracle solves the identical closed form in
+    SQL; allocations are integer-exact (floor of an identically-derived
+    double), so the whole result hash-matches."""
+    from reddit_tech_jobs_data_pipeline_spark.functions import text as textfn
+    from reddit_tech_jobs_data_pipeline_spark.operators import mixture
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "source", "doc_id", textfn.token_count(F.col("text")).alias("n_tok")
+    )
+    totals = toks.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("avail")
+    ).withColumn(
+        "w",
+        (F.regexp_extract(F.col("source"), "([0-9]+)", 1).cast("long") % 4) + 1,
+    )
+    budget = totals.agg(
+        F.floor(F.sum("avail") * 0.5).cast("long").alias("budget")
+    )
+    allocs = mixture.waterfill_threshold(
+        totals.crossJoin(F.broadcast(budget)), "budget"
+    )
+    return mixture.mixture_select(toks, allocs)

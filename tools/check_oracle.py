@@ -73,15 +73,26 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(list(out.columns)).reset_index(drop=True)
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("check_oracle")
+def _fresh_con(sf_dir: str):
+    """A fresh in-memory DuckDB with the testdata views registered.
+
+    One connection PER QUERY, not per run: DuckDB's buffer pool
+    accumulates across a ~190-query session and the heavy unrolled
+    graph oracles (personalized pagerank / HITS at sf0.1) then die with
+    Out of Memory late in the run, even though each passes alone.
+    Views are lazy over parquet, so reconnecting costs nothing."""
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf_dir, t + '.parquet')}'"
         )
+    return con
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("check_oracle")
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     if only:
@@ -103,7 +114,9 @@ def main() -> int:
             print(f"ROWS-ONLY {name}: {len(spark_pd)} rows")
             continue
         try:
+            con = _fresh_con(sf_dir)
             duck_pd = con.sql(oracles[name]).df()
+            con.close()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
