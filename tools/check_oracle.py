@@ -80,8 +80,21 @@ def _fresh_con(sf_dir: str):
     accumulates across a ~190-query session and the heavy unrolled
     graph oracles (personalized pagerank / HITS at sf0.1) then die with
     Out of Memory late in the run, even though each passes alone.
-    Views are lazy over parquet, so reconnecting costs nothing."""
+    Views are lazy over parquet, so reconnecting costs nothing.
+
+    The explicit memory cap + spill dir keep the heavy oracles from
+    racing the (large) Spark JVM for the last of the host's RAM —
+    DuckDB's default limit is 80% of physical memory, which the JVM is
+    already holding part of."""
     con = duckdb.connect()
+    # 64 GB: enough that the heaviest oracle (unrolled personalized
+    # pagerank at sf0.1, ~50 GB peak) runs in memory — a tighter cap
+    # forces >40 GB of spill, which outgrows the disk; the temp dir is
+    # the overflow valve, not the plan
+    con.sql("SET memory_limit='64GB'")
+    # per-process spill dir: concurrent check_oracle runs must never
+    # share (or delete) each other's temp storage
+    con.sql(f"SET temp_directory='/tmp/duckdb_oracle_spill_{os.getpid()}'")
     for t in TESTDATA_TABLES:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf_dir, t + '.parquet')}'"

@@ -41,6 +41,8 @@ DEFAULT_QUERIES = [
     "token_budget_packing_scale",
     "incremental_minhash_ingest",
     "incremental_corpus_daily_e2e",
+    "corpus_mixture_waterfill",
+    "canonical_url_dedup",
 ]
 
 
