@@ -658,6 +658,16 @@ def edit_distance_near_dup_pairs(
     d. The union is lossless: gram-path candidates are restricted to
     pairs with max length > q−1+q·d (where the theorem holds), the short
     path covers the rest, and the two sets are disjoint by construction.
+    COST BOUND: the short path has no content-based blocking — within
+    each ±d length band it is ALL-PAIRS, O(m²/bands) candidates for m
+    short strings (at q=3, d=3 every string ≤ 11 chars joins
+    quadratically per band). That is the price of losslessness where the
+    gram theorem is vacuous; each verify is O(short_len²) ≈ constant,
+    but a corpus dominated by short ids/titles should pre-dedup exact
+    matches first (hash groupBy) or lower ``max_dist``/``q`` so
+    short_len shrinks — the quadratic band is in candidate COUNT, and no
+    cheap prefix block is lossless here (a single edit can change any
+    character, including the first).
 
     SKEW GUARD: the gram join fans out quadratically on hot q-grams
     exactly like shingles. ``max_gram_df`` drops any gram whose document

@@ -31,10 +31,20 @@ from pyspark.sql import functions as F
 
 
 def waterfill_threshold(totals: DataFrame, budget_col: str = "budget") -> DataFrame:
-    """Input: one row per source with ``source``, ``avail`` (long),
-    ``w`` (long), and a constant ``budget`` column. Output: the input
-    plus ``alloc`` (long) — min(avail, floor(w·t)) at the solved
-    threshold, or ``avail`` for every source when budget ≥ Σ avail."""
+    """Input: one row per source with ``source``, ``avail`` (long,
+    ≥ 0), ``w`` (long), and a constant ``budget`` column. Output: the
+    input plus ``alloc`` (long) — min(avail, floor(w·t)) at the solved
+    threshold, or ``avail`` for every source when budget ≥ Σ avail.
+
+    Degenerate inputs are handled, not assumed away: sources with
+    ``w ≤ 0`` take no part in the solve and get ``alloc = 0`` (a
+    zero-weight source is "don't sample this"); a ``budget ≤ 0`` yields
+    ``alloc = 0`` everywhere (the floor can go negative there, so the
+    result is clamped)."""
+    nonpos = totals.filter(
+        (F.col("w") <= 0) | F.col("w").isNull()
+    ).select("source", "avail", "w", F.lit(0).cast("long").alias("alloc"))
+    totals = totals.filter(F.col("w") > 0)
     k_win = Window.orderBy((F.col("avail") / F.col("w")), F.col("source"))
     ordered = totals.select(
         "source",
@@ -42,7 +52,6 @@ def waterfill_threshold(totals: DataFrame, budget_col: str = "budget") -> DataFr
         "w",
         F.col(budget_col).alias("__b"),
         (F.col("avail") / F.col("w")).alias("__r"),
-        F.row_number().over(k_win).alias("__j"),
     )
     cum = ordered.select(
         "*",
@@ -65,11 +74,15 @@ def waterfill_threshold(totals: DataFrame, budget_col: str = "budget") -> DataFr
     alloc = F.when(
         F.col("__t").isNull(), F.col("avail")  # budget ≥ total inventory
     ).otherwise(
-        F.least(
-            F.col("avail"), F.floor(F.col("w") * F.col("__t")).cast("long")
+        F.greatest(  # clamp: budget ≤ 0 makes floor(w·t) negative
+            F.lit(0).cast("long"),
+            F.least(
+                F.col("avail"), F.floor(F.col("w") * F.col("__t")).cast("long")
+            ),
         )
     )
-    return out.select("source", "avail", "w", alloc.alias("alloc"))
+    solved = out.select("source", "avail", "w", alloc.alias("alloc"))
+    return solved.unionByName(nonpos)
 
 
 def mixture_select(

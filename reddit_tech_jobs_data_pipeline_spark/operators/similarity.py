@@ -95,6 +95,13 @@ def brute_force_topk_arrow(
     (brute_force_topk), which never materializes the query set on the
     driver.
 
+    BROADCAST LIFETIME: the returned DataFrame is lazy, so the broadcast
+    variable cannot be destroyed eagerly here — it lives until the
+    SparkContext ends. A caller looping over many query batches should
+    materialize each result and then call ``.unpersist(blocking=False)``
+    on the handle returned via the DataFrame's ``._q_broadcast``
+    attribute to release executor-side blocks between iterations.
+
     When to prefer this over the Catalyst ``F.aggregate`` fold: wide
     vectors × many queries, where a BLAS GEMM over an Arrow batch beats
     per-element codegen'd folds. Scoring is float64 like the column
@@ -152,11 +159,15 @@ def brute_force_topk_arrow(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
-    return (
+    out = (
         partial.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("__rn").cast("long").alias("rank"))
     )
+    # expose the broadcast handle so batch-looping callers can
+    # unpersist(blocking=False) after materializing (see docstring)
+    out._q_broadcast = bc
+    return out
 
 
 def standardize_embeddings(

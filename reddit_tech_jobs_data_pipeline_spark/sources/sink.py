@@ -133,11 +133,19 @@ def purge_keys(spark: SparkSession, path: str, keys: DataFrame, key_col: str = "
     staging = path.rstrip("/") + "__purge_staging"
     kept.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(staging)
     staged_vals = _partition_values(spark, staging)
-    emptied = [v for v in touched if str(v) not in staged_vals]
+    # compare ESCAPED dir names on both sides: Spark percent-escapes
+    # special characters (space, ':', '/') in partition directory values,
+    # so a raw str(v) comparison would misclassify any escaping-needing
+    # value as emptied and then delete the wrong (unescaped) path
+    emptied = [
+        e
+        for e in (_escape_partition_value(spark, v) for v in touched)
+        if e not in staged_vals
+    ]
     if staged_vals:
         _dynamic_overwrite(spark, staging, path)
-    for v in emptied:
-        _fs_delete(spark, f"{path.rstrip('/')}/{PARTITION_COL}={v}")
+    for e in emptied:
+        _fs_delete(spark, f"{path.rstrip('/')}/{PARTITION_COL}={e}")
     _rm(staging)
     spark.catalog.refreshByPath(path)
     # explicit schema: a fully-emptied table has no files to infer from
@@ -182,6 +190,15 @@ def _partition_values(spark: SparkSession, path: str) -> set[str]:
         if status.isDirectory() and "=" in name:
             vals.add(name.split("=", 1)[1])
     return vals
+
+
+def _escape_partition_value(spark: SparkSession, v) -> str:
+    """Spark's own partition-directory encoding for a value — the same
+    `ExternalCatalogUtils.escapePathName` the writer uses, so names built
+    here always match what `partitionBy` put on disk."""
+    return spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(
+        str(v)
+    )
 
 
 def _fs_delete(spark: SparkSession, path: str) -> None:

@@ -30,6 +30,7 @@ parquet scan of (id, mh_0..mh_k) only.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -37,6 +38,24 @@ from reddit_tech_jobs_data_pipeline_spark.operators.dedup import (
     incremental_lsh_ingest,
     minhash_signatures,
 )
+
+
+def _is_missing_path(e: AnalysisException) -> bool:
+    """True iff the AnalysisException is the path-does-not-exist case
+    (the only failure a first batch legitimately produces)."""
+    cond = None
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(e, attr, None)
+        if fn is not None:
+            try:
+                cond = fn()
+            except Exception:  # noqa: BLE001 — accessor shape varies by version
+                cond = None
+            if cond:
+                break
+    if cond is not None:
+        return "PATH_NOT_FOUND" in cond
+    return "Path does not exist" in str(e)
 
 
 def _sig_schema(num_hashes: int) -> T.StructType:
@@ -79,7 +98,14 @@ def stream_dedup_ingest(
             # force the existence check now — an empty/missing dir only
             # fails lazily, inside the join, otherwise
             store.isEmpty()
-        except Exception:  # first batch: no store yet  # noqa: BLE001
+        except AnalysisException as e:
+            # ONLY the first-batch missing-store case may fall back to an
+            # empty store; any other read failure (permissions, corrupt
+            # footer, transient FS error) must fail the batch — silently
+            # treating it as "no store" would reset dedup state and append
+            # duplicate signatures permanently.
+            if not _is_missing_path(e):
+                raise
             store = sig.limit(0)
         out = incremental_lsh_ingest(store, sig, num_hashes, bands, min_agree)
         survivors = sig.join(

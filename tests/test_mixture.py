@@ -48,6 +48,54 @@ def test_waterfill_total_never_exceeds_budget(spark):
             assert sum(got.values()) >= budget - len(rows)
 
 
+def test_waterfill_k1_single_source(spark):
+    assert _alloc(spark, [("a", 500, 3)], 200) == {"a": 200}
+    assert _alloc(spark, [("a", 500, 3)], 900) == {"a": 500}  # capped
+
+
+def test_waterfill_zero_and_negative_weight_sources(spark):
+    # w ≤ 0 (and null w) sources get alloc 0 and do NOT absorb budget
+    got = _alloc(
+        spark,
+        [("a", 1000, 1), ("z", 1000, 0), ("n", 1000, -2), ("b", 1000, 2)],
+        30,
+    )
+    assert got == {"a": 10, "b": 20, "z": 0, "n": 0}
+
+
+def test_waterfill_null_weight_rows_survive_with_zero_alloc(spark):
+    totals = spark.createDataFrame(
+        [("a", 1000, 1), ("x", 1000, None)], "source string, avail long, w long"
+    ).withColumn("budget", F.lit(30).cast("long"))
+    got = {
+        r.source: r.alloc
+        for r in mixture.waterfill_threshold(totals, "budget").collect()
+    }
+    assert got == {"a": 30, "x": 0}
+
+
+def test_waterfill_nonpositive_budget_clamps_to_zero(spark):
+    for budget in (0, -50):
+        got = _alloc(spark, [("a", 100, 1), ("b", 100, 2)], budget)
+        assert got == {"a": 0, "b": 0}
+
+
+def test_waterfill_10k_sources_invariants(spark):
+    """The K-row window license at realistic K: 10k sources, invariants
+    Σalloc ≤ min(budget, Σavail), caps respected, floor slack ≤ K."""
+    rows = [
+        (f"s{i}", (i * 7919) % 10_000 + 1, (i % 5) + 1) for i in range(10_000)
+    ]
+    total_avail = sum(a for _, a, _ in rows)
+    budget = total_avail // 3
+    got = _alloc(spark, rows, budget)
+    assert len(got) == 10_000
+    avail = {s: a for s, a, _ in rows}
+    assert all(0 <= got[s] <= avail[s] for s in got)
+    assert sum(got.values()) <= budget
+    assert sum(got.values()) >= budget - len(rows)  # floor slack bound
+
+
 def test_mixture_select_respects_allocations(spark):
     docs = spark.createDataFrame(
         [("a", i, 10) for i in range(10)] + [("b", i, 10) for i in range(10)],

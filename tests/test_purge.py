@@ -102,3 +102,23 @@ def test_purge_is_idempotent(spark, tmp_path):
     assert sink.purge_keys(spark, path, keys) == 1
     assert sink.purge_keys(spark, path, keys) == 0
     assert spark.read.parquet(path).count() == 2
+
+
+def test_purge_emptied_partition_with_escaping_value(spark, tmp_path, monkeypatch):
+    """Partition values that Spark percent-escapes on disk (space, ':')
+    must still be detected as emptied and deleted by their REAL
+    (escaped) directory name — raw str(v) comparison would miss both."""
+    monkeypatch.setattr(sink, "PARTITION_COL", "cat")
+    path = str(tmp_path / "gold_esc")
+    spark.createDataFrame(
+        [("k1", "a b:c"), ("k2", "a b:c"), ("k3", "plain")],
+        "post_id string, cat string",
+    ).write.partitionBy("cat").parquet(path)
+    on_disk = {d for d in os.listdir(path) if d.startswith("cat=")}
+    assert "cat=a b:c" not in on_disk  # precondition: value IS escaped
+
+    keys = spark.createDataFrame([("k1",), ("k2",)], "post_id string")
+    assert sink.purge_keys(spark, path, keys) == 2
+    dirs = {d for d in os.listdir(path) if d.startswith("cat=")}
+    assert dirs == {"cat=plain"}  # emptied escaped dir really deleted
+    assert {r.post_id for r in spark.read.parquet(path).collect()} == {"k3"}

@@ -79,6 +79,43 @@ def test_survivors_only_store_and_exactly_once_restart(spark, tmp_path):
     assert spark.read.parquet(store).count() == 3
 
 
+def test_corrupt_store_fails_batch_instead_of_resetting(spark, tmp_path):
+    """A store-read failure that is NOT missing-path (here: a corrupt
+    parquet footer) must fail the batch — falling back to an empty store
+    would silently reset dedup state and append duplicates forever."""
+    import pytest
+
+    src, store, ckpt = _run(spark, tmp_path)
+    _write_docs(spark, src, [(1, DUP_TEXT)], "f1")
+    os.makedirs(store, exist_ok=True)
+    with open(os.path.join(store, "part-corrupt.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+    with pytest.raises(Exception) as exc_info:
+        stream_dedup_ingest(spark, src, DOC_SCHEMA, store, ckpt)
+    # the failure must NOT be swallowed into the first-batch path; the
+    # store dir must still hold only our corrupt file (no append happened)
+    assert os.listdir(store) == ["part-corrupt.parquet"]
+    assert "PATH_NOT_FOUND" not in str(exc_info.value)
+
+
+def test_missing_path_detection_is_narrow(spark):
+    """_is_missing_path: true only for the path-not-found condition."""
+    from reddit_tech_jobs_data_pipeline_spark.streaming.incremental_dedup import (
+        _is_missing_path,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as exc_info:
+        spark.read.parquet("/nonexistent/definitely/missing").collect()
+    assert _is_missing_path(exc_info.value)
+
+    class FakeExc(Exception):
+        def getCondition(self):
+            return "UNABLE_TO_FETCH_HIVE_TABLES"
+
+    assert not _is_missing_path(FakeExc("boom"))
+
+
 def test_new_files_after_restart_are_ingested_incrementally(spark, tmp_path):
     src, store, ckpt = _run(spark, tmp_path)
     _write_docs(spark, src, [(1, DUP_TEXT), (3, UNIQUE_3)], "f1")
