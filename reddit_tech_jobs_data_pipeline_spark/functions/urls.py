@@ -20,11 +20,14 @@ Canonicalization rules (documented contract, applied in order):
 
 Registrable-domain extraction uses the last-two-labels heuristic with a
 small second-level allowlist (``co|com|org|net|ac|gov|edu`` → take three
-labels, e.g. ``news.site.co.uk`` → ``site.co.uk``). The real Public
-Suffix List is a data file, not an algorithm — at production scale it
-would be a broadcast lookup table joined on the candidate suffixes; the
-heuristic is the dependency-free stand-in and its divergences (e.g.
-multi-part ccTLDs outside the allowlist) are accepted and documented.
+labels, e.g. ``news.site.co.uk`` → ``site.co.uk``). Atomic hosts —
+single-label (``localhost``), bare IPv4, bracketed IPv6 — bypass the
+heuristic and roll up as themselves. The real Public Suffix List is a
+data file, not an algorithm — at production scale it is a broadcast
+lookup table joined on candidate suffixes (``registrable_domain_psl``
+below is exactly that); the heuristic is the dependency-free default
+and its divergences (e.g. multi-part ccTLDs outside the allowlist) are
+accepted and documented.
 
 At 100 TB: canonicalization is a narrow projection (no shuffle);
 URL-level dedup is one hash-shuffle groupBy on the canonical string;
@@ -40,6 +43,7 @@ from pyspark.sql import functions as F
 URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?.*$"
 TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid)="
 SECOND_LEVEL = ["co", "com", "org", "net", "ac", "gov", "edu"]
+IPV4_RE = r"^\d{1,3}(\.\d{1,3}){3}$"
 
 
 def url_scheme(url: Column) -> Column:
@@ -84,20 +88,88 @@ def canonicalize_url(url: Column) -> Column:
     )
 
 
-def registrable_domain(host: Column) -> Column:
-    """Last-two-labels heuristic with the SECOND_LEVEL allowlist (see
-    module docstring for the accepted divergence vs the real PSL)."""
+def registrable_domain_psl(
+    df, host_col: str, psl, out_col: str = "domain", max_suffix_labels: int | None = None
+):
+    """PSL-as-data registrable-domain extraction: ``psl`` is a DataFrame
+    with one ``suffix`` column (public suffixes, e.g. ``com``, ``co.uk``,
+    ``nagoya.jp`` — load the real Public Suffix List at production; any
+    subset works). Longest-match semantics via CHAINED BROADCAST LEFT
+    JOINS, one per suffix depth from deepest to shallowest: at depth d
+    the host's trailing-d-label string is equi-joined against the
+    depth-d suffixes, and the registrable domain is taken from the
+    deepest depth that matched (suffix + one preceding label). Hosts
+    matching no suffix — and hosts that ARE a bare public suffix (no
+    label left to register) — fall back to the ``registrable_domain``
+    heuristic, which also handles atomic hosts (IPv4/IPv6/single-label).
+
+    100 TB shape: zero shuffles and zero explodes on the corpus side —
+    the PSL (~10k rows) is collected once at plan time to size the
+    depth chain, and each depth's slice is broadcast; the corpus flows
+    through d broadcast hash joins as a narrow pipeline. Depth chain
+    length = max labels in any PSL suffix (capped by
+    ``max_suffix_labels`` if given; real-PSL max is 5)."""
+    depth_col = F.size(F.split(F.col("suffix"), r"\."))
+    max_d = psl.agg(F.max(depth_col)).first()[0] or 1
+    if max_suffix_labels is not None:
+        max_d = min(max_d, max_suffix_labels)
+    host = F.col(host_col)
     labels = F.split(host, r"\.")
     n = F.size(labels)
+    out = df
+    for d in range(max_d, 0, -1):
+        suffixes_d = (
+            psl.filter(depth_col == d)
+            .select(F.col("suffix").alias(f"__psl_{d}"))
+            .distinct()
+        )
+        # trailing-d-label string; only meaningful (and only joinable)
+        # when at least one label precedes the suffix
+        trail = F.when(
+            n > d, F.concat_ws(".", F.slice(labels, n - d + 1, d))
+        )
+        out = out.join(
+            F.broadcast(suffixes_d), on=trail == F.col(f"__psl_{d}"), how="left"
+        )
+    matched = None
+    for d in range(max_d, 0, -1):
+        reg_d = F.concat_ws(".", F.slice(labels, n - d, d + 1))
+        matched = (
+            F.when(F.col(f"__psl_{d}").isNotNull(), reg_d)
+            if matched is None
+            else matched.when(F.col(f"__psl_{d}").isNotNull(), reg_d)
+        )
+    domain = matched.otherwise(registrable_domain(host))
+    return out.withColumn(out_col, domain).drop(
+        *[f"__psl_{d}" for d in range(1, max_d + 1)]
+    )
+
+
+def registrable_domain(host: Column) -> Column:
+    """Last-two-labels heuristic with the SECOND_LEVEL allowlist (see
+    module docstring for the accepted divergence vs the real PSL).
+
+    Atomic hosts bypass the label heuristic entirely: bare IPv4
+    addresses (a "registrable domain" of ``3.4`` would poison any
+    per-domain quota), bracketed IPv6 authorities (``[2001:db8::1]`` —
+    never label-structured), and single-label hosts (``localhost``) all
+    roll up as themselves. The atomic guard is the FIRST branch of the
+    CASE, so the ``element_at(labels, n-1)`` suffix arithmetic is only
+    ever evaluated for rows with >= 2 labels — conditional-branch
+    evaluation is the load-bearing guarantee, pinned by tests and the
+    url_canonicalize_battery oracle rows."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    atomic = host.startswith("[") | host.rlike(IPV4_RE) | (n < 2)
     second = F.element_at(labels, n - 1)
     take3 = (n >= 3) & second.isin(SECOND_LEVEL)
-    return F.when(
-        take3,
-        F.concat_ws(
-            ".", F.element_at(labels, n - 2), second, F.element_at(labels, n)
-        ),
-    ).otherwise(
+    return F.when(atomic, host).otherwise(
         F.when(
-            n >= 2, F.concat_ws(".", F.element_at(labels, n - 1), F.element_at(labels, n))
-        ).otherwise(host)
+            take3,
+            F.concat_ws(
+                ".", F.element_at(labels, n - 2), second, F.element_at(labels, n)
+            ),
+        ).otherwise(
+            F.concat_ws(".", F.element_at(labels, n - 1), F.element_at(labels, n))
+        )
     )

@@ -78,6 +78,7 @@ def brute_force_topk_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_broadcast_queries: int = 10_000,
+    broadcast_out: list | None = None,
 ) -> DataFrame:
     """``mapInArrow`` variant of brute_force_topk — identical output.
 
@@ -98,9 +99,15 @@ def brute_force_topk_arrow(
     BROADCAST LIFETIME: the returned DataFrame is lazy, so the broadcast
     variable cannot be destroyed eagerly here — it lives until the
     SparkContext ends. A caller looping over many query batches should
-    materialize each result and then call ``.unpersist(blocking=False)``
-    on the handle returned via the DataFrame's ``._q_broadcast``
-    attribute to release executor-side blocks between iterations.
+    pass ``broadcast_out=[]``: the Broadcast handle is APPENDED to that
+    list (out-of-band — empty when the distributed fallback ran and no
+    broadcast was made), and after materializing the result the caller
+    calls ``handle.unpersist(blocking=False)`` to release executor-side
+    blocks between iterations. (The legacy ``._q_broadcast`` attribute is
+    also still set, but it lives only on the DIRECTLY returned DataFrame
+    object — any further transformation returns a new DataFrame without
+    it, and accessing it there raises DataFrame.__getattr__'s
+    unresolved-column error — prefer ``broadcast_out``.)
 
     When to prefer this over the Catalyst ``F.aggregate`` fold: wide
     vectors × many queries, where a BLAS GEMM over an Arrow batch beats
@@ -166,6 +173,8 @@ def brute_force_topk_arrow(
     )
     # expose the broadcast handle so batch-looping callers can
     # unpersist(blocking=False) after materializing (see docstring)
+    if broadcast_out is not None:
+        broadcast_out.append(bc)
     out._q_broadcast = bc
     return out
 

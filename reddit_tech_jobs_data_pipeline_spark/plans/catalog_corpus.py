@@ -326,8 +326,10 @@ _RAW_URL_SQL = """
     SELECT doc_id, source,
       (CASE doc_id % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTPS' ELSE 'https' END)
       || '://'
-      || (CASE doc_id % 4 WHEN 0 THEN 'WWW.Example.COM' WHEN 1 THEN 'news.Site.co.uk'
-                          WHEN 2 THEN 'cdn.Example.com' ELSE 'sub.domain.org' END)
+      || (CASE doc_id % 7 WHEN 0 THEN 'WWW.Example.COM' WHEN 1 THEN 'news.Site.co.uk'
+                          WHEN 2 THEN 'cdn.Example.com' WHEN 3 THEN 'sub.domain.org'
+                          WHEN 4 THEN 'localhost' WHEN 5 THEN '192.168.0.3'
+                          ELSE '[2001:DB8::1]' END)
       || (CASE doc_id % 5 WHEN 0 THEN ':80' WHEN 1 THEN '' WHEN 2 THEN ':443'
                           WHEN 3 THEN ':8080' ELSE '' END)
       || (CASE (doc_id + 2) % 5 WHEN 0 THEN '/a/b/' WHEN 1 THEN '/a/b' WHEN 2 THEN '/'
@@ -375,7 +377,10 @@ _CANON_SQL = f"""
   ),
   domains AS (
     SELECT doc_id, source, raw_url, canon_url, host,
-      CASE WHEN len(string_split(host, '.')) >= 3
+      CASE WHEN host LIKE '[%' OR regexp_matches(host, '^\\d{{1,3}}(\\.\\d{{1,3}}){{3}}$')
+            OR len(string_split(host, '.')) < 2
+           THEN host
+           WHEN len(string_split(host, '.')) >= 3
             AND string_split(host, '.')[len(string_split(host, '.')) - 1]
                 IN ('co','com','org','net','ac','gov','edu')
            THEN concat_ws('.',
@@ -404,7 +409,18 @@ def _raw_urls_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = F.concat(
         pick(3, ["http", "HTTPS", "https"]),
         F.lit("://"),
-        pick(4, ["WWW.Example.COM", "news.Site.co.uk", "cdn.Example.com", "sub.domain.org"]),
+        pick(
+            7,
+            [
+                "WWW.Example.COM",
+                "news.Site.co.uk",
+                "cdn.Example.com",
+                "sub.domain.org",
+                "localhost",
+                "192.168.0.3",
+                "[2001:DB8::1]",
+            ],
+        ),
         pick(5, [":80", "", ":443", ":8080", ""]),
         pick(5, ["/a/b/", "/a/b", "/", "", "/x//"], col=i + 2),
         pick(4, ["?utm_source=x&b=2&a=1", "?gclid=9", "", "?z=1&utm_campaign=c&y=2"], col=i + 1),
@@ -427,8 +443,10 @@ def url_canonicalize_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     case folding, default-port stripping (http:80 and https:443 strip,
     https:80/:8080 survive), fragment drop, tracking-param removal with
     byte-order param sort, trailing-slash trim, and the registrable-
-    domain heuristic incl. the co.uk allowlist branch. Pure Catalyst —
-    the plan is a single narrow projection."""
+    domain heuristic incl. the co.uk allowlist branch AND the atomic-host
+    bypass (``localhost``, bare IPv4, bracketed IPv6 with/without port —
+    each rolls up as itself, cross-engine-pinned). Pure Catalyst — the
+    plan is a single narrow projection."""
     from reddit_tech_jobs_data_pipeline_spark.functions import urls as U
 
     raw = _raw_urls_df(spark, sf_dir).filter(F.col("doc_id") < 120)
@@ -504,4 +522,57 @@ def domain_doc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("source").alias("n_sources"),
             F.countDistinct("canon_url").alias("n_urls"),
         )
+    )
+
+
+@register(
+    "domain_quota_cap",
+    f"""
+    WITH {_RAW_URL_SQL}, {_CANON_SQL},
+    keepers AS (
+      SELECT canon_url, min(doc_id) AS doc_id, min(domain) AS domain
+      FROM domains GROUP BY canon_url
+    )
+    SELECT domain, doc_id, canon_url FROM (
+      SELECT domain, doc_id, canon_url,
+             row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+      FROM keepers
+    ) WHERE rn <= 5
+    """,
+    tags=["corpus", "urls", "sampling", "scale"],
+)
+def domain_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain quota enforcement — the curation step
+    BETWEEN URL-level dedup and text-level dedup in a web-corpus
+    pipeline (no single site may dominate the mix): canonical-URL dedup
+    first (keeper = min doc_id per canonical URL), then keep at most N=5
+    keeper docs per registrable domain in deterministic (doc_id) order.
+
+    100 TB shape: one hash-shuffle groupBy on canon_url (high
+    cardinality, well-spread), then a per-domain top-N on the far
+    smaller keeper set — a hot domain is exactly the skew case, so at
+    scale the rank runs two-phase per (domain, salt) first as in
+    per_source_quota_cap / operators/ranking.py. The domain column
+    derives functionally from canon_url, so min(domain) per group is
+    exact, not an arbitrary pick."""
+    from pyspark.sql import Window
+
+    from reddit_tech_jobs_data_pipeline_spark.functions import urls as U
+
+    raw = _raw_urls_df(spark, sf_dir)
+    host = U.url_host(F.col("raw_url"))
+    keepers = (
+        raw.select(
+            "doc_id",
+            U.canonicalize_url(F.col("raw_url")).alias("canon_url"),
+            U.registrable_domain(host).alias("domain"),
+        )
+        .groupBy("canon_url")
+        .agg(F.min("doc_id").alias("doc_id"), F.min("domain").alias("domain"))
+    )
+    w = Window.partitionBy("domain").orderBy("doc_id")
+    return (
+        keepers.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("domain", "doc_id", "canon_url")
     )

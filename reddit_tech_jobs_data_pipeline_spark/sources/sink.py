@@ -23,6 +23,20 @@ from reddit_tech_jobs_data_pipeline_spark.operators.merge import merge_upsert
 PARTITION_COL = "created_date"
 
 
+def _touched_pred(touched: list) -> F.Column:
+    """Membership predicate over partition values that is NULL-correct:
+    ``isin()`` never matches NULL (SQL three-valued logic), so a null
+    partition value — possible because ``created_date`` derives from a
+    nullable timestamp and lands on disk as ``__HIVE_DEFAULT_PARTITION__``
+    — needs an explicit ``isNull`` arm. Without it, null-partition rows
+    are invisible to the touched-partition filters and a rewrite would
+    silently drop (upsert) or wrongly delete (purge) them."""
+    pred = F.col(PARTITION_COL).isin([v for v in touched if v is not None])
+    if any(v is None for v in touched):
+        pred = pred | F.col(PARTITION_COL).isNull()
+    return pred
+
+
 def ensure_gold_table(spark: SparkSession, path: str, name: str = "posts_gold") -> None:
     """CREATE TABLE IF NOT EXISTS analog (S7): external parquet table
     partitioned by date, registered in the session catalog."""
@@ -83,11 +97,11 @@ def upsert_gold(spark: SparkSession, path: str, new: DataFrame, version_col: str
     """
     new = with_partition_col(new)
     touched = [r[0] for r in new.select(PARTITION_COL).distinct().collect()]
-    old = spark.read.parquet(path).filter(F.col(PARTITION_COL).isin(touched))
+    old = spark.read.parquet(path).filter(_touched_pred(touched))
     merged = merge_upsert(old, new, ["post_id"], version_col)
     staging = path.rstrip("/") + "__staging"
     merged.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(staging)
-    _dynamic_overwrite(spark, staging, path)
+    _dynamic_overwrite(spark, staging, path, schema=merged.schema)
     _rm(staging)
     # drop the cached file listing for the path — stale entries would point
     # readers at the overwritten part files
@@ -127,7 +141,8 @@ def purge_keys(spark: SparkSession, path: str, keys: DataFrame, key_col: str = "
     ]
     if not touched:
         return 0
-    affected = table.filter(F.col(PARTITION_COL).isin(touched))
+    touched_pred = _touched_pred(touched)
+    affected = table.filter(touched_pred)
     n_before = affected.count()
     kept = affected.join(F.broadcast(keys), key_col, "left_anti")
     staging = path.rstrip("/") + "__purge_staging"
@@ -143,7 +158,7 @@ def purge_keys(spark: SparkSession, path: str, keys: DataFrame, key_col: str = "
         if e not in staged_vals
     ]
     if staged_vals:
-        _dynamic_overwrite(spark, staging, path)
+        _dynamic_overwrite(spark, staging, path, schema=kept.schema)
     for e in emptied:
         _fs_delete(spark, f"{path.rstrip('/')}/{PARTITION_COL}={e}")
     _rm(staging)
@@ -152,21 +167,28 @@ def purge_keys(spark: SparkSession, path: str, keys: DataFrame, key_col: str = "
     n_after = (
         spark.read.schema(table.schema)
         .parquet(path)
-        .filter(F.col(PARTITION_COL).isin(touched))
+        .filter(touched_pred)
         .count()
     )
     return n_before - n_after
 
 
-def _dynamic_overwrite(spark: SparkSession, staging: str, path: str) -> None:
+def _dynamic_overwrite(spark: SparkSession, staging: str, path: str, schema=None) -> None:
     """Swap staged partitions into ``path`` under dynamic partition
     overwrite, saving and restoring the session-level mode so a later
-    mode=overwrite write that expects static semantics is unaffected."""
+    mode=overwrite write that expects static semantics is unaffected.
+
+    ``schema`` (the staged DataFrame's schema) must be passed whenever
+    the staged data can be null-partition-only: with nothing but a
+    ``__HIVE_DEFAULT_PARTITION__`` directory to look at, partition-type
+    inference yields VOID and the re-write would fail with
+    INVALID_PARTITION_COLUMN_DATA_TYPE."""
     key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(key, None)
     spark.conf.set(key, "dynamic")
     try:
-        spark.read.parquet(staging).write.mode("overwrite").partitionBy(
+        reader = spark.read.schema(schema) if schema is not None else spark.read
+        reader.parquet(staging).write.mode("overwrite").partitionBy(
             PARTITION_COL
         ).parquet(path)
     finally:
@@ -195,7 +217,13 @@ def _partition_values(spark: SparkSession, path: str) -> set[str]:
 def _escape_partition_value(spark: SparkSession, v) -> str:
     """Spark's own partition-directory encoding for a value — the same
     `ExternalCatalogUtils.escapePathName` the writer uses, so names built
-    here always match what `partitionBy` put on disk."""
+    here always match what `partitionBy` put on disk. A null partition
+    value is written by Spark as the `__HIVE_DEFAULT_PARTITION__`
+    directory (never the string 'None'), so it maps there explicitly —
+    possible in practice because the partition column derives from a
+    nullable timestamp."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
     return spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(
         str(v)
     )

@@ -104,6 +104,72 @@ def test_purge_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(path).count() == 2
 
 
+def _null_day_posts(spark, n=3, tag="n"):
+    # created_datetime NULL → created_date NULL → on-disk partition dir
+    # __HIVE_DEFAULT_PARTITION__
+    return spark.createDataFrame(
+        [
+            (
+                f"t3_{tag}_{i}", "title", None, None, "a", "r",
+                None, 1, 0, None, 100.0, None,
+                None, None, None, [], dt.datetime(2024, 2, 1),
+            )
+            for i in range(n)
+        ],
+        sink_schema(),
+    )
+
+
+def test_purge_partial_null_partition_keeps_survivors(spark, tmp_path):
+    """isin() never matches NULL: without the explicit isNull arm the
+    null partition's rows are invisible to the affected-filter, the
+    partition is misclassified as emptied, and its directory — survivors
+    included — is deleted wholesale."""
+    path = str(tmp_path / "gold_null")
+    sink.write_gold(_posts(spark, 1).unionByName(_null_day_posts(spark)), path)
+    assert os.path.exists(os.path.join(path, "created_date=__HIVE_DEFAULT_PARTITION__"))
+
+    keys = spark.createDataFrame([("t3_n_0",), ("t3_1_0",)], "post_id string")
+    assert sink.purge_keys(spark, path, keys) == 2
+    out = spark.read.parquet(path)
+    assert {r.post_id for r in out.select("post_id").collect()} == {
+        "t3_1_1", "t3_1_2", "t3_n_1", "t3_n_2"
+    }
+    assert os.path.exists(os.path.join(path, "created_date=__HIVE_DEFAULT_PARTITION__"))
+
+
+def test_purge_emptied_null_partition_deletes_hive_default_dir(spark, tmp_path):
+    """A fully-emptied null partition must be diffed and deleted under
+    its real on-disk name __HIVE_DEFAULT_PARTITION__, not str(None)."""
+    path = str(tmp_path / "gold_null2")
+    sink.write_gold(_posts(spark, 1).unionByName(_null_day_posts(spark)), path)
+    keys = spark.createDataFrame(
+        [("t3_n_0",), ("t3_n_1",), ("t3_n_2",)], "post_id string"
+    )
+    assert sink.purge_keys(spark, path, keys) == 3
+    assert not os.path.exists(
+        os.path.join(path, "created_date=__HIVE_DEFAULT_PARTITION__")
+    )
+    out = spark.read.parquet(path)
+    assert {r.post_id for r in out.select("post_id").collect()} == {
+        "t3_1_0", "t3_1_1", "t3_1_2"
+    }
+
+
+def test_upsert_null_partition_preserves_old_rows(spark, tmp_path):
+    """upsert_gold's touched-partition read has the same NULL blind spot:
+    a batch carrying a null created_date must MERGE with the existing
+    null-partition rows, not overwrite them away."""
+    path = str(tmp_path / "gold_null3")
+    sink.write_gold(_posts(spark, 1).unionByName(_null_day_posts(spark)), path)
+    batch = _null_day_posts(spark, n=1, tag="x")  # new key, null partition
+    sink.upsert_gold(spark, path, batch)
+    out = spark.read.parquet(path)
+    assert {r.post_id for r in out.select("post_id").collect()} == {
+        "t3_1_0", "t3_1_1", "t3_1_2", "t3_n_0", "t3_n_1", "t3_n_2", "t3_x_0"
+    }
+
+
 def test_purge_emptied_partition_with_escaping_value(spark, tmp_path, monkeypatch):
     """Partition values that Spark percent-escapes on disk (space, ':')
     must still be detected as emptied and deleted by their REAL

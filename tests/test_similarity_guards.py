@@ -59,3 +59,41 @@ def test_standardize_constant_dimension_yields_zero(spark):
         assert z1 == 0.0 and math.isfinite(z1)
     z0 = [r.z_embedding[0] for r in rows]
     assert abs(sum(z0)) < 1e-12 and z0[0] < 0 < z0[2]
+
+
+def test_arrow_topk_broadcast_loop_unpersist(spark):
+    """Two-batch query loop with the out-of-band broadcast handle: batch
+    1 materializes, its broadcast is unpersisted, and batch 2 must still
+    compute correctly with its own fresh broadcast (unpersisting one
+    handle must not poison later calls)."""
+    emb = testdata.load_table(spark, SF, "embeddings")
+    expected_all = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in similarity.brute_force_topk(
+            emb, emb.filter(F.col("vec_id") < 6), k=3
+        ).collect()
+    }
+    got: dict = {}
+    for lo, hi in [(0, 3), (3, 6)]:
+        handles: list = []
+        batch = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        out = similarity.brute_force_topk_arrow(
+            emb, batch, k=3, broadcast_out=handles
+        )
+        got.update(
+            {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in out.collect()}
+        )
+        assert len(handles) == 1  # GEMM path ran; handle delivered out-of-band
+        handles[0].unpersist(blocking=True)
+    assert got == expected_all
+
+
+def test_arrow_topk_fallback_leaves_broadcast_out_empty(spark):
+    emb = testdata.load_table(spark, SF, "embeddings")
+    handles: list = []
+    out = similarity.brute_force_topk_arrow(
+        emb, emb.filter(F.col("vec_id") < 8), k=2,
+        max_broadcast_queries=4, broadcast_out=handles,
+    )
+    assert out.count() > 0
+    assert handles == []  # distributed fallback: no driver-side broadcast

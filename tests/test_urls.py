@@ -55,3 +55,87 @@ def test_registrable_domain_heuristic(spark):
     assert _domain(spark, "a.b.example.com") == "example.com"
     assert _domain(spark, "example.org") == "example.org"
     assert _domain(spark, "localhost") == "localhost"  # single label: unchanged
+
+
+def test_registrable_domain_atomic_hosts(spark):
+    # bare IPv4 must NOT be label-split (the old last-two-labels path
+    # would have produced "0.3"); bracketed IPv6 is atomic too
+    assert _domain(spark, "192.168.0.3") == "192.168.0.3"
+    assert _domain(spark, "10.0.0.1") == "10.0.0.1"
+    assert _domain(spark, "[2001:db8::1]") == "[2001:db8::1]"
+    assert _domain(spark, "[::1]") == "[::1]"
+    # looks-like-but-isn't IPv4 (label count != 4) still goes through
+    # the heuristic
+    assert _domain(spark, "1.2.3.4.5") == "4.5"
+
+
+def test_url_host_ipv6_port_strip(spark):
+    df = spark.createDataFrame(
+        [("http://[2001:DB8::1]:8080/p",), ("https://[::1]/x",), ("http://[2001:db8::1]/",)],
+        "u string",
+    )
+    hosts = [r.h for r in df.select(U.url_host(F.col("u")).alias("h")).collect()]
+    assert hosts == ["[2001:db8::1]", "[::1]", "[2001:db8::1]"]
+
+
+def _mini_psl(spark):
+    return spark.createDataFrame(
+        [(s,) for s in [
+            "com", "org", "net", "uk", "co.uk", "ac.uk", "jp", "nagoya.jp",
+            "us", "k12.ma.us", "pvt.k12.ma.us", "io", "github.io", "de",
+            "fr", "gouv.fr", "au", "com.au", "edu.au", "br",
+        ]],
+        "suffix string",
+    )
+
+
+def test_psl_longest_match_and_heuristic_fallback(spark):
+    hosts = [
+        "www.example.com",      # agrees with heuristic
+        "news.site.co.uk",      # agrees (allowlist covers co.uk)
+        "foo.nagoya.jp",        # DIVERGES: PSL suffix nagoya.jp not in allowlist
+        "a.b.pvt.k12.ma.us",    # DIVERGES: 4-label suffix, heuristic can't see it
+        "user.github.io",       # DIVERGES: github.io is a private-section suffix
+        "site.gouv.fr",         # DIVERGES: gouv.fr multi-part ccTLD
+        "x.example.de",         # agrees
+        "localhost",            # atomic → fallback → itself
+        "192.168.0.3",          # atomic → fallback → itself
+        "unknown.tld.zz",       # no PSL match at all → heuristic fallback
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    out = U.registrable_domain_psl(df, "host", _mini_psl(spark))
+    got = {r.host: r.domain for r in out.collect()}
+    assert got["www.example.com"] == "example.com"
+    assert got["news.site.co.uk"] == "site.co.uk"
+    assert got["foo.nagoya.jp"] == "foo.nagoya.jp"
+    assert got["a.b.pvt.k12.ma.us"] == "b.pvt.k12.ma.us"
+    assert got["user.github.io"] == "user.github.io"
+    assert got["site.gouv.fr"] == "site.gouv.fr"
+    assert got["x.example.de"] == "example.de"
+    assert got["localhost"] == "localhost"
+    assert got["192.168.0.3"] == "192.168.0.3"
+    assert got["unknown.tld.zz"] == "tld.zz"
+    # divergence from the heuristic ONLY on the documented cases
+    heur = {
+        r.host: r.d
+        for r in df.select(
+            "host", U.registrable_domain(F.col("host")).alias("d")
+        ).collect()
+    }
+    diverged = {h for h in hosts if got[h] != heur[h]}
+    assert diverged == {
+        "foo.nagoya.jp", "a.b.pvt.k12.ma.us", "user.github.io", "site.gouv.fr"
+    }
+
+
+def test_psl_row_count_preserved(spark):
+    # chained left joins must never duplicate or drop corpus rows, even
+    # with duplicate suffixes in the PSL table
+    psl = _mini_psl(spark).unionAll(_mini_psl(spark))  # dup every suffix
+    df = spark.createDataFrame(
+        [(f"h{i}.sub.example.com",) for i in range(50)] + [("bare.com",)],
+        "host string",
+    )
+    out = U.registrable_domain_psl(df, "host", psl)
+    assert out.count() == 51
+    assert out.filter(F.col("domain") == "example.com").count() == 50
