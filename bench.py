@@ -59,6 +59,20 @@ HEADLINE = [
     "multimodal_frame_sample",
 ]
 
+# Added round 7 (the round-5/6/7 operator families, previously
+# untracked round-over-round). Kept separate so the legacy 28-query
+# total stays comparable across BENCH_r*.json: "value" sums ALL
+# queries; "value_legacy28" sums only LEGACY (= r1-r6 headline set).
+ADDED_R7 = [
+    "canonical_url_dedup",
+    "corpus_mixture_waterfill",
+    "personalized_pagerank_suppliers_scale",
+    "streaming_incremental_dedup",
+    "domain_quota_cap",
+]
+LEGACY = list(HEADLINE)
+HEADLINE = HEADLINE + ADDED_R7
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -111,6 +125,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # bridge: BENCH_r1-r6 totals covered only the legacy 28
+                # queries — compare those to value_legacy28, not value
+                "value_legacy28": round(
+                    sum(t for n, t in timings.items() if n in LEGACY), 3
+                ),
             }
         )
     )

@@ -576,3 +576,181 @@ def domain_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("domain", "doc_id", "canon_url")
     )
+
+
+# --- PSL-as-data battery -----------------------------------------------
+# Oracle-gates functions/urls.registrable_domain_psl (longest-match
+# public-suffix lookup via chained broadcast joins) against a DuckDB
+# longest-match twin over the SAME inline mini-PSL, on hosts chosen to
+# hit every branch: 1/2/4-label suffixes, private-section suffixes,
+# heuristic-fallback hosts, and atomic hosts.
+
+_PSL_SUFFIXES = [
+    "com", "org", "uk", "co.uk", "jp", "nagoya.jp",
+    "us", "k12.ma.us", "pvt.k12.ma.us", "io", "github.io", "fr", "gouv.fr",
+]
+_PSL_HOSTS = [
+    "www.example.com",    # depth-1 match, agrees with heuristic
+    "news.site.co.uk",    # depth-2 match, agrees (allowlist covers co.uk)
+    "foo.nagoya.jp",      # depth-2 match, DIVERGES from heuristic
+    "a.b.pvt.k12.ma.us",  # depth-4 match, DIVERGES
+    "user.github.io",     # private-section suffix, DIVERGES
+    "site.gouv.fr",       # multi-part ccTLD, DIVERGES
+    "localhost",          # atomic → heuristic fallback → itself
+    "unknown.tld.zz",     # no PSL match → heuristic fallback
+]
+
+
+def _heuristic_domain_sql(col: str) -> str:
+    ls = f"string_split({col}, '.')"
+    return f"""
+      CASE WHEN {col} LIKE '[%' OR regexp_matches({col}, '^\\d{{1,3}}(\\.\\d{{1,3}}){{3}}$')
+            OR len({ls}) < 2
+           THEN {col}
+           WHEN len({ls}) >= 3
+            AND {ls}[len({ls}) - 1] IN ('co','com','org','net','ac','gov','edu')
+           THEN concat_ws('.', {ls}[len({ls}) - 2], {ls}[len({ls}) - 1], {ls}[len({ls})])
+           ELSE concat_ws('.', {ls}[len({ls}) - 1], {ls}[len({ls})]) END
+    """
+
+
+_PSL_HOST_CASE = "CASE doc_id % 8 " + " ".join(
+    f"WHEN {k} THEN '{h}'" for k, h in enumerate(_PSL_HOSTS[:-1])
+) + f" ELSE '{_PSL_HOSTS[-1]}' END"
+
+_PSL_VALUES = ", ".join(f"('{s}')" for s in _PSL_SUFFIXES)
+
+
+@register(
+    "psl_domain_battery",
+    f"""
+    WITH hosts AS (
+      SELECT doc_id, {_PSL_HOST_CASE} AS host
+      FROM documents WHERE doc_id < 200
+    ),
+    psl AS (SELECT * FROM (VALUES {_PSL_VALUES}) t(suffix)),
+    cand AS (
+      SELECT h.doc_id, len(string_split(p.suffix, '.')) AS d
+      FROM hosts h JOIN psl p
+        ON len(string_split(h.host, '.')) > len(string_split(p.suffix, '.'))
+       AND array_to_string(list_slice(string_split(h.host, '.'),
+             len(string_split(h.host, '.')) - len(string_split(p.suffix, '.')) + 1,
+             len(string_split(h.host, '.'))), '.') = p.suffix
+    ),
+    best AS (SELECT doc_id, max(d) AS d FROM cand GROUP BY doc_id)
+    SELECT h.doc_id, h.host,
+      CASE WHEN b.d IS NOT NULL
+           THEN array_to_string(list_slice(string_split(h.host, '.'),
+                  len(string_split(h.host, '.')) - b.d,
+                  len(string_split(h.host, '.'))), '.')
+           ELSE {_heuristic_domain_sql('h.host')} END AS domain_psl,
+      {_heuristic_domain_sql('h.host')} AS domain_heur,
+      (CASE WHEN b.d IS NOT NULL
+            THEN array_to_string(list_slice(string_split(h.host, '.'),
+                   len(string_split(h.host, '.')) - b.d,
+                   len(string_split(h.host, '.'))), '.')
+            ELSE {_heuristic_domain_sql('h.host')} END)
+        <> ({_heuristic_domain_sql('h.host')}) AS diverges
+    FROM hosts h LEFT JOIN best b USING (doc_id)
+    """,
+    tags=["corpus", "urls"],
+)
+def psl_domain_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSL-as-data registrable domains, cross-engine-pinned: Spark runs
+    registrable_domain_psl (chained broadcast longest-match joins over
+    the inline mini-PSL, heuristic fallback); DuckDB recomputes longest
+    match relationally. ``diverges`` marks exactly the hosts where the
+    data-driven PSL beats the allowlist heuristic (nagoya.jp,
+    pvt.k12.ma.us, github.io, gouv.fr shapes) — divergence itself is
+    part of the pinned contract. 100 TB shape: corpus-side narrow
+    pipeline through d broadcast hash joins, zero shuffle."""
+    from reddit_tech_jobs_data_pipeline_spark.functions import urls as U
+
+    host = F.col("host")
+    hosts = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+    case = F.when(F.col("doc_id") % 8 == 0, F.lit(_PSL_HOSTS[0]))
+    for k in range(1, 7):
+        case = case.when(F.col("doc_id") % 8 == k, F.lit(_PSL_HOSTS[k]))
+    hosts = hosts.withColumn("host", case.otherwise(F.lit(_PSL_HOSTS[7])))
+    psl = spark.createDataFrame([(s,) for s in _PSL_SUFFIXES], "suffix string")
+    out = U.registrable_domain_psl(hosts, "host", psl, out_col="domain_psl")
+    return out.select(
+        "doc_id",
+        "host",
+        "domain_psl",
+        U.registrable_domain(host).alias("domain_heur"),
+        (F.col("domain_psl") != U.registrable_domain(host)).alias("diverges"),
+    )
+
+
+@register(
+    "domain_token_quota",
+    f"""
+    WITH {_RAW_URL_SQL}, {_CANON_SQL},
+    keepers AS (
+      SELECT canon_url, min(doc_id) AS doc_id, min(domain) AS domain
+      FROM domains GROUP BY canon_url
+    ),
+    sized AS (
+      SELECT k.domain, k.doc_id,
+             coalesce(len(list_filter(
+               regexp_split_to_array(lower(d.text), '\\W+'), x -> x <> '')), 0)
+               AS n_tokens
+      FROM keepers k JOIN documents d ON d.doc_id = k.doc_id
+    )
+    SELECT domain, doc_id, n_tokens, cum_tokens FROM (
+      SELECT domain, doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY domain ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
+      FROM sized
+    ) WHERE cum_tokens <= 500
+    """,
+    tags=["corpus", "urls", "sampling", "scale"],
+)
+def domain_token_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget flavor of the per-domain quota: after canonical-URL
+    dedup, each registrable domain contributes docs in deterministic
+    (doc_id) order only until its CUMULATIVE token count would exceed
+    the budget (500 here) — the docs-vs-tokens distinction matters
+    because a domain of few huge pages can dominate a token-counted
+    training mix while passing a doc-count cap.
+
+    100 TB shape: same as domain_quota_cap (groupBy canon_url, then a
+    per-domain window over the much smaller keeper set) plus one
+    broadcast-friendly join back to documents for token counts; the
+    running sum is a single window — the distributed two-phase prefix
+    sum in operators/packing.py is the drop-in at extreme per-domain
+    cardinality."""
+    from reddit_tech_jobs_data_pipeline_spark.functions import urls as U
+
+    raw = _raw_urls_df(spark, sf_dir)
+    host = U.url_host(F.col("raw_url"))
+    keepers = (
+        raw.select(
+            "doc_id",
+            U.canonicalize_url(F.col("raw_url")).alias("canon_url"),
+            U.registrable_domain(host).alias("domain"),
+        )
+        .groupBy("canon_url")
+        .agg(F.min("doc_id").alias("doc_id"), F.min("domain").alias("domain"))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(F.size(tokens("text")), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+    sized = keepers.join(docs, "doc_id").select("domain", "doc_id", "n_tokens")
+    w = (
+        Window.partitionBy("domain")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 500)
+        .select("domain", "doc_id", "n_tokens", "cum_tokens")
+    )

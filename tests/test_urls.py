@@ -139,3 +139,44 @@ def test_psl_row_count_preserved(spark):
     out = U.registrable_domain_psl(df, "host", psl)
     assert out.count() == 51
     assert out.filter(F.col("domain") == "example.com").count() == 50
+
+
+def test_canonicalize_property_batch(spark):
+    """Batch property sweep over a seeded cross-product of URL shapes
+    (schemes × hosts incl. atomic × ports × paths × queries × fragments):
+    canonicalization is idempotent on every combination, and the
+    registrable domain is always a trailing piece of (or equal to) the
+    host. One Spark pass for the whole matrix, not one per example."""
+    import random
+
+    rng = random.Random(7)
+    schemes = ["http", "HTTPS", "ftp"]
+    hosts = [
+        "WWW.Example.COM", "a.b.site.co.uk", "localhost", "192.168.0.3",
+        "[2001:DB8::1]", "x.org", "deep.sub.domain.nagoya.jp",
+    ]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/a/b/", "/x//", "/p"]
+    queries = ["", "?utm_source=x", "?b=2&a=1", "?z=1&utm_campaign=c&y=2&gclid=0"]
+    frags = ["", "#sec"]
+    urls = [
+        rng.choice(schemes) + "://" + rng.choice(hosts) + rng.choice(ports)
+        + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    c1 = U.canonicalize_url(F.col("u"))
+    out = df.select(
+        "u",
+        c1.alias("c1"),
+        U.canonicalize_url(c1).alias("c2"),
+        U.url_host(F.col("u")).alias("host"),
+    )
+    out = out.withColumn("dom", U.registrable_domain(F.col("host")))
+    bad_idem = out.filter(F.col("c1") != F.col("c2")).collect()
+    assert not bad_idem, f"non-idempotent: {bad_idem[:5]}"
+    bad_dom = out.filter(
+        (F.col("dom") != F.col("host"))
+        & ~F.col("host").endswith(F.concat(F.lit("."), F.col("dom")))
+    ).collect()
+    assert not bad_dom, f"domain not a host suffix: {bad_dom[:5]}"
