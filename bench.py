@@ -69,6 +69,7 @@ ADDED_R7 = [
     "personalized_pagerank_suppliers_scale",
     "streaming_incremental_dedup",
     "domain_quota_cap",
+    "semantic_dedup_clusters",
 ]
 LEGACY = list(HEADLINE)
 HEADLINE = HEADLINE + ADDED_R7

@@ -911,3 +911,78 @@ def contamination_coverage(
         "n_covered",
         F.round(F.col("n_covered") / F.col("n_tok"), 4).alias("coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup: cluster embeddings, prune within clusters)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    dim: int = 64,
+    train_iters: int = 2,
+    threshold: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    commutative: bool = False,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    near-duplicate pruning that bounds the quadratic pair space by
+    clustering first — k-means over the embeddings (deterministic
+    ordered-fold Lloyd, operators/kmeans.py), then ONLY within-cluster
+    pairs are scored; a vector is a semantic duplicate iff some
+    lower-id vector in the SAME cluster has cosine >= threshold.
+    Returns one row per vector: (vec_id, cid, n_sem_dups, first_dup,
+    is_kept) — survivors are the per-semantic-group minimum ids.
+
+    100 TB shape: the centroid table (k x dim) broadcasts; assignment is
+    a narrow map. The within-cluster self-join shuffles once on cid and
+    is quadratic PER CLUSTER by design — SemDeDup's contract is that k
+    scales with corpus size (k ~ N / target_cluster_size, e.g. 100k
+    clusters for billions of docs) so per-cluster populations stay
+    bounded; a runaway cluster is the skew case and is capped the same
+    way as hot domains (sub-shard the cluster, or tighten k). Cosine is
+    rounded to 4 dp BEFORE thresholding on both engines (the
+    embedding_near_dup precedent) so the keep/drop decision is
+    cross-engine exact. ``commutative=True`` switches the k-means
+    training to the map-side-combined centroid update (the 100 TB
+    training path — see lloyd_kmeans); the default ordered fold is the
+    bit-exact oracle-parity mode."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.kmeans import (
+        assign_clusters,
+        lloyd_kmeans,
+    )
+    from reddit_tech_jobs_data_pipeline_spark.operators.similarity import cosine
+
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    cents = lloyd_kmeans(
+        emb, k=k, dim=dim, iterations=train_iters,
+        id_col=id_col, vec_col=vec_col, commutative=commutative,
+    ).select("cid", "cvec")
+    assigned = assign_clusters(vecs, cents)
+    a = assigned.select("cid", F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = assigned.select("cid", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 4) >= threshold)
+    )
+    dups = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n_sem_dups"),
+        F.min("id_a").alias("first_dup"),
+    )
+    return (
+        assigned.select("vec_id", F.col("cid").cast("int").alias("cid"))
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.coalesce("n_sem_dups", F.lit(0).cast("long")).alias("n_sem_dups"),
+            "first_dup",
+            F.col("n_sem_dups").isNull().alias("is_kept"),
+        )
+    )

@@ -1658,3 +1658,56 @@ def corpus_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_tok").cast("long").alias("max_doc_tokens"),
         F.sum(F.when(F.col("n_tok") == 0, 1).otherwise(0)).cast("long").alias("n_empty"),
     )
+
+
+def _semantic_dedup_sql(k: int, dim: int, iters: int, tau: float) -> str:
+    rng = f"range(1, {dim + 1})"
+    dist = (
+        f"list_reduce(list_transform({rng},"
+        " j -> (v[j]-cvec[j])*(v[j]-cvec[j])), (p, q) -> p + q)"
+    )
+    sep = ",\n    "
+    return f"""
+    WITH {sep.join(_kmeans_parts(k, dim, iters))},
+    cent AS (SELECT cid, cvec FROM c{iters}),
+    af AS (
+      SELECT vec_id, v, cid, {dist} AS dist
+      FROM vecs CROSS JOIN cent
+    ),
+    sf AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM af
+      ) WHERE rn = 1
+    ),
+    prs AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM sf x JOIN sf y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      WHERE round({_cosine_sql("x.v", "y.v")}, 4) >= {tau}
+    ),
+    d AS (
+      SELECT id_b AS vec_id, count(*) AS n_sem_dups, min(id_a) AS first_dup
+      FROM prs GROUP BY id_b
+    )
+    SELECT sf.vec_id, CAST(sf.cid AS INTEGER) AS cid,
+           coalesce(d.n_sem_dups, 0) AS n_sem_dups, d.first_dup,
+           (d.vec_id IS NULL) AS is_kept
+    FROM sf LEFT JOIN d ON d.vec_id = sf.vec_id
+    """
+
+
+@register(
+    "semantic_dedup_clusters",
+    _semantic_dedup_sql(k=8, dim=64, iters=2, tau=0.7),
+    tags=["ml", "dedup", "similarity", "scale"],
+)
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: trained k-means clusters
+    (bit-exact ordered-fold Lloyd, same CTE fragment as
+    kmeans_lloyd_clusters) bound the pair space; within-cluster cosine
+    >= 0.7 marks semantic duplicates, keeper = lowest vec_id. The oracle
+    unrolls the identical train/assign/pair/prune pipeline in SQL. See
+    operators/dedup.semantic_dedup for the 100 TB contract (k scales
+    with N; per-cluster quadratic is the bounded-by-design cost)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup(emb, k=8, dim=64, train_iters=2, threshold=0.7)
