@@ -754,3 +754,57 @@ def domain_token_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= 500)
         .select("domain", "doc_id", "n_tokens", "cum_tokens")
     )
+
+
+@register(
+    "leakage_safe_splits",
+    f"""
+    WITH {_RAW_URL_SQL}, {_CANON_SQL},
+    keyed AS (
+      SELECT doc_id, canon_url,
+             ('0x' || substr(md5(canon_url), 1, 8))::BIGINT AS h
+      FROM domains
+    ),
+    tagged AS (
+      SELECT doc_id, canon_url,
+             CASE WHEN h % 100 < 98 THEN 'train'
+                  WHEN h % 100 < 99 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM keyed
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           count(DISTINCT canon_url) AS n_urls,
+           CAST(min(doc_id) AS BIGINT) AS min_doc
+    FROM tagged GROUP BY split
+    """,
+    tags=["corpus", "sampling", "scale"],
+)
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment WITHOUT URL leakage: the split key is
+    the md5 of the CANONICAL URL, not the doc id — every variant of the
+    same page (case, tracking params, trailing slash, fragment) hashes
+    to the same split, so URL-level near-duplicates can never straddle
+    train and test. 98/1/1 by hash band — deterministic, engine- and
+    partitioning-independent (the universe-sampling property of
+    deterministic_sample, applied to the leakage boundary). Narrow
+    projection + one groupBy for the report; the per-doc assignment
+    itself is shuffle-free at 100 TB."""
+    from reddit_tech_jobs_data_pipeline_spark.functions import urls as U
+
+    raw = _raw_urls_df(spark, sf_dir)
+    canon = U.canonicalize_url(F.col("raw_url"))
+    h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
+    tagged = raw.select(
+        "doc_id",
+        canon.alias("canon_url"),
+        F.when(h % 100 < 98, F.lit("train"))
+        .when(h % 100 < 99, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("canon_url").alias("n_urls"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+    )

@@ -180,3 +180,25 @@ def test_canonicalize_property_batch(spark):
         & ~F.col("host").endswith(F.concat(F.lit("."), F.col("dom")))
     ).collect()
     assert not bad_dom, f"domain not a host suffix: {bad_dom[:5]}"
+
+
+def test_leakage_safe_split_same_canon_same_split(spark):
+    """Raw variants that canonicalize identically must land in the SAME
+    train/val/test split — the no-leakage property comes from hashing
+    the canonical form, never the raw string or the doc id."""
+    variants = [
+        "HTTP://Ex.COM:80/a/b/?utm_source=1&b=2#f",
+        "http://ex.com/a/b?b=2",
+        "http://EX.com/a/b/?b=2&gclid=7",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "u string")
+    canon = U.canonicalize_url(F.col("u"))
+    h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
+    split = (
+        F.when(h % 100 < 98, F.lit("train"))
+        .when(h % 100 < 99, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    rows = df.select(canon.alias("c"), split.alias("s")).collect()
+    assert len({r.c for r in rows}) == 1  # truly the same canonical URL
+    assert len({r.s for r in rows}) == 1  # → same split, no leakage
