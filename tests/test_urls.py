@@ -202,3 +202,12 @@ def test_leakage_safe_split_same_canon_same_split(spark):
     rows = df.select(canon.alias("c"), split.alias("s")).collect()
     assert len({r.c for r in rows}) == 1  # truly the same canonical URL
     assert len({r.s for r in rows}) == 1  # → same split, no leakage
+
+
+def test_param_sort_is_byte_order(spark):
+    # uppercase params sort BEFORE lowercase (binary order) — matches
+    # DuckDB's list_sort default, which the battery oracle relies on
+    assert (
+        _canon(spark, "http://ex.com/p?b=2&A=1&a=3&Z=0")
+        == "http://ex.com/p?A=1&Z=0&a=3&b=2"
+    )
