@@ -43,3 +43,57 @@ def test_semantic_dedup_no_pairs_all_kept(spark):
     got = out.collect()
     assert len(got) == 4 and all(r.is_kept for r in got)
     assert all(r.n_sem_dups == 0 and r.first_dup is None for r in got)
+
+
+def test_two_level_assignment_agrees_with_exact(spark):
+    """The IVF-style two-level quantizer must reproduce the exact
+    assignment on >= 95% of vectors at nprobe=3 (only coarse-cell
+    boundary vectors may differ; nprobe is the recall dial — ~92% at
+    nprobe=2 on this corpus), preserve the row count exactly, and emit
+    the same schema."""
+    from pyspark.sql import functions as F
+
+    from reddit_tech_jobs_data_pipeline_spark.operators.kmeans import (
+        assign_clusters,
+        assign_clusters_two_level,
+        lloyd_kmeans,
+    )
+    from reddit_tech_jobs_data_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    cents = lloyd_kmeans(emb, k=16, dim=64, iterations=2).select("cid", "cvec")
+    exact = {r.vec_id: r.cid for r in assign_clusters(vecs, cents).collect()}
+    approx = {
+        r.vec_id: r.cid
+        for r in assign_clusters_two_level(
+            vecs, cents, dim=64, nprobe=3
+        ).collect()
+    }
+    assert set(approx) == set(exact)  # one row per vector, none lost
+    agree = sum(1 for k in exact if exact[k] == approx[k]) / len(exact)
+    assert agree >= 0.95, f"two-level agreement only {agree:.3f}"
+
+
+def test_semantic_dedup_two_level_mode_runs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 1.0, 0.0]),
+        (2, [0.99, 0.02, 0.0, 0.0]),
+        (4, [0.0, 0.0, 0.98, 0.03]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r
+        for r in dedup.semantic_dedup(
+            emb, k=2, dim=4, train_iters=2, threshold=0.7,
+            two_level_assign=True, nprobe=2,
+        ).collect()
+    }
+    # nprobe=2 of ncoarse=2 probes everything → identical to exact here
+    assert out[0].is_kept and out[1].is_kept
+    assert not out[2].is_kept and out[2].first_dup == 0
+    assert not out[4].is_kept and out[4].first_dup == 1
