@@ -808,3 +808,69 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("canon_url").alias("n_urls"),
         F.min("doc_id").cast("long").alias("min_doc"),
     )
+
+
+@register(
+    "unigram_logprob_quality",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS ws FROM documents WHERE text IS NOT NULL),
+    tok AS (SELECT doc_id, unnest(ws) AS term, generate_subscripts(ws, 1) AS pos FROM d),
+    cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+    lpm AS (SELECT term, log10(c * 1.0 / (SELECT n FROM tot)) AS lp FROM cnt),
+    per AS (
+      SELECT t.doc_id,
+             count(*) AS n_tok,
+             list_reduce(list_prepend(0.0, list(m.lp ORDER BY t.pos)),
+                         (a, x) -> a + x) AS s
+      FROM tok t JOIN lpm m USING (term)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           round(s / n_tok, 4) AS mean_logp
+    FROM per
+    """,
+    tags=["text", "quality", "scale"],
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model-flavoured quality score without an LM dependency:
+    per-doc mean unigram log10-probability under the corpus' own
+    empirical token distribution (the classic cheap perplexity proxy —
+    gibberish and boilerplate-free junk score far below fluent text).
+    Per-doc summation is an ORDERED fold over tokens in document order
+    (sort_array(collect_list(struct(pos, lp))) then aggregate — the
+    kmeans/Gini playbook), so both engines add the same doubles in the
+    same sequence and the 4-dp round is safely inside fp noise.
+
+    100 TB shape: token explode + one groupBy(term) for the vocabulary
+    (map-side combined; vocab ≪ corpus), the logp table joins back
+    broadcast (cap to a top-V vocabulary + OOV floor when the real
+    vocab outgrows broadcast range), and one groupBy(doc_id) whose
+    per-doc state is the token list — bounded by doc length exactly
+    like token_budget_packing's per-doc arrays."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "term")
+    )
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").cast("long").alias("n"))
+    lpm = cnt.crossJoin(F.broadcast(tot)).select(
+        "term", F.log10(F.col("c") * 1.0 / F.col("n")).alias("lp")
+    )
+    per = (
+        tok.join(F.broadcast(lpm), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("pos", "lp"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["lp"],
+            ).alias("s"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.round(F.col("s") / F.col("n_tok"), 4).alias("mean_logp"),
+    )
