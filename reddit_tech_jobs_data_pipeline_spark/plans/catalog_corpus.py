@@ -874,3 +874,52 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tok").cast("long").alias("n_tok"),
         F.round(F.col("s") / F.col("n_tok"), 4).alias("mean_logp"),
     )
+
+
+@register(
+    "doc_chunking_windows",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS} AS ws FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(s // 48 AS BIGINT) AS chunk_idx,
+           CAST(s AS BIGINT) AS start_tok,
+           CAST(len(list_slice(ws, s + 1, s + 64)) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(list_slice(ws, s + 1, s + 64), ' ') AS chunk_text
+    FROM d, unnest(range(0, len(ws), 48)) t(s)
+    """,
+    tags=["corpus", "text", "scale"],
+)
+def doc_chunking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the context-window prep step
+    between cleaning and packing in a training pipeline: each doc is
+    split into windows of up to 64 tokens at stride 48 (25% overlap so
+    no boundary loses context). Pure integer arithmetic over the token
+    array (sequence → explode → slice) — no floats anywhere, so the
+    cross-engine contract is exact by construction.
+
+    100 TB shape: narrow per-doc explode with bounded fan-out
+    (ceil(n_tok/stride) chunks/doc) and ZERO shuffles — chunking is a
+    map; the downstream packer (token_budget_packing) does the
+    shuffling. Degenerate docs (null/empty token list) produce no
+    chunks on either engine."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = docs.select("doc_id", tokens("text").alias("ws")).filter(
+        F.size("ws") > 0
+    )
+    chunks = base.select(
+        "doc_id",
+        "ws",
+        F.explode(
+            F.sequence(F.lit(0), F.size("ws") - 1, F.lit(48))
+        ).alias("s"),
+    )
+    chunk = F.slice("ws", F.col("s") + 1, 64)
+    return chunks.select(
+        "doc_id",
+        (F.col("s") / 48).cast("long").alias("chunk_idx"),
+        F.col("s").cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
