@@ -1001,3 +1001,100 @@ def semantic_dedup(
             F.col("n_sem_dups").isNull().alias("is_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# repeated n-gram span coverage (exact-substring dedup, distributed form)
+# ---------------------------------------------------------------------------
+
+def repeated_ngram_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document fraction of tokens covered by n-grams that also occur
+    in at least ``min_docs - 1`` OTHER documents — the distributed
+    approximation of suffix-array exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499). Whole-doc MinHash misses a boilerplate paragraph
+    pasted into thousands of otherwise-distinct pages; this catches it at
+    span granularity: any >= n-token run shared across documents is a
+    chain of shared n-grams, so its tokens land inside the covered-span
+    union. Coverage is then the filter column (e.g. drop docs > 0.5, or
+    clip the spans themselves).
+
+    Returns (id_col, n_tok, dup_spans, covered_tok, coverage): the count
+    of duplicated n-gram start positions, the size of the union of their
+    [pos, pos+n) spans, and covered_tok / n_tok rounded to 4 dp. Docs
+    with no duplicated gram (or fewer than n tokens) report 0.
+
+    Union-of-intervals is closed-form for fixed-length spans: sort
+    starts, each span contributes min(n, start - prev_start) new tokens
+    (the first contributes n) — one lag window per doc, no interval
+    merging loop.
+
+    100 TB shape: the gram table is ~n_tok rows of (id, pos, 16-hex-char
+    key) — the md5-prefix key (64 bits, engine-agnostic; production can
+    widen to the full digest) keeps the shuffle narrow. One groupBy(gh)
+    builds the duplicate-gram set (map-side combined; 8-token grams are
+    near-unique except under true duplication, so no stop-shingle skew),
+    one shuffle join pulls back duplicated positions, and the lag window
+    is per-doc, bounded by doc length. Same inverted-index shape as
+    ngram_jaccard_near_dup — no all-pairs anywhere.
+    """
+    base = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(id_col, tokens(text_col).alias("__ws"))
+        .withColumn("__n_tok", F.size("__ws"))
+        .filter(F.col("__n_tok") > 0)
+    )
+    grams = (
+        base.filter(F.col("__n_tok") >= n)
+        .select(
+            id_col,
+            "__ws",
+            F.explode(F.sequence(F.lit(0), F.col("__n_tok") - n)).alias("pos"),
+        )
+        .select(
+            id_col,
+            F.col("pos").cast("long").alias("pos"),
+            F.substring(
+                F.md5(F.array_join(F.slice("__ws", F.col("pos") + 1, n), " ")), 1, 16
+            ).alias("__gh"),
+        )
+    )
+    dup = (
+        grams.groupBy("__gh")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__gh")
+    )
+    spans = grams.join(dup, "__gh").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cov = (
+        spans.withColumn(
+            "__contrib",
+            F.coalesce(
+                F.least(F.lit(n), F.col("pos") - F.lag("pos").over(w)), F.lit(n)
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__dup_spans"),
+            F.sum("__contrib").alias("__covered"),
+        )
+    )
+    return (
+        base.join(cov, id_col, "left")
+        .select(
+            id_col,
+            F.col("__n_tok").cast("long").alias("n_tok"),
+            F.coalesce("__dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
+            F.coalesce("__covered", F.lit(0)).cast("long").alias("covered_tok"),
+            F.round(
+                F.coalesce("__covered", F.lit(0)) / F.col("__n_tok"), 4
+            ).alias("coverage"),
+        )
+    )

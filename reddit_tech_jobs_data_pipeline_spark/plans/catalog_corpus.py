@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from reddit_tech_jobs_data_pipeline_spark.functions.extract import tokens
+from reddit_tech_jobs_data_pipeline_spark.operators import dedup as dedup_ops
 from reddit_tech_jobs_data_pipeline_spark.operators import ranking
 from reddit_tech_jobs_data_pipeline_spark.plans.catalog import _t, register
 from reddit_tech_jobs_data_pipeline_spark.plans.catalog_scale import _TOKS
@@ -923,3 +924,41 @@ def doc_chunking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+@register(
+    "repeated_ngram_coverage",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS ws FROM documents WHERE text IS NOT NULL),
+    b AS (SELECT doc_id, len(ws) AS n_tok, ws FROM d WHERE len(ws) > 0),
+    g AS (
+      SELECT doc_id, CAST(s AS BIGINT) AS pos,
+             substr(md5(array_to_string(list_slice(ws, s + 1, s + 8), ' ')), 1, 16) AS gh
+      FROM b, unnest(range(0, greatest(n_tok - 7, 0))) t(s)
+    ),
+    dup AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+    sp AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+    cov0 AS (
+      SELECT doc_id,
+             coalesce(least(8, pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)), 8) AS contrib
+      FROM sp
+    ),
+    cov AS (SELECT doc_id, count(*) AS dup_spans, sum(contrib) AS covered
+            FROM cov0 GROUP BY doc_id)
+    SELECT b.doc_id, CAST(b.n_tok AS BIGINT) AS n_tok,
+           CAST(coalesce(dup_spans, 0) AS BIGINT) AS dup_spans,
+           CAST(coalesce(covered, 0) AS BIGINT) AS covered_tok,
+           round(coalesce(covered, 0) * 1.0 / b.n_tok, 4) AS coverage
+    FROM b LEFT JOIN cov USING (doc_id)
+    """,
+    tags=["corpus", "dedup", "scale"],
+)
+def repeated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, distributed form (Lee et al. 2022): per-doc
+    fraction of tokens covered by 8-grams that also occur in >= 1 other
+    document — catches boilerplate paragraphs whole-doc MinHash misses.
+    Union-of-spans is closed-form for fixed-length intervals (one lag
+    window per doc); see operators/dedup.repeated_ngram_coverage for the
+    100 TB shuffle analysis (inverted-index shape, no all-pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.repeated_ngram_coverage(docs, n=8, min_docs=2)

@@ -248,3 +248,41 @@ class TestIvfAnn:
         got = sorted(r.neighbor_id for r in out.collect())
         # nprobe=1: only cell-0 members reachable (0 and 7), not cell 1
         assert got == [0, 7]
+
+
+class TestRepeatedNgramCoverage:
+    def _cov(self, spark, rows, n=4, min_docs=2):
+        df = spark.createDataFrame(rows, "id long, text string")
+        out = dedup.repeated_ngram_coverage(df, "text", "id", n=n, min_docs=min_docs)
+        return {r.id: r for r in out.collect()}
+
+    def test_exact_duplicates_fully_covered(self, spark):
+        t = "a b c d e f g h i j"
+        got = self._cov(spark, [(1, t), (2, t), (3, "k l m n o p q r s t")])
+        assert got[1].coverage == 1.0 and got[2].coverage == 1.0
+        assert got[3].coverage == 0.0 and got[3].dup_spans == 0
+        # 10 tokens, 4-grams -> 7 duplicated start positions, union = 10
+        assert got[1].dup_spans == 7 and got[1].covered_tok == 10
+
+    def test_shared_run_span_union(self, spark):
+        # docs share exactly the 6-token run "p q r s t u": 3 shared
+        # 4-grams at consecutive starts -> union = 4 + 1 + 1 = 6 tokens
+        got = self._cov(
+            spark,
+            [(1, "x1 x2 p q r s t u y1 y2"), (2, "z1 p q r s t u z2 z3 z4")],
+        )
+        for i in (1, 2):
+            assert got[i].dup_spans == 3
+            assert got[i].covered_tok == 6
+            assert got[i].coverage == 0.6
+
+    def test_short_doc_reports_zero_not_missing(self, spark):
+        got = self._cov(spark, [(1, "a b"), (2, "c d e f g h"), (3, "c d e f g h")])
+        assert got[1].n_tok == 2 and got[1].coverage == 0.0
+        assert got[2].coverage == 1.0
+
+    def test_within_doc_repetition_not_counted(self, spark):
+        # the gram repeats INSIDE doc 1 only -> min_docs=2 distinct docs
+        # not met -> no duplicated span anywhere
+        got = self._cov(spark, [(1, "a b c d a b c d"), (2, "x y z w v u t s")])
+        assert got[1].dup_spans == 0 and got[2].dup_spans == 0
