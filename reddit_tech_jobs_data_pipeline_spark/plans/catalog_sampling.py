@@ -477,3 +477,38 @@ def corpus_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         totals.crossJoin(F.broadcast(budget)), "budget"
     )
     return mixture.mixture_select(toks, allocs)
+
+
+@register(
+    "epoch_shuffle_shards",
+    """
+    WITH keyed AS (
+      SELECT doc_id, source,
+             md5('s0:1:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    sharded AS (
+      SELECT doc_id, source, h,
+             ('0x' || substr(h, 1, 2))::BIGINT % 8 AS shard
+      FROM keyed
+    )
+    SELECT doc_id, source, CAST(shard AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                AS BIGINT) AS pos_in_shard
+    FROM sharded
+    """,
+    tags=["sampling", "corpus", "scale"],
+)
+def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle for training export: every doc gets a
+    (shard, pos_in_shard) from the md5 of (seed, epoch, id) — the same
+    uniform pseudorandom order on any cluster size, any partitioning,
+    any retry, where rand(seed) is none of those. A new epoch is a new
+    seed string: fresh permutation, zero state. Production writes via
+    operators/shuffling.write_epoch_shards (one repartition + in-
+    partition sort, one file per shard); the rank here is the manifest
+    surface. See operators/shuffling.py for the 100 TB analysis."""
+    from reddit_tech_jobs_data_pipeline_spark.operators import shuffling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return shuffling.epoch_shuffle(docs, "doc_id", seed="s0", epoch=1, num_shards=8)
