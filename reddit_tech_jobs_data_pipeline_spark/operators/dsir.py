@@ -1,0 +1,120 @@
+"""DSIR importance weighting for data selection (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling",
+arXiv:2302.03169).
+
+Given a small high-quality TARGET corpus and a huge RAW pool, score every
+raw document by the log-likelihood ratio of its hashed-bigram features
+under the target vs raw bag-of-features models; resampling the raw pool
+proportional to exp(weight) yields target-distributed training data.
+
+100 TB shape: the two bucket histograms are map-side-combined groupBys
+that collapse to ``n_buckets`` rows each — the log-ratio model is
+broadcastable BY CONSTRUCTION regardless of corpus size (the point of
+hashed features: fixed model size, growing corpus). The scoring pass is
+one explode + one broadcast join + one groupBy(doc) with
+doc-length-bounded state. Nothing here shuffles the corpus more than
+once.
+
+Determinism (DuckDB-oracle parity): buckets come from md5 hex prefixes
+(engine-agnostic); counts/totals are exact integers; the per-doc sum is
+an ORDERED fold over feature positions so both engines add identical
+doubles in the same sequence; the rounded mean is normalized with
+``+ 0.0`` to collapse IEEE negative zero (a doc whose features are
+exactly target-neutral can fold to -0.0 on one engine and 0.0 on the
+other — stringified comparison would flag it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from reddit_tech_jobs_data_pipeline_spark.functions.extract import tokens
+
+
+def hashed_bigram_features(
+    docs: DataFrame, text_col: str, id_col: str, n_buckets: int = 256
+) -> DataFrame:
+    """Explode each doc into (id, pos, bk): the md5-bucketed bigram at
+    every token position. Docs with < 2 tokens produce no features."""
+    base = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), tokens(text_col).alias("__ws"))
+        .filter(F.size("__ws") >= 2)
+    )
+    return (
+        base.select(
+            "__id",
+            "__ws",
+            F.explode(F.sequence(F.lit(0), F.size("__ws") - 2)).alias("pos"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("pos").cast("long").alias("pos"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.array_join(F.slice("__ws", F.col("pos") + 1, 2), " ")),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % n_buckets
+            ).alias("bk"),
+        )
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Per raw-pool doc: (id_col, n_feat, logw_per_feat) where
+    logw_per_feat is the mean over the doc's hashed-bigram features of
+    ln p_target(b) - ln q_raw(b), add-1 smoothed over the fixed bucket
+    domain, rounded to 4 dp. ``is_target`` is a boolean Column over
+    ``docs`` splitting target corpus from raw pool; only raw docs (with
+    >= 2 tokens) are returned. Higher = more target-like."""
+    tagged = docs.withColumn("__t", is_target)
+    feats = hashed_bigram_features(tagged, text_col, id_col, n_buckets).join(
+        tagged.select(id_col, "__t"), id_col
+    )
+    cp = feats.filter("__t").groupBy("bk").agg(F.count(F.lit(1)).alias("cp"))
+    cq = feats.filter(~F.col("__t")).groupBy("bk").agg(F.count(F.lit(1)).alias("cq"))
+    totals = cp.agg(F.coalesce(F.sum("cp"), F.lit(0)).alias("np")).crossJoin(
+        cq.agg(F.coalesce(F.sum("cq"), F.lit(0)).alias("nq"))
+    )
+    lr = (
+        cq.join(cp, "bk", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bk",
+            (
+                F.log((F.coalesce("cp", F.lit(0)) + 1) * 1.0 / (F.col("np") + n_buckets))
+                - F.log((F.col("cq") + 1) * 1.0 / (F.col("nq") + n_buckets))
+            ).alias("lv"),
+        )
+    )
+    per = (
+        feats.filter(~F.col("__t"))
+        .join(F.broadcast(lr), "bk")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feat"),
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("pos", "lv"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["lv"],
+            ).alias("s"),
+        )
+    )
+    return per.select(
+        id_col,
+        F.col("n_feat").cast("long").alias("n_feat"),
+        (F.round(F.col("s") / F.col("n_feat"), 4) + 0.0).alias("logw_per_feat"),
+    )

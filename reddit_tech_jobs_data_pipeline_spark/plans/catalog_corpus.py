@@ -962,3 +962,70 @@ def repeated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shuffle analysis (inverted-index shape, no all-pairs)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup_ops.repeated_ngram_coverage(docs, n=8, min_docs=2)
+
+
+@register(
+    "dsir_importance_weights",
+    f"""
+    WITH d AS (SELECT doc_id, source, {_TOKS} AS ws
+               FROM documents WHERE text IS NOT NULL),
+    b AS (SELECT doc_id, source, ws, len(ws) AS n FROM d WHERE len(ws) >= 2),
+    g AS (
+      SELECT doc_id, source, CAST(s AS BIGINT) AS pos,
+             ('0x' || substr(md5(array_to_string(list_slice(ws, s + 1, s + 2), ' ')), 1, 4))::BIGINT % 256 AS bk
+      FROM b, unnest(range(0, n - 1)) t(s)
+    ),
+    cp AS (SELECT bk, count(*) AS c FROM g WHERE source IN ('src0', 'src1') GROUP BY bk),
+    cq AS (SELECT bk, count(*) AS c FROM g WHERE source NOT IN ('src0', 'src1') GROUP BY bk),
+    np AS (SELECT coalesce(sum(c), 0) AS n FROM cp),
+    nq AS (SELECT coalesce(sum(c), 0) AS n FROM cq),
+    lr AS (
+      SELECT cq.bk,
+             ln((coalesce(cp.c, 0) + 1) * 1.0 / ((SELECT n FROM np) + 256))
+             - ln((cq.c + 1) * 1.0 / ((SELECT n FROM nq) + 256)) AS lv
+      FROM cq LEFT JOIN cp USING (bk)
+    ),
+    per AS (
+      SELECT g.doc_id, count(*) AS n_feat,
+             list_reduce(list_prepend(0.0, list(lr.lv ORDER BY g.pos)),
+                         (a, x) -> a + x) AS s
+      FROM g JOIN lr USING (bk)
+      WHERE g.source NOT IN ('src0', 'src1')
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, CAST(n_feat AS BIGINT) AS n_feat,
+           round(s / n_feat, 4) + 0.0 AS logw_per_feat
+    FROM per
+    """,
+    tags=["corpus", "sampling", "quality", "scale"],
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169): score
+    every raw-pool document by how target-like its hashed-bigram feature
+    distribution is. Features are bigrams hashed into 256 md5 buckets;
+    the weight is the per-feature mean log-likelihood ratio
+    ln p_target(b) - ln q_raw(b) with add-1 smoothing over the fixed
+    bucket domain. Here the "target" corpus is sources src0/src1 and the
+    raw pool is everything else — downstream, resample the raw pool
+    proportional to exp(logw) (quality_weighted_sample's machinery).
+
+    Determinism: per-doc summation is an ORDERED fold over feature
+    positions (the unigram_logprob_quality playbook), so both engines
+    add identical doubles in the same sequence; counts/totals are exact
+    integers; the 4-dp round happens after the per-feature mean.
+
+    100 TB shape: the bucket histograms are two map-side-combined
+    groupBys that collapse to <= 256 rows each — the log-ratio table is
+    broadcast BY CONSTRUCTION no matter the corpus size (that is the
+    point of hashed features: the model size is fixed while the corpus
+    grows), and the per-doc pass is one explode + one broadcast join +
+    one groupBy(doc_id) with doc-length-bounded state. Implementation:
+    operators/dsir.dsir_weights (the -0.0 normalization is documented
+    there)."""
+    from reddit_tech_jobs_data_pipeline_spark.operators import dsir
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir.dsir_weights(
+        docs, F.col("source").isin("src0", "src1"), "text", "doc_id", 256
+    )
