@@ -7,13 +7,17 @@ raw document by the log-likelihood ratio of its hashed-bigram features
 under the target vs raw bag-of-features models; resampling the raw pool
 proportional to exp(weight) yields target-distributed training data.
 
-100 TB shape: the two bucket histograms are map-side-combined groupBys
-that collapse to ``n_buckets`` rows each — the log-ratio model is
-broadcastable BY CONSTRUCTION regardless of corpus size (the point of
-hashed features: fixed model size, growing corpus). The scoring pass is
-one explode + one broadcast join + one groupBy(doc) with
-doc-length-bounded state. Nothing here shuffles the corpus more than
-once.
+100 TB shape: exactly TWO passes over the corpus and zero corpus-size
+shuffles-by-key beyond them — pass 1 folds BOTH bucket histograms in one
+map-side-combined groupBy (a conditional sum per side) that collapses to
+``n_buckets`` rows, so the log-ratio model is broadcastable BY
+CONSTRUCTION regardless of corpus size (the point of hashed features:
+fixed model size, growing corpus); pass 2 re-derives the features and
+scores them against the broadcast model with one groupBy(doc) whose
+state is doc-length-bounded. Re-deriving beats materializing: the
+exploded feature table is ~corpus-sized, so caching it would cost more
+I/O than the second tokenize. The target flag rides the explode (carried
+column), never a join back on doc id.
 
 Determinism (DuckDB-oracle parity): buckets come from md5 hex prefixes
 (engine-agnostic); counts/totals are exact integers; the per-doc sum is
@@ -26,6 +30,8 @@ other — stringified comparison would flag it).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -33,23 +39,32 @@ from reddit_tech_jobs_data_pipeline_spark.functions.extract import tokens
 
 
 def hashed_bigram_features(
-    docs: DataFrame, text_col: str, id_col: str, n_buckets: int = 256
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 256,
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Explode each doc into (id, pos, bk): the md5-bucketed bigram at
-    every token position. Docs with < 2 tokens produce no features."""
+    """Explode each doc into (id, *carry_cols, pos, bk): the md5-bucketed
+    bigram at every token position. Docs with < 2 tokens produce no
+    features. ``carry_cols`` ride along so callers never need a
+    corpus-size join to recover per-doc attributes."""
+    carry = list(carry_cols)
     base = (
         docs.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("__id"), tokens(text_col).alias("__ws"))
+        .select(id_col, *carry, tokens(text_col).alias("__ws"))
         .filter(F.size("__ws") >= 2)
     )
     return (
         base.select(
-            "__id",
+            id_col,
+            *carry,
             "__ws",
             F.explode(F.sequence(F.lit(0), F.size("__ws") - 2)).alias("pos"),
         )
         .select(
-            F.col("__id").alias(id_col),
+            id_col,
+            *carry,
             F.col("pos").cast("long").alias("pos"),
             (
                 F.conv(
@@ -80,22 +95,29 @@ def dsir_weights(
     domain, rounded to 4 dp. ``is_target`` is a boolean Column over
     ``docs`` splitting target corpus from raw pool; only raw docs (with
     >= 2 tokens) are returned. Higher = more target-like."""
-    tagged = docs.withColumn("__t", is_target)
-    feats = hashed_bigram_features(tagged, text_col, id_col, n_buckets).join(
-        tagged.select(id_col, "__t"), id_col
+    feats = hashed_bigram_features(
+        docs.withColumn("__t", is_target), text_col, id_col, n_buckets,
+        carry_cols=["__t"],
     )
-    cp = feats.filter("__t").groupBy("bk").agg(F.count(F.lit(1)).alias("cp"))
-    cq = feats.filter(~F.col("__t")).groupBy("bk").agg(F.count(F.lit(1)).alias("cq"))
-    totals = cp.agg(F.coalesce(F.sum("cp"), F.lit(0)).alias("np")).crossJoin(
-        cq.agg(F.coalesce(F.sum("cq"), F.lit(0)).alias("nq"))
+    # one pass, both histograms: conditional sums per bucket. The result
+    # is <= n_buckets rows but DERIVING it is a corpus pass, and it feeds
+    # both totals and lr — materialize once (semantic_dedup playbook)
+    # so the whole operator reads the corpus exactly twice.
+    hist = feats.groupBy("bk").agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("cp"),
+        F.sum(F.when(~F.col("__t"), 1).otherwise(0)).alias("cq"),
+    ).localCheckpoint()
+    totals = hist.agg(
+        F.coalesce(F.sum("cp"), F.lit(0)).alias("np"),
+        F.coalesce(F.sum("cq"), F.lit(0)).alias("nq"),
     )
     lr = (
-        cq.join(cp, "bk", "left")
+        hist.filter(F.col("cq") > 0)  # scored docs only touch raw-side buckets
         .crossJoin(F.broadcast(totals))
         .select(
             "bk",
             (
-                F.log((F.coalesce("cp", F.lit(0)) + 1) * 1.0 / (F.col("np") + n_buckets))
+                F.log((F.col("cp") + 1) * 1.0 / (F.col("np") + n_buckets))
                 - F.log((F.col("cq") + 1) * 1.0 / (F.col("nq") + n_buckets))
             ).alias("lv"),
         )
