@@ -70,6 +70,11 @@ ADDED_R7 = [
     "streaming_incremental_dedup",
     "domain_quota_cap",
     "semantic_dedup_clusters",
+    "repeated_ngram_coverage",
+    "duplicate_span_clip",
+    "dsir_importance_weights",
+    "epoch_shuffle_shards",
+    "cluster_safe_splits",
 ]
 LEGACY = list(HEADLINE)
 HEADLINE = HEADLINE + ADDED_R7

@@ -1044,27 +1044,8 @@ def repeated_ngram_coverage(
     is per-doc, bounded by doc length. Same inverted-index shape as
     ngram_jaccard_near_dup — no all-pairs anywhere.
     """
-    base = (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(id_col, tokens(text_col).alias("__ws"))
-        .withColumn("__n_tok", F.size("__ws"))
-        .filter(F.col("__n_tok") > 0)
-    )
-    grams = (
-        base.filter(F.col("__n_tok") >= n)
-        .select(
-            id_col,
-            "__ws",
-            F.explode(F.sequence(F.lit(0), F.col("__n_tok") - n)).alias("pos"),
-        )
-        .select(
-            id_col,
-            F.col("pos").cast("long").alias("pos"),
-            F.substring(
-                F.md5(F.array_join(F.slice("__ws", F.col("pos") + 1, n), " ")), 1, 16
-            ).alias("__gh"),
-        )
-    )
+    base = _tokenized_docs(docs, text_col, id_col)
+    grams = _doc_ngrams(base, id_col, n)
     dup = (
         grams.groupBy("__gh")
         .agg(F.countDistinct(id_col).alias("__nd"))
@@ -1096,5 +1077,114 @@ def repeated_ngram_coverage(
             F.round(
                 F.coalesce("__covered", F.lit(0)) / F.col("__n_tok"), 4
             ).alias("coverage"),
+        )
+    )
+
+
+def _tokenized_docs(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, __ws token array, __n_tok) for non-null, non-empty docs —
+    shared base of the repeated-n-gram family."""
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(id_col, tokens(text_col).alias("__ws"))
+        .withColumn("__n_tok", F.size("__ws"))
+        .filter(F.col("__n_tok") > 0)
+    )
+
+
+def _doc_ngrams(base: DataFrame, id_col: str, n: int) -> DataFrame:
+    """(id, pos, __gh): the 64-bit md5-prefix key of the n-gram starting
+    at every token position (docs shorter than n produce no grams)."""
+    return (
+        base.filter(F.col("__n_tok") >= n)
+        .select(
+            id_col,
+            "__ws",
+            F.explode(F.sequence(F.lit(0), F.col("__n_tok") - n)).alias("pos"),
+        )
+        .select(
+            id_col,
+            F.col("pos").cast("long").alias("pos"),
+            F.substring(
+                F.md5(F.array_join(F.slice("__ws", F.col("pos") + 1, n), " ")), 1, 16
+            ).alias("__gh"),
+        )
+    )
+
+
+def duplicate_span_clip(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Remove cross-document duplicated spans, keeping them in ONE
+    document corpus-wide — the transform half of exact-substring dedup
+    (Lee et al. 2022): repeated_ngram_coverage measures, this clips.
+    For every n-gram shared by >= 2 docs, the KEEPER is the lowest doc
+    id containing it (deterministic, engine-agnostic); in every other
+    doc the gram's [pos, pos+n) span is removed, and the doc's
+    surviving tokens are re-joined in order. A doc may keep one span as
+    keeper and lose another where a different doc is keeper — the rule
+    is per-gram. The keeper retains ALL its occurrences of the gram
+    (within-doc repetition is a quality signal, not a dedup concern —
+    doc_trigram_repetition's turf).
+
+    Returns (id_col, n_tok, n_removed, clean_text) for every tokenized
+    doc; fully-clipped docs report clean_text = '' (drop them — or any
+    doc above a removal threshold — downstream).
+
+    100 TB shape: same inverted-index skeleton as
+    repeated_ngram_coverage (one groupBy(gh) with map-side combine, one
+    join back), plus a bounded *n span expansion (explode of an n-item
+    sequence) and an anti-join of token positions against covered
+    positions — both shuffles are keyed on doc id and never all-pairs.
+    Reconstruction state (the per-doc surviving token list) is bounded
+    by doc length, the packing/logprob precedent.
+    """
+    base = _tokenized_docs(docs, text_col, id_col)
+    grams = _doc_ngrams(base, id_col, n)
+    keepers = (
+        grams.groupBy("__gh")
+        .agg(F.countDistinct(id_col).alias("__nd"), F.min(id_col).alias("__keeper"))
+        .filter(F.col("__nd") >= 2)
+        .select("__gh", "__keeper")
+    )
+    # covered token positions in non-keeper docs (distinct: overlapping
+    # clipped spans cover a position once)
+    covered = (
+        grams.join(keepers, "__gh")
+        .filter(F.col(id_col) != F.col("__keeper"))
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("tpos"),
+        )
+        .distinct()
+    )
+    toks = base.select(
+        id_col, "__n_tok", F.posexplode("__ws").alias("tpos", "__term")
+    ).withColumn("tpos", F.col("tpos").cast("long"))
+    kept = toks.join(covered, [id_col, "tpos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.min("__n_tok").alias("__n_tok"),
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("tpos", "__term"))),
+                lambda x: x["__term"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        base.select(id_col, "__n_tok")
+        .join(rebuilt.drop("__n_tok"), id_col, "left")
+        .select(
+            id_col,
+            F.col("__n_tok").cast("long").alias("n_tok"),
+            (F.col("__n_tok") - F.coalesce("__n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )

@@ -20,8 +20,24 @@ not need it (the sort alone realizes the order).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def permutation_key(id_col: str, seed: str, epoch: int) -> Column:
+    """The md5 hex permutation key for (seed, epoch, row id) — a pure
+    function of row identity, identical on any engine/partitioning."""
+    return F.md5(F.concat(F.lit(f"{seed}:{epoch}:"), F.col(id_col).cast("string")))
+
+
+def shard_key(id_col: str, seed: str, epoch: int, num_shards: int) -> Column:
+    """Shard assignment (long): first-byte band of the permutation hash
+    mod num_shards. Stateless — costs no shuffle to compute."""
+    return (
+        F.conv(F.substring(permutation_key(id_col, seed, epoch), 1, 2), 16, 10)
+        .cast("long")
+        % num_shards
+    )
 
 
 def epoch_shuffle(
@@ -43,14 +59,8 @@ def epoch_shuffle(
     broken by id (and full 32-hex-char hashes collide only for equal
     ids, which are assumed unique).
     """
-    h = F.md5(
-        F.concat(
-            F.lit(f"{seed}:{epoch}:"), F.col(id_col).cast("string")
-        )
-    )
-    keyed = df.withColumn("__h", h).withColumn(
-        "shard",
-        (F.conv(F.substring(F.col("__h"), 1, 2), 16, 10).cast("long") % num_shards),
+    keyed = df.withColumn("__h", permutation_key(id_col, seed, epoch)).withColumn(
+        "shard", shard_key(id_col, seed, epoch, num_shards)
     )
     w = Window.partitionBy("shard").orderBy("__h", id_col)
     return (
@@ -71,13 +81,9 @@ def write_epoch_shards(
     within partitions by the permutation key, write one directory per
     shard. This is the production path — a single shuffle, no windows;
     readers stream each shard file in stored order."""
-    h = F.md5(F.concat(F.lit(f"{seed}:{epoch}:"), F.col(id_col).cast("string")))
     (
-        df.withColumn("__h", h)
-        .withColumn(
-            "shard",
-            (F.conv(F.substring(F.col("__h"), 1, 2), 16, 10).cast("long") % num_shards),
-        )
+        df.withColumn("__h", permutation_key(id_col, seed, epoch))
+        .withColumn("shard", shard_key(id_col, seed, epoch, num_shards))
         .repartition(num_shards, "shard")
         # shard leads the sort so the dynamic-partition writer's required
         # ordering (partition cols first) is already satisfied and it

@@ -1029,3 +1029,148 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir.dsir_weights(
         docs, F.col("source").isin("src0", "src1"), "text", "doc_id", 256
     )
+
+
+@register(
+    "duplicate_span_clip",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS ws FROM documents WHERE text IS NOT NULL),
+    b AS (SELECT doc_id, len(ws) AS n_tok, ws FROM d WHERE len(ws) > 0),
+    g AS (
+      SELECT doc_id, CAST(s AS BIGINT) AS pos,
+             substr(md5(array_to_string(list_slice(ws, s + 1, s + 8), ' ')), 1, 16) AS gh
+      FROM b, unnest(range(0, greatest(n_tok - 7, 0))) t(s)
+    ),
+    keepers AS (
+      SELECT gh, min(doc_id) AS keeper
+      FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+    ),
+    covered AS (
+      SELECT DISTINCT g.doc_id, CAST(tp AS BIGINT) AS tpos
+      FROM g JOIN keepers USING (gh), unnest(range(g.pos, g.pos + 8)) u(tp)
+      WHERE g.doc_id <> keepers.keeper
+    ),
+    toks AS (
+      SELECT doc_id, CAST(generate_subscripts(ws, 1) - 1 AS BIGINT) AS tpos,
+             unnest(ws) AS term
+      FROM b
+    ),
+    kept AS (
+      SELECT t.doc_id, t.tpos, t.term
+      FROM toks t ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+    ),
+    rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(term, ' ' ORDER BY tpos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id, CAST(b.n_tok AS BIGINT) AS n_tok,
+           CAST(b.n_tok - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(clean_text, '') AS clean_text
+    FROM b LEFT JOIN rebuilt USING (doc_id)
+    """,
+    tags=["corpus", "dedup", "scale"],
+)
+def duplicate_span_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transform half of exact-substring dedup (Lee et al. 2022):
+    every cross-doc duplicated 8-gram survives in ONE document
+    corpus-wide (lowest doc id; that keeper retains all its in-doc
+    occurrences) and is clipped from all other docs; surviving tokens
+    re-join in order. Pairs with repeated_ngram_coverage (the measure
+    half); see operators/dedup.duplicate_span_clip for the 100 TB
+    analysis (inverted-index skeleton + bounded span expansion +
+    doc-keyed anti-join)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.duplicate_span_clip(docs, n=8)
+
+
+@register(
+    "corpus_export_e2e",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS ws FROM documents WHERE text IS NOT NULL),
+    b AS (SELECT doc_id, len(ws) AS n_tok, ws FROM d WHERE len(ws) > 0),
+    g AS (
+      SELECT doc_id, CAST(s AS BIGINT) AS pos,
+             substr(md5(array_to_string(list_slice(ws, s + 1, s + 8), ' ')), 1, 16) AS gh
+      FROM b, unnest(range(0, greatest(n_tok - 7, 0))) t(s)
+    ),
+    keepers AS (
+      SELECT gh, min(doc_id) AS keeper
+      FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+    ),
+    covered AS (
+      SELECT DISTINCT g.doc_id, CAST(tp AS BIGINT) AS tpos
+      FROM g JOIN keepers USING (gh), unnest(range(g.pos, g.pos + 8)) u(tp)
+      WHERE g.doc_id <> keepers.keeper
+    ),
+    clipped AS (
+      SELECT b.doc_id, b.n_tok,
+             b.n_tok - coalesce(c.n_cov, 0) AS n_clean
+      FROM b LEFT JOIN (SELECT doc_id, count(*) AS n_cov FROM covered GROUP BY doc_id) c
+        USING (doc_id)
+    ),
+    kept AS (
+      SELECT doc_id, n_clean FROM clipped
+      WHERE n_clean >= 10 AND (n_tok - n_clean) * 2 < n_tok
+    ),
+    split AS (
+      SELECT doc_id, n_clean,
+             ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS sb
+      FROM kept
+    ),
+    train AS (SELECT doc_id, n_clean FROM split WHERE sb < 98),
+    sharded AS (
+      SELECT doc_id, n_clean,
+             ('0x' || substr(md5('s0:1:' || CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 8 AS shard
+      FROM train
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_clean) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM sharded GROUP BY shard
+    """,
+    tags=["corpus", "dedup", "sampling", "scale"],
+)
+def corpus_export_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The export tail of the training pipeline as ONE query, catching
+    interface drift between the round-7 stages the per-stage oracles
+    cannot: exact-substring span clip (duplicate_span_clip) → keep docs
+    with >= 10 surviving tokens and < 50% clipped (integer predicate:
+    2 * removed < n_tok — no float thresholds anywhere) → 98% train
+    split (doc-keyed md5 band) → deterministic epoch-shuffle shard
+    assignment (operators/shuffling.epoch_shuffle keys) → per-shard
+    manifest (docs, clean tokens, first doc). All counts are integers;
+    the one ratio is expressed as a cross-multiplication, so the
+    cross-engine contract is exact by construction.
+
+    100 TB shape: the clip dominates (see duplicate_span_clip); the
+    tail adds two stateless hash maps and ONE 8-row groupBy."""
+    from reddit_tech_jobs_data_pipeline_spark.operators import shuffling
+
+    docs = _t(spark, sf_dir, "documents")
+    clipped = dedup_ops.duplicate_span_clip(docs, n=8)
+    kept = clipped.select(
+        "doc_id", (F.col("n_tok") - F.col("n_removed")).alias("n_clean"), "n_tok"
+    ).filter(
+        (F.col("n_clean") >= 10)
+        & ((F.col("n_tok") - F.col("n_clean")) * 2 < F.col("n_tok"))
+    )
+    sb = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long") % 100
+    train = kept.filter(sb < 98).select("doc_id", "n_clean")
+    # shard_key only — the manifest needs no in-shard rank, so skip
+    # epoch_shuffle's per-shard window (the writer path realizes order)
+    sharded = train.withColumn(
+        "shard", shuffling.shard_key("doc_id", seed="s0", epoch=1, num_shards=8)
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_clean").cast("long").alias("n_tokens"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )

@@ -1711,3 +1711,75 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     with N; per-cluster quadratic is the bounded-by-design cost)."""
     emb = _t(spark, sf_dir, "embeddings")
     return dedup.semantic_dedup(emb, k=8, dim=64, train_iters=2, threshold=0.7)
+
+
+@register(
+    "cluster_safe_splits",
+    f"""
+    WITH RECURSIVE {_CORPUS_SQL}, {_SHINGLE_SQL},
+    {_minhash_sql(16, 4)},
+    {_JACCARD_VERIFY_SQL.format(candidate_filter="JOIN cand ON cand.id_a = a.id AND cand.id_b = b.id")},
+    pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard_raw >= 0.7),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    labels AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+    grouped AS (
+      SELECT c.id, coalesce(l.cluster_id, c.id) AS grp
+      FROM corpus c LEFT JOIN labels l USING (id)
+    ),
+    keyed AS (
+      SELECT id, grp,
+             ('0x' || substr(md5('split:' || CAST(grp AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM grouped
+    )
+    SELECT id, CAST(grp AS BIGINT) AS grp,
+           CASE WHEN h % 100 < 98 THEN 'train'
+                WHEN h % 100 < 99 THEN 'val'
+                ELSE 'test' END AS split
+    FROM keyed
+    """,
+    tags=["dedup", "sampling", "iterative", "scale"],
+)
+def cluster_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster-safe train/val/test assignment — the dedup
+    counterpart of leakage_safe_splits (which closes the URL-variant
+    leak): the split key is the doc's NEAR-DUP CLUSTER id (MinHash-LSH
+    pairs → connected components; singletons key on their own id), so
+    textual near-duplicates can never straddle train and test — the
+    contamination channel that survives plain doc-level splitting (Lee
+    et al. 2022 §6). 98/1/1 by md5 hash band, deterministic on any
+    engine/partitioning.
+
+    100 TB shape: the expensive part IS the existing near-dup clustering
+    (candidate-generation LSH + O(diameter) min-label rounds — see
+    near_dup_clusters); the split assignment adds one left join against
+    the label table (tiny: only paired docs have labels) and a stateless
+    hash map. No new shuffle family."""
+    corpus = _corpus_df(spark, sf_dir)
+    pairs = dedup.minhash_lsh_dedup_pairs(
+        corpus, "text", "id", num_hashes=16, bands=4, n=3, threshold=0.7
+    )
+    labels = dedup.cluster_near_dups(pairs)
+    grouped = corpus.select("id").join(labels, "id", "left").select(
+        "id", F.coalesce("cluster_id", "id").alias("grp")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("split:"), F.col("grp").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return grouped.select(
+        "id",
+        F.col("grp").cast("long").alias("grp"),
+        F.when(h % 100 < 98, F.lit("train"))
+        .when(h % 100 < 99, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

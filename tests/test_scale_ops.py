@@ -286,3 +286,81 @@ class TestRepeatedNgramCoverage:
         # not met -> no duplicated span anywhere
         got = self._cov(spark, [(1, "a b c d a b c d"), (2, "x y z w v u t s")])
         assert got[1].dup_spans == 0 and got[2].dup_spans == 0
+
+
+class TestDuplicateSpanClip:
+    def _clip(self, spark, rows, n=4):
+        df = spark.createDataFrame(rows, "id long, text string")
+        out = dedup.duplicate_span_clip(df, "text", "id", n=n)
+        return {r.id: r for r in out.collect()}
+
+    def test_keeper_keeps_others_lose(self, spark):
+        t = "a b c d e f"
+        got = self._clip(spark, [(1, t), (2, t), (3, t)])
+        assert got[1].n_removed == 0 and got[1].clean_text == t  # lowest id keeps
+        for i in (2, 3):
+            assert got[i].n_removed == 6 and got[i].clean_text == ""
+
+    def test_clip_is_span_precise(self, spark):
+        # only the shared 4-token run "p q r s" is clipped from doc 2
+        got = self._clip(
+            spark, [(1, "p q r s x1 x2 x3 x4"), (2, "y1 y2 p q r s y3 y4")]
+        )
+        assert got[1].n_removed == 0
+        assert got[2].clean_text == "y1 y2 y3 y4" and got[2].n_removed == 4
+
+    def test_per_gram_keeper_rule(self, spark):
+        # doc 2 is keeper for run B (shared with doc 3) but loses run A
+        # (doc 1 is keeper) — a doc can win one span and lose another
+        got = self._clip(
+            spark,
+            [
+                (1, "a1 a2 a3 a4 z1 z2 z3 z4"),
+                (2, "a1 a2 a3 a4 b1 b2 b3 b4"),
+                (3, "w1 w2 w3 w4 b1 b2 b3 b4"),
+            ],
+        )
+        assert got[1].n_removed == 0
+        assert got[2].clean_text == "b1 b2 b3 b4"
+        assert got[3].clean_text == "w1 w2 w3 w4"
+
+    def test_conservation_against_coverage(self, spark):
+        # for 2-doc exact dup: loser's n_removed == its covered_tok
+        t = "m n o p q r s t u v"
+        clip = self._clip(spark, [(1, t), (2, t)])
+        df = spark.createDataFrame([(1, t), (2, t)], "id long, text string")
+        cov = {
+            r.id: r
+            for r in dedup.repeated_ngram_coverage(df, "text", "id", n=4).collect()
+        }
+        assert clip[2].n_removed == cov[2].covered_tok == 10
+
+
+def test_cluster_safe_splits_no_straddle(spark):
+    """The invariant the query exists for: no near-dup pair straddles
+    two splits, and the full corpus is assigned."""
+    from reddit_tech_jobs_data_pipeline_spark.plans.catalog import get_registry
+    from reddit_tech_jobs_data_pipeline_spark.plans.catalog_scale import _corpus_df
+
+    sf = "/root/testdata/sf0.001"
+    splits = get_registry()["cluster_safe_splits"].spark(spark, sf)
+    by_id = {r.id: r.split for r in splits.collect()}
+    corpus = _corpus_df(spark, sf)
+    assert len(by_id) == corpus.count()
+    pairs = dedup.minhash_lsh_dedup_pairs(
+        corpus, "text", "id", num_hashes=16, bands=4, n=3, threshold=0.7
+    ).collect()
+    assert len(pairs) > 0  # the planted dups actually exercise the invariant
+    for p in pairs:
+        assert by_id[p.id_a] == by_id[p.id_b]
+
+
+def test_span_clip_keeper_retains_within_doc_repeats(spark):
+    """The keeper keeps ALL its occurrences of a duplicated gram; only
+    other docs are clipped (within-doc repetition is a quality signal,
+    not a dedup concern)."""
+    rows = [(1, "a b c d x y a b c d"), (2, "z1 a b c d z2 z3 z4")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r for r in dedup.duplicate_span_clip(df, "text", "id", n=4).collect()}
+    assert got[1].n_removed == 0 and got[1].clean_text == rows[0][1]
+    assert got[2].clean_text == "z1 z2 z3 z4"
