@@ -364,3 +364,59 @@ def test_span_clip_keeper_retains_within_doc_repeats(spark):
     got = {r.id: r for r in dedup.duplicate_span_clip(df, "text", "id", n=4).collect()}
     assert got[1].n_removed == 0 and got[1].clean_text == rows[0][1]
     assert got[2].clean_text == "z1 z2 z3 z4"
+
+
+class TestNgramFamilyProperties:
+    """Hypothesis invariants tying the measure (coverage) and transform
+    (clip) halves of exact-substring dedup to a brute-force Python
+    reimplementation — one DataFrame per example."""
+
+    def test_against_bruteforce(self, spark):
+        from hypothesis import given, settings, strategies as st
+
+        N = 4
+        vocab_words = ["a", "b", "c", "d", "e"]
+        doc_strat = st.lists(
+            st.sampled_from(vocab_words), min_size=0, max_size=14
+        ).map(" ".join)
+
+        @settings(max_examples=6, deadline=None)
+        @given(st.lists(doc_strat, min_size=2, max_size=6))
+        def run(texts):
+            rows = [(i, t) for i, t in enumerate(texts)]
+            df = spark.createDataFrame(rows, "id long, text string")
+            cov = {
+                r.id: r
+                for r in dedup.repeated_ngram_coverage(df, "text", "id", n=N).collect()
+            }
+            clip = {
+                r.id: r
+                for r in dedup.duplicate_span_clip(df, "text", "id", n=N).collect()
+            }
+            # brute force: gram -> set of doc ids; covered spans per doc
+            grams: dict = {}
+            toks = {i: t.split() if t else [] for i, t in rows}
+            for i, ws in toks.items():
+                for p in range(len(ws) - N + 1):
+                    grams.setdefault(tuple(ws[p : p + N]), set()).add(i)
+            for i, ws in toks.items():
+                covered = set()
+                removed = set()
+                for p in range(len(ws) - N + 1):
+                    g = tuple(ws[p : p + N])
+                    if len(grams[g]) >= 2:
+                        covered.update(range(p, p + N))
+                        if min(grams[g]) != i:
+                            removed.update(range(p, p + N))
+                if not ws:
+                    assert i not in cov and i not in clip
+                    continue
+                assert cov[i].covered_tok == len(covered)
+                assert cov[i].n_tok == len(ws)
+                clean = " ".join(w for p, w in enumerate(ws) if p not in removed)
+                assert clip[i].clean_text == clean
+                assert clip[i].n_removed == len(removed)
+                # clip never removes more than coverage measures
+                assert clip[i].n_removed <= cov[i].covered_tok
+
+        run()
