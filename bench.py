@@ -75,6 +75,7 @@ ADDED_R7 = [
     "dsir_importance_weights",
     "epoch_shuffle_shards",
     "cluster_safe_splits",
+    "bigram_backoff_logprob",
 ]
 LEGACY = list(HEADLINE)
 HEADLINE = HEADLINE + ADDED_R7

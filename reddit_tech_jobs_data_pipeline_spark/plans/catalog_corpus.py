@@ -1174,3 +1174,114 @@ def corpus_export_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_clean").cast("long").alias("n_tokens"),
         F.min("doc_id").cast("long").alias("first_doc"),
     )
+
+
+@register(
+    "bigram_backoff_logprob",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS ws FROM documents WHERE text IS NOT NULL),
+    b AS (SELECT doc_id, ws, len(ws) AS n_tok FROM d WHERE len(ws) >= 2),
+    uni AS (
+      SELECT term, count(*) AS c FROM
+        (SELECT unnest(ws) AS term FROM d) GROUP BY term
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+    bg AS (
+      SELECT doc_id, CAST(s AS BIGINT) AS pos,
+             ws[s + 1] AS w1, ws[s + 2] AS w2
+      FROM b, unnest(range(0, n_tok - 1)) t(s)
+    ),
+    bgc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+    scored AS (
+      SELECT bg.doc_id, bg.pos,
+             CASE WHEN bgc.cb IS NOT NULL
+                  THEN log10(bgc.cb * 1.0 / u1.c)
+                  ELSE log10(0.4 * u2.c / (SELECT n FROM tot))
+             END AS lp
+      FROM bg
+      LEFT JOIN bgc ON bg.w1 = bgc.w1 AND bg.w2 = bgc.w2
+      JOIN uni u1 ON bg.w1 = u1.term
+      JOIN uni u2 ON bg.w2 = u2.term
+    ),
+    per AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
+                         (a, x) -> a + x) AS s
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           round(s / n_bigrams, 4) + 0.0 AS mean_logp
+    FROM per
+    """,
+    tags=["text", "quality", "scale"],
+)
+def bigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality score with stupid backoff (Brants et al. 2007,
+    "Large Language Models in Machine Translation"): per-doc mean
+    log10 S(w_i | w_{i-1}) where S = c(w_{i-1} w_i) / c(w_{i-1}) when
+    the bigram was seen, else 0.4 * c(w_i) / N — the CCNet-style
+    perplexity-proxy upgrade of unigram_logprob_quality (a doc of
+    plausible words in an implausible ORDER now scores low). The LM is
+    the corpus' own counts; filter docs in the low tail.
+
+    Determinism: every per-position score is a double computed from
+    exact integer counts with the SAME operation order on both engines
+    ((cb·1.0)/c1; (0.4·c2)/N); the per-doc sum is the ordered fold; the
+    4-dp rounded mean gets the -0.0 normalization (a doc whose every
+    bigram is deterministic — ratio 1, log 0 — folds to ±0.0).
+
+    100 TB shape: one groupBy(w1,w2) builds the bigram table (map-side
+    combined; its size is bounded by distinct bigrams, not corpus
+    tokens) and joins back on the bigram key — the inverted-index
+    shuffle; the unigram table is vocabulary-sized and broadcast (cap
+    to top-V + OOV floor past broadcast range, the unigram playbook);
+    the per-doc fold state is doc-length-bounded."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select("doc_id", tokens("text").alias("ws"))
+    uni = toks.select(F.explode("ws").alias("term")).groupBy("term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = uni.agg(F.sum("c").cast("long").alias("n"))
+    bg = (
+        toks.filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            "ws",
+            F.explode(F.sequence(F.lit(0), F.size("ws") - 2)).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.element_at("ws", F.col("pos") + 1).alias("w1"),
+            F.element_at("ws", F.col("pos") + 2).alias("w2"),
+        )
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    scored = (
+        bg.join(bgc, ["w1", "w2"], "left")
+        .join(F.broadcast(uni.withColumnsRenamed({"term": "w1", "c": "c1"})), "w1")
+        .join(F.broadcast(uni.withColumnsRenamed({"term": "w2", "c": "c2"})), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "pos",
+            F.when(
+                F.col("cb").isNotNull(), F.log10(F.col("cb") * 1.0 / F.col("c1"))
+            )
+            .otherwise(F.log10(F.lit(0.4) * F.col("c2") / F.col("n")))
+            .alias("lp"),
+        )
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("pos", "lp"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["lp"],
+        ).alias("s"),
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        (F.round(F.col("s") / F.col("n_bigrams"), 4) + 0.0).alias("mean_logp"),
+    )
