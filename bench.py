@@ -76,6 +76,7 @@ ADDED_R7 = [
     "epoch_shuffle_shards",
     "cluster_safe_splits",
     "bigram_backoff_logprob",
+    "langid_trigram_rank",
 ]
 LEGACY = list(HEADLINE)
 HEADLINE = HEADLINE + ADDED_R7

@@ -82,37 +82,56 @@ def hashed_bigram_features(
     )
 
 
-def dsir_weights(
+def dsir_histogram(
     docs: DataFrame,
     is_target: Column,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 256,
 ) -> DataFrame:
-    """Per raw-pool doc: (id_col, n_feat, logw_per_feat) where
-    logw_per_feat is the mean over the doc's hashed-bigram features of
-    ln p_target(b) - ln q_raw(b), add-1 smoothed over the fixed bucket
-    domain, rounded to 4 dp. ``is_target`` is a boolean Column over
-    ``docs`` splitting target corpus from raw pool; only raw docs (with
-    >= 2 tokens) are returned. Higher = more target-like."""
+    """One corpus pass -> (bk, cp, cq): per hashed-bigram bucket, the
+    feature count from target docs (cp) and raw-pool docs (cq). Buckets
+    with zero counts on both sides are absent (sparse form). ADDITIVE:
+    the histogram of a disjoint batch union is the bucket-wise sum of
+    per-batch histograms — the property the incremental model-update
+    path (``merge_dsir_histograms``) relies on. A persisted histogram is
+    <= n_buckets rows of three integers: the entire model state a daily
+    ingest keeps on disk, independent of corpus size."""
     feats = hashed_bigram_features(
         docs.withColumn("__t", is_target), text_col, id_col, n_buckets,
         carry_cols=["__t"],
     )
-    # one pass, both histograms: conditional sums per bucket. The result
-    # is <= n_buckets rows but DERIVING it is a corpus pass, and it feeds
-    # both totals and lr — materialize once (semantic_dedup playbook)
-    # so the whole operator reads the corpus exactly twice.
-    hist = feats.groupBy("bk").agg(
+    return feats.groupBy("bk").agg(
         F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("cp"),
         F.sum(F.when(~F.col("__t"), 1).otherwise(0)).alias("cq"),
-    ).localCheckpoint()
+    )
+
+
+def merge_dsir_histograms(*hists: DataFrame) -> DataFrame:
+    """Bucket-wise sum of sparse histograms from DISJOINT doc batches.
+    The merge input is K * n_buckets rows regardless of corpus size, so
+    incremental model maintenance never re-reads old batches — exactly
+    counts, never approximations, because the features are exact sums."""
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    return out.groupBy("bk").agg(
+        F.sum("cp").alias("cp"), F.sum("cq").alias("cq")
+    )
+
+
+def dsir_model(hist: DataFrame, n_buckets: int = 256) -> DataFrame:
+    """(bk, lv) log-likelihood-ratio model from a (bk, cp, cq) histogram:
+    lv = ln p_target(bk) - ln q_raw(bk), add-1 smoothed over the fixed
+    bucket domain. Only raw-side buckets (cq > 0) get a row — any doc
+    drawn from the histogram's own raw pool touches only those. The
+    result is <= n_buckets rows: broadcast by construction."""
     totals = hist.agg(
         F.coalesce(F.sum("cp"), F.lit(0)).alias("np"),
         F.coalesce(F.sum("cq"), F.lit(0)).alias("nq"),
     )
-    lr = (
-        hist.filter(F.col("cq") > 0)  # scored docs only touch raw-side buckets
+    return (
+        hist.filter(F.col("cq") > 0)
         .crossJoin(F.broadcast(totals))
         .select(
             "bk",
@@ -122,9 +141,27 @@ def dsir_weights(
             ).alias("lv"),
         )
     )
+
+
+def dsir_score(
+    docs_raw: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Score raw-pool docs against a pre-built (bk, lv) model: one
+    explode + one broadcast join + one groupBy(id) with doc-length-
+    bounded state. Features hashing to buckets absent from the model
+    (cq was 0 when the model was built — impossible when scoring the
+    model's own raw pool, possible for later out-of-corpus docs) are
+    DROPPED from both the sum and n_feat; re-derive the model with the
+    new batch merged in (``merge_dsir_histograms``) when that matters.
+    The per-doc sum is an ORDERED fold over feature positions so the
+    DuckDB oracle adds identical doubles in the same sequence."""
+    feats = hashed_bigram_features(docs_raw, text_col, id_col, n_buckets)
     per = (
-        feats.filter(~F.col("__t"))
-        .join(F.broadcast(lr), "bk")
+        feats.join(F.broadcast(model), "bk")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_feat"),
@@ -139,4 +176,31 @@ def dsir_weights(
         id_col,
         F.col("n_feat").cast("long").alias("n_feat"),
         (F.round(F.col("s") / F.col("n_feat"), 4) + 0.0).alias("logw_per_feat"),
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Per raw-pool doc: (id_col, n_feat, logw_per_feat) where
+    logw_per_feat is the mean over the doc's hashed-bigram features of
+    ln p_target(b) - ln q_raw(b), add-1 smoothed over the fixed bucket
+    domain, rounded to 4 dp. ``is_target`` is a boolean Column over
+    ``docs`` splitting target corpus from raw pool; only raw docs (with
+    >= 2 tokens) are returned. Higher = more target-like.
+
+    Composition of histogram -> model -> score; the histogram is <=
+    n_buckets rows but DERIVING it is a corpus pass, and it feeds both
+    totals and the log-ratio — materialize once (semantic_dedup
+    playbook) so the whole operator reads the corpus exactly twice."""
+    hist = dsir_histogram(
+        docs, is_target, text_col, id_col, n_buckets
+    ).localCheckpoint()
+    model = dsir_model(hist, n_buckets)
+    return dsir_score(
+        docs.filter(~is_target), model, text_col, id_col, n_buckets
     )

@@ -33,7 +33,10 @@ from reddit_tech_jobs_data_pipeline_spark.functions.extract import tokens
 from reddit_tech_jobs_data_pipeline_spark.operators import dedup as dedup_ops
 from reddit_tech_jobs_data_pipeline_spark.operators import ranking
 from reddit_tech_jobs_data_pipeline_spark.plans.catalog import _t, register
-from reddit_tech_jobs_data_pipeline_spark.plans.catalog_scale import _TOKS
+from reddit_tech_jobs_data_pipeline_spark.plans.catalog_scale import (
+    _TOKS,
+    DSIR_ONESHOT_SQL,
+)
 
 
 def _tf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -966,37 +969,7 @@ def repeated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dsir_importance_weights",
-    f"""
-    WITH d AS (SELECT doc_id, source, {_TOKS} AS ws
-               FROM documents WHERE text IS NOT NULL),
-    b AS (SELECT doc_id, source, ws, len(ws) AS n FROM d WHERE len(ws) >= 2),
-    g AS (
-      SELECT doc_id, source, CAST(s AS BIGINT) AS pos,
-             ('0x' || substr(md5(array_to_string(list_slice(ws, s + 1, s + 2), ' ')), 1, 4))::BIGINT % 256 AS bk
-      FROM b, unnest(range(0, n - 1)) t(s)
-    ),
-    cp AS (SELECT bk, count(*) AS c FROM g WHERE source IN ('src0', 'src1') GROUP BY bk),
-    cq AS (SELECT bk, count(*) AS c FROM g WHERE source NOT IN ('src0', 'src1') GROUP BY bk),
-    np AS (SELECT coalesce(sum(c), 0) AS n FROM cp),
-    nq AS (SELECT coalesce(sum(c), 0) AS n FROM cq),
-    lr AS (
-      SELECT cq.bk,
-             ln((coalesce(cp.c, 0) + 1) * 1.0 / ((SELECT n FROM np) + 256))
-             - ln((cq.c + 1) * 1.0 / ((SELECT n FROM nq) + 256)) AS lv
-      FROM cq LEFT JOIN cp USING (bk)
-    ),
-    per AS (
-      SELECT g.doc_id, count(*) AS n_feat,
-             list_reduce(list_prepend(0.0, list(lr.lv ORDER BY g.pos)),
-                         (a, x) -> a + x) AS s
-      FROM g JOIN lr USING (bk)
-      WHERE g.source NOT IN ('src0', 'src1')
-      GROUP BY g.doc_id
-    )
-    SELECT doc_id, CAST(n_feat AS BIGINT) AS n_feat,
-           round(s / n_feat, 4) + 0.0 AS logw_per_feat
-    FROM per
-    """,
+    DSIR_ONESHOT_SQL,
     tags=["corpus", "sampling", "quality", "scale"],
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -484,3 +484,77 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nr.select(
         "region", "nation", "revenue", F.round(share, 4).alias("share")
     ).orderBy("region", "nation")
+
+
+@register(
+    "langid_trigram_rank",
+    r"""
+    WITH s0 AS (
+      SELECT doc_id, lang,
+             substr(trim(regexp_replace(lower(text), '\W+', ' ', 'g')), 1, 200) AS s
+      FROM documents WHERE text IS NOT NULL
+    ),
+    b AS (SELECT doc_id, lang, s, length(s) AS n FROM s0 WHERE length(s) >= 3),
+    g AS (
+      SELECT doc_id, lang, substr(s, CAST(p AS INTEGER), 3) AS gram
+      FROM b, unnest(range(1, n - 1)) t(p)
+    ),
+    lc AS (SELECT lang, gram, count(*) AS c FROM g GROUP BY 1, 2),
+    lp AS (
+      SELECT lang, gram,
+             row_number() OVER (PARTITION BY lang ORDER BY c DESC, gram) AS pr
+      FROM lc
+    ),
+    lpk AS (SELECT * FROM lp WHERE pr <= 100),
+    dc AS (SELECT doc_id, lang AS true_lang, gram, count(*) AS c
+           FROM g GROUP BY 1, 2, 3),
+    dr AS (
+      SELECT doc_id, true_lang, gram,
+             row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS dr
+      FROM dc
+    ),
+    drk AS (SELECT * FROM dr WHERE dr <= 100),
+    langs AS (SELECT DISTINCT lang FROM lpk),
+    dist AS (
+      SELECT d.doc_id, d.true_lang, l.lang AS cand,
+             sum(coalesce(abs(d.dr - p.pr), 100)) AS dist
+      FROM drk d CROSS JOIN langs l
+      LEFT JOIN lpk p ON p.lang = l.lang AND p.gram = d.gram
+      GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT doc_id, true_lang, cand, dist,
+             row_number() OVER (PARTITION BY doc_id ORDER BY dist, cand) AS rk
+      FROM dist
+    )
+    SELECT doc_id, true_lang AS lang, cand AS pred_lang, CAST(dist AS BIGINT) AS dist
+    FROM best WHERE rk = 1
+    """,
+    tags=["text", "quality", "langid", "scale"],
+)
+def langid_trigram_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained character-trigram language ID (Cavnar & Trenkle 1994):
+    per-language top-100 trigram rank profiles are built from the labeled
+    docs themselves, then every doc is classified by out-of-place rank
+    distance to each profile over its 200-char normalized prefix (miss
+    penalty = profile size; argmin, ties -> lowest code). The data-driven
+    upgrade of functions/text.lang_id's fixed marker lists — no word
+    list to maintain, works on languages the markers never covered.
+
+    On the synthetic corpus the text is language-independent by
+    construction, so predictions land near-uniformly — the point here is
+    engine parity of the full train+classify pipeline (all-integer
+    distances, total-order tiebreaks); tests/test_langid.py pins real
+    discrimination on a controlled bilingual corpus.
+
+    100 TB shape: see operators/langid.py — the model is langs*100 rows
+    (broadcast by construction), training is one corpus pass + a window
+    over the collapsed count table, classification one corpus pass with
+    per-doc-bounded window state; prefix_len caps per-doc cost."""
+    from reddit_tech_jobs_data_pipeline_spark.operators import langid
+
+    docs = _t(spark, sf_dir, "documents")
+    profiles = langid.ngram_profiles(docs, "lang", "text", 3, 100, 200)
+    return langid.langid_classify(
+        docs, profiles, "text", "doc_id", 3, 100, 200, carry_cols=("lang",)
+    )

@@ -28,6 +28,43 @@ from reddit_tech_jobs_data_pipeline_spark.plans.catalog import register, _t
 
 _TOKS = r"list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '')"
 
+# One-shot DSIR oracle over the full documents table (Xie et al. 2023,
+# arXiv:2302.03169). Registered by catalog_corpus.dsir_importance_weights
+# AND reused verbatim by dsir_incremental_model below, whose Spark side
+# builds the same model via batch-split histograms + a parquet store
+# round-trip — oracle equality proves the incremental merge is exact.
+DSIR_ONESHOT_SQL = f"""
+    WITH d AS (SELECT doc_id, source, {_TOKS} AS ws
+               FROM documents WHERE text IS NOT NULL),
+    b AS (SELECT doc_id, source, ws, len(ws) AS n FROM d WHERE len(ws) >= 2),
+    g AS (
+      SELECT doc_id, source, CAST(s AS BIGINT) AS pos,
+             ('0x' || substr(md5(array_to_string(list_slice(ws, s + 1, s + 2), ' ')), 1, 4))::BIGINT % 256 AS bk
+      FROM b, unnest(range(0, n - 1)) t(s)
+    ),
+    cp AS (SELECT bk, count(*) AS c FROM g WHERE source IN ('src0', 'src1') GROUP BY bk),
+    cq AS (SELECT bk, count(*) AS c FROM g WHERE source NOT IN ('src0', 'src1') GROUP BY bk),
+    np AS (SELECT coalesce(sum(c), 0) AS n FROM cp),
+    nq AS (SELECT coalesce(sum(c), 0) AS n FROM cq),
+    lr AS (
+      SELECT cq.bk,
+             ln((coalesce(cp.c, 0) + 1) * 1.0 / ((SELECT n FROM np) + 256))
+             - ln((cq.c + 1) * 1.0 / ((SELECT n FROM nq) + 256)) AS lv
+      FROM cq LEFT JOIN cp USING (bk)
+    ),
+    per AS (
+      SELECT g.doc_id, count(*) AS n_feat,
+             list_reduce(list_prepend(0.0, list(lr.lv ORDER BY g.pos)),
+                         (a, x) -> a + x) AS s
+      FROM g JOIN lr USING (bk)
+      WHERE g.source NOT IN ('src0', 'src1')
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, CAST(n_feat AS BIGINT) AS n_feat,
+           round(s / n_feat, 4) + 0.0 AS logw_per_feat
+    FROM per
+    """
+
 # documents ∪ perturbed copies (id+100000, two tokens appended)
 _CORPUS_SQL = """
   corpus AS (
@@ -1783,3 +1820,46 @@ def cluster_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+@register(
+    "dsir_incremental_model",
+    DSIR_ONESHOT_SQL,
+    tags=["corpus", "sampling", "incremental", "scale"],
+)
+def dsir_incremental_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DSIR model maintenance: the corpus arrives as two
+    disjoint batches (doc_id parity stands in for ingest days). Batch 1's
+    hashed-bigram histogram is PERSISTED to parquet — the on-disk model
+    state a daily ingest keeps: <= 256 rows of three integers, constant
+    size no matter how much corpus has flowed through. Batch 2's
+    histogram is merged in by bucket-wise sum (exact, because the
+    features are counts), the log-ratio model is rebuilt from the merged
+    histogram, and the full raw pool is re-scored.
+
+    The oracle is the ONE-SHOT full-corpus model
+    (dsir_importance_weights' SQL, shared constant): equality proves the
+    split + store round-trip + merge is byte-exact — updating the model
+    with a day's delta is indistinguishable from retraining on
+    everything, at the cost of one pass over the NEW batch only.
+
+    100 TB shape: each day touches only its own batch (one corpus pass
+    for the delta histogram) plus <= 2 * n_buckets rows of merge; the
+    re-score pass here covers the whole pool only because the oracle
+    needs every doc — production would score just the new batch against
+    the merged model (dsir.dsir_score)."""
+    import tempfile
+
+    from reddit_tech_jobs_data_pipeline_spark.operators import dsir
+
+    docs = _t(spark, sf_dir, "documents")
+    is_t = F.col("source").isin("src0", "src1")
+    h1 = dsir.dsir_histogram(docs.filter(F.col("doc_id") % 2 == 0), is_t)
+    path = f"{tempfile.gettempdir()}/spark_graft_dsir_hist_{abs(hash(sf_dir))}"
+    h1.write.mode("overwrite").parquet(path)
+    h2 = dsir.dsir_histogram(docs.filter(F.col("doc_id") % 2 == 1), is_t)
+    merged = dsir.merge_dsir_histograms(
+        spark.read.parquet(path), h2
+    ).localCheckpoint()
+    model = dsir.dsir_model(merged, 256)
+    return dsir.dsir_score(docs.filter(~is_t), model, "text", "doc_id", 256)

@@ -39,3 +39,34 @@ def test_short_and_null_docs_produce_no_rows(spark):
     out = dsir.dsir_weights(df, F.col("source") == "tgt")
     got = {r.doc_id: r.n_feat for r in out.collect()}
     assert got == {4: 1}  # one bigram; docs 2 (1 token) and 3 (null) drop
+
+
+def test_histogram_additive_across_disjoint_batches(spark, tmp_path):
+    docs = _corpus(spark)
+    is_t = F.col("source") == "tgt"
+    full = dsir.dsir_histogram(docs, is_t)
+    # three-way split by doc_id residue, batch 0 through a parquet store
+    parts = [docs.filter(F.col("doc_id") % 3 == r) for r in range(3)]
+    h0 = dsir.dsir_histogram(parts[0], is_t)
+    store = str(tmp_path / "hist_store")
+    h0.write.parquet(store)
+    merged = dsir.merge_dsir_histograms(
+        spark.read.parquet(store),
+        dsir.dsir_histogram(parts[1], is_t),
+        dsir.dsir_histogram(parts[2], is_t),
+    )
+    key = lambda r: (r.bk, r.cp, r.cq)
+    assert sorted(map(key, merged.collect())) == sorted(map(key, full.collect()))
+
+
+def test_incremental_model_scores_equal_oneshot(spark):
+    docs = _corpus(spark)
+    is_t = F.col("source") == "tgt"
+    oneshot = dsir.dsir_weights(docs, is_t)
+    merged = dsir.merge_dsir_histograms(
+        dsir.dsir_histogram(docs.filter(F.col("doc_id") < 10), is_t),
+        dsir.dsir_histogram(docs.filter(F.col("doc_id") >= 10), is_t),
+    )
+    inc = dsir.dsir_score(docs.filter(~is_t), dsir.dsir_model(merged))
+    key = lambda r: (r.doc_id, r.n_feat, r.logw_per_feat)
+    assert sorted(map(key, inc.collect())) == sorted(map(key, oneshot.collect()))
