@@ -71,3 +71,31 @@ def test_tie_breaks_to_lowest_language_code(spark):
     new = spark.createDataFrame([(9, "same words every time")], "doc_id long, text string")
     out = langid.langid_classify(new, prof, "text", "doc_id").collect()
     assert out[0].pred_lang == "aa"
+
+
+def test_gram_counts_additive_for_incremental_profiles(spark):
+    # ngram_profiles ranks a (lang, gram) count table; the counts are
+    # additive across disjoint batches exactly like DSIR's histograms,
+    # so incremental profile maintenance = per-batch counts + merge +
+    # re-rank. Pinned here at the property level (the catalog's
+    # dsir_incremental_model oracle-proves the shared pattern e2e).
+    docs = _bilingual(spark)
+    full = (
+        langid.char_ngrams(docs, "text", carry_cols=("lang",))
+        .groupBy("lang", "gram")
+        .count()
+    )
+    parts = [
+        langid.char_ngrams(
+            docs.filter(F.col("doc_id") % 2 == r), "text", carry_cols=("lang",)
+        )
+        .groupBy("lang", "gram")
+        .count()
+        for r in range(2)
+    ]
+    merged = (
+        parts[0].unionByName(parts[1]).groupBy("lang", "gram")
+        .agg(F.sum("count").alias("count"))
+    )
+    key = lambda r: (r.lang, r.gram, r["count"])
+    assert sorted(map(key, merged.collect())) == sorted(map(key, full.collect()))
