@@ -77,6 +77,7 @@ ADDED_R7 = [
     "cluster_safe_splits",
     "bigram_backoff_logprob",
     "langid_trigram_rank",
+    "curriculum_quality_order",
 ]
 LEGACY = list(HEADLINE)
 HEADLINE = HEADLINE + ADDED_R7

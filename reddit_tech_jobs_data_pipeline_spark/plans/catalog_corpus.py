@@ -814,10 +814,11 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "unigram_logprob_quality",
-    f"""
-    WITH d AS (SELECT doc_id, {_TOKS} AS ws FROM documents WHERE text IS NOT NULL),
+# Shared CTE chain: per-doc ordered-fold sum (s) and token count over the
+# corpus' own empirical unigram distribution. Used by
+# unigram_logprob_quality AND curriculum_quality_order below.
+_UNIGRAM_CTES = f"""
+    d AS (SELECT doc_id, {_TOKS} AS ws FROM documents WHERE text IS NOT NULL),
     tok AS (SELECT doc_id, unnest(ws) AS term, generate_subscripts(ws, 1) AS pos FROM d),
     cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
     tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
@@ -830,6 +831,13 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok t JOIN lpm m USING (term)
       GROUP BY t.doc_id
     )
+"""
+
+
+@register(
+    "unigram_logprob_quality",
+    f"""
+    WITH {_UNIGRAM_CTES}
     SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
            round(s / n_tok, 4) AS mean_logp
     FROM per
@@ -1257,4 +1265,58 @@ def bigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_bigrams").cast("long").alias("n_bigrams"),
         (F.round(F.col("s") / F.col("n_bigrams"), 4) + 0.0).alias("mean_logp"),
+    )
+
+
+@register(
+    "curriculum_quality_order",
+    f"""
+    WITH {_UNIGRAM_CTES},
+    q AS (SELECT doc_id, round(s / n_tok, 4) AS mean_logp FROM per),
+    t AS (
+      SELECT doc_id, mean_logp,
+             ntile(10) OVER (ORDER BY mean_logp DESC, doc_id) AS decile,
+             md5('cur:1:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM q
+    )
+    SELECT doc_id, mean_logp, CAST(decile AS BIGINT) AS decile,
+           CAST(row_number() OVER (PARTITION BY decile ORDER BY h, doc_id)
+                AS BIGINT) AS pos_in_decile
+    FROM t
+    """,
+    tags=["corpus", "sampling", "export", "scale"],
+)
+def curriculum_quality_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum training order: docs are cut into 10 deciles of
+    the unigram-LM quality proxy (decile 1 = most fluent; ties break on
+    doc_id over the 4-dp ROUNDED score — playbook rule, never order on
+    unrounded doubles across engines) and SHUFFLED within each decile by
+    a seeded md5 (the epoch_shuffle_shards keying). A trainer consumes
+    deciles in order: highest-quality data first, annealing downward —
+    the ordering knob epoch_shuffle_shards (uniform) deliberately does
+    not have. Docs with NULL text have no score and are absent.
+
+    100 TB shape: the score is unigram_logprob_quality's (vocab groupBy
+    + broadcast logp join, doc-bounded fold state). The exact global
+    ntile is oracle-parity mode — a single-partition sort over one row
+    per doc; production replaces it with approxQuantile cut points
+    broadcast into a when-chain (the documented revenue_decile_share /
+    RFM playbook), after which the only window left is per-decile
+    (partitioned, rank state O(1)). The within-decile md5 order is
+    cluster-size/retry-invariant like all seeded-hash orders here."""
+    per = unigram_logprob_quality(spark, sf_dir)
+    t = per.select(
+        "doc_id",
+        "mean_logp",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("mean_logp").desc(), "doc_id"))
+        .alias("decile"),
+        F.md5(F.concat(F.lit("cur:1:"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    wd = Window.partitionBy("decile").orderBy("h", "doc_id")
+    return t.select(
+        "doc_id",
+        "mean_logp",
+        F.col("decile").cast("long").alias("decile"),
+        F.row_number().over(wd).cast("long").alias("pos_in_decile"),
     )
