@@ -78,6 +78,8 @@ ADDED_R7 = [
     "bigram_backoff_logprob",
     "langid_trigram_rank",
     "curriculum_quality_order",
+    "soft_dedup_weights",
+    "temperature_mixture_weights",
 ]
 LEGACY = list(HEADLINE)
 HEADLINE = HEADLINE + ADDED_R7

@@ -85,6 +85,52 @@ def waterfill_threshold(totals: DataFrame, budget_col: str = "budget") -> DataFr
     return solved.unionByName(nonpos)
 
 
+def temperature_weights(
+    per_source: DataFrame,
+    mass_col: str = "total_tokens",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-scaled multinomial mixture (mT5 §3.1 / XLM-R):
+    sampling probability ``p_i ∝ mass_i^alpha``, renormalized. ``alpha=1``
+    reproduces the natural distribution; ``alpha=0`` is uniform;
+    ``0<alpha<1`` flattens — low-resource sources are upsampled, heads
+    are downsampled, without the hard cliff of a fixed cap.
+
+    Input: one row per source with ``source`` and ``mass_col`` (long ≥ 0).
+    Output: input + ``natural_share`` (mass_i/Σmass), ``p_temperature``
+    (the α-scaled probability), ``upsample_factor``
+    (p_temperature/natural_share — the effective-epochs multiplier when
+    the total token draw equals the corpus size). Unrounded doubles; the
+    caller rounds for cross-engine presentation.
+
+    Scale note: runs entirely on the per-source totals table (one row
+    per source — tens, not billions), joined back as a broadcast scalar.
+    Zero-mass sources get p = 0 and a null upsample_factor (no tokens to
+    draw from), never a division error."""
+    powed = per_source.select(
+        "*", F.pow(F.col(mass_col).cast("double"), F.lit(alpha)).alias("__m_a")
+    )
+    # pow(0, 0) = 1: a zero-mass source must not receive probability mass
+    powed = powed.withColumn(
+        "__m_a", F.when(F.col(mass_col) <= 0, F.lit(0.0)).otherwise(F.col("__m_a"))
+    )
+    tot = powed.agg(
+        F.sum(F.col(mass_col).cast("double")).alias("__mass_tot"),
+        F.sum("__m_a").alias("__z"),
+    )
+    natural = F.col(mass_col) / F.col("__mass_tot")
+    p_temp = F.col("__m_a") / F.col("__z")
+    return (
+        powed.join(F.broadcast(tot))
+        .select(
+            *per_source.columns,
+            natural.alias("natural_share"),
+            p_temp.alias("p_temperature"),
+            F.when(F.col(mass_col) > 0, p_temp / natural).alias("upsample_factor"),
+        )
+    )
+
+
 def mixture_select(
     docs: DataFrame,
     allocations: DataFrame,

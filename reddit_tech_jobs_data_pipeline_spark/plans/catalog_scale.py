@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from reddit_tech_jobs_data_pipeline_spark.functions import text as textfn
-from reddit_tech_jobs_data_pipeline_spark.operators import dedup, packing, similarity
+from reddit_tech_jobs_data_pipeline_spark.operators import (
+    dedup,
+    mixture,
+    packing,
+    similarity,
+)
 from reddit_tech_jobs_data_pipeline_spark.plans.catalog import register, _t
 
 # ---------------------------------------------------------------------------
@@ -1109,6 +1114,49 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "temperature_mixture_weights",
+    f"""
+    WITH toks AS (SELECT source, length({_TOKS}) AS n_tok FROM documents),
+    per_source AS (
+      SELECT source, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+      FROM toks GROUP BY source
+    ),
+    tot AS (SELECT sum(total_tokens * 1.0) AS mass_tot,
+                   sum(pow(total_tokens, 0.3)) AS z FROM per_source)
+    SELECT source, total_tokens,
+           round(total_tokens / mass_tot, 6) AS natural_share,
+           round(pow(total_tokens, 0.3) / z, 6) AS p_temperature,
+           round((pow(total_tokens, 0.3) / z) / (total_tokens / mass_tot), 6)
+             AS upsample_factor
+    FROM per_source CROSS JOIN tot
+    """,
+    tags=["mixture", "text", "scale"],
+)
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (mT5 §3.1, XLM-R):
+    ``p_i ∝ (token mass)^0.3`` — the standard soft rebalance between the
+    natural distribution (α=1, heads dominate) and uniform (α=0,
+    low-resource sources overfit). Same 100 TB shape as
+    source_mixture_weights: one narrow scan + per-source groupBy with
+    map-side combine; the α-power solve runs on the K-row totals table
+    with the normalizer joined back as a broadcast scalar."""
+    docs = _t(spark, sf_dir, "documents")
+    per_source = (
+        docs.select("source", textfn.token_count(F.col("text")).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("long").alias("total_tokens"))
+    )
+    w = mixture.temperature_weights(per_source, "total_tokens", alpha=0.3)
+    return w.select(
+        "source",
+        "total_tokens",
+        F.round("natural_share", 6).alias("natural_share"),
+        F.round("p_temperature", 6).alias("p_temperature"),
+        F.round("upsample_factor", 6).alias("upsample_factor"),
+    )
+
+
 _PACKING_SQL = f"""
     WITH toks AS (SELECT doc_id, length({_TOKS}) AS n_tok FROM documents),
     packed AS (
@@ -1315,6 +1363,68 @@ def near_dup_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     dupes = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
     return corpus.join(dupes, "id", "left_anti").select(
         "id", F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("text_len")
+    )
+
+
+@register(
+    "soft_dedup_weights",
+    f"""
+    WITH RECURSIVE {_CORPUS_SQL}, {_SHINGLE_SQL},
+    {_minhash_sql(16, 4)},
+    {_JACCARD_VERIFY_SQL.format(candidate_filter="JOIN cand ON cand.id_a = a.id AND cand.id_b = b.id")},
+    pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard_raw >= 0.7),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    clusters AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+    csizes AS (SELECT cluster_id, count(*) AS n FROM clusters GROUP BY cluster_id)
+    SELECT c.id, coalesce(l.cluster_id, c.id) AS cluster_id,
+           CAST(coalesce(s.n, 1) AS BIGINT) AS cluster_size,
+           round(CAST(1 AS DOUBLE) / coalesce(s.n, 1), 6) AS weight
+    FROM corpus c
+    LEFT JOIN clusters l ON c.id = l.id
+    LEFT JOIN csizes s ON l.cluster_id = s.cluster_id
+    """,
+    tags=["dedup", "sampling", "iterative", "scale"],
+)
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup as REWEIGHTING instead of removal (SoftDeDup-style): every
+    doc keeps its place in the corpus but carries a training sampling
+    weight of 1/|near-dup cluster|, so each duplicated content unit
+    contributes one effective copy in expectation. Gentler than the hard
+    drop of near_dup_deduped_corpus — borderline near-dups (cluster
+    members that differ in a suffix) still contribute signal, just
+    discounted.
+
+    100 TB shape: the expensive part IS the existing near-dup machinery
+    (candidate generation + verify + O(log n) star contraction); the
+    reweighting tail adds one K-row-per-cluster groupBy (map-side
+    combine on cluster_id) and two hash joins on id/cluster_id. Weights
+    are 1/integer — cross-engine deterministic (integer-exact-operand
+    class, see catalog playbook)."""
+    corpus = _corpus_df(spark, sf_dir)
+    pairs = dedup.minhash_lsh_dedup_pairs(
+        corpus, "text", "id", num_hashes=16, bands=4, n=3, threshold=0.7
+    )
+    clusters = dedup.cluster_near_dups_star(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
+    labeled = clusters.join(sizes, "cluster_id")
+    size = F.coalesce(F.col("n"), F.lit(1)).cast("long")
+    return (
+        corpus.select("id")
+        .join(labeled, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"),
+            size.alias("cluster_size"),
+            F.round(F.lit(1.0) / size, 6).alias("weight"),
+        )
     )
 
 

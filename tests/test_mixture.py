@@ -108,3 +108,48 @@ def test_mixture_select_respects_allocations(spark):
     out = {r.source: r for r in mixture.mixture_select(docs, allocs).collect()}
     assert out["a"].n_docs_sel == 3 and out["a"].tokens_sel == 30  # 3×10 ≤ 35
     assert out["b"].n_docs_sel == 0 and out["b"].tokens_sel == 0
+
+
+def _temp(spark, masses, alpha):
+    per = spark.createDataFrame(
+        [(f"s{i}", m) for i, m in enumerate(masses)],
+        "source string, total_tokens long",
+    )
+    return {
+        r.source: r
+        for r in mixture.temperature_weights(per, "total_tokens", alpha).collect()
+    }
+
+
+def test_temperature_alpha_one_is_natural(spark):
+    got = _temp(spark, [100, 300, 600], alpha=1.0)
+    for r in got.values():
+        assert abs(r.p_temperature - r.natural_share) < 1e-12
+        assert abs(r.upsample_factor - 1.0) < 1e-12
+
+
+def test_temperature_alpha_zero_is_uniform(spark):
+    got = _temp(spark, [1, 10, 100, 1000], alpha=0.0)
+    for r in got.values():
+        assert abs(r.p_temperature - 0.25) < 1e-12
+
+
+def test_temperature_flattens_monotonically(spark):
+    # 0 < alpha < 1: p still increases with mass, but upsample_factor
+    # strictly decreases — low-resource sources get multiplied up,
+    # heads down, and the probabilities sum to 1
+    masses = [10, 100, 1000, 10000]
+    got = _temp(spark, masses, alpha=0.3)
+    rows = [got[f"s{i}"] for i in range(len(masses))]
+    assert abs(sum(r.p_temperature for r in rows) - 1.0) < 1e-12
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi.p_temperature > lo.p_temperature
+        assert hi.upsample_factor < lo.upsample_factor
+    assert rows[0].upsample_factor > 1.0 > rows[-1].upsample_factor
+
+
+def test_temperature_zero_mass_source(spark):
+    got = _temp(spark, [0, 50, 50], alpha=0.3)
+    assert got["s0"].p_temperature == 0.0
+    assert got["s0"].upsample_factor is None
+    assert abs(got["s1"].p_temperature - 0.5) < 1e-12
