@@ -1299,11 +1299,14 @@ def curriculum_quality_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the score is unigram_logprob_quality's (vocab groupBy
     + broadcast logp join, doc-bounded fold state). The exact global
     ntile is oracle-parity mode — a single-partition sort over one row
-    per doc; production replaces it with approxQuantile cut points
-    broadcast into a when-chain (the documented revenue_decile_share /
-    RFM playbook), after which the only window left is per-decile
-    (partitioned, rank state O(1)). The within-decile md5 order is
-    cluster-size/retry-invariant like all seeded-hash orders here."""
+    per doc; the production mode is BUILT at
+    operators/curriculum.curriculum_order_scale (approxQuantile cut
+    points broadcast into a when-chain — the documented
+    revenue_decile_share / RFM playbook — plus the range-partitioned
+    physical writer write_curriculum_shards; agreement vs this exact
+    ntile measured in tests/test_curriculum.py). The within-decile md5
+    order is cluster-size/retry-invariant like all seeded-hash orders
+    here."""
     per = unigram_logprob_quality(spark, sf_dir)
     t = per.select(
         "doc_id",
