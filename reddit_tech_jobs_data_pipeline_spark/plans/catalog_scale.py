@@ -166,6 +166,52 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tokenizer_fertility_by_lang",
+    f"""
+    WITH toks AS (
+      SELECT lang,
+             length({_TOKS}) AS n_words,
+             length(regexp_extract_all(lower(coalesce(text,'')),
+                    '\\w{{1,4}}|[^\\w\\s]')) AS n_sub,
+             coalesce(length(text), 0) AS n_chars
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS words,
+           CAST(sum(n_sub) AS BIGINT) AS subword_tokens,
+           round(sum(n_sub) * 1.0 / sum(n_words), 4) AS fertility,
+           round(sum(n_chars) * 1.0 / sum(n_sub), 4) AS chars_per_token
+    FROM toks WHERE n_words > 0
+    GROUP BY lang
+    """,
+    tags=["text", "scale"],
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility — subword tokens per whitespace word, by
+    language — the token-budget planning metric (how many LLM tokens a
+    corpus REALLY costs varies by language; high fertility = a language
+    the tokenizer fragments). chars_per_token is the inverse compression
+    proxy. One narrow scan, one 5-row groupBy with map-side combine;
+    the ratios divide exact long sums (integer-exact-operand class).
+    Docs with no words (empty/NULL text) contribute nothing."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    per = docs.select(
+        "lang",
+        textfn.token_count(t).alias("n_words"),
+        F.coalesce(textfn.bpe_ish_token_count(t), F.lit(0)).alias("n_sub"),
+        textfn.char_count(t).alias("n_chars"),
+    ).filter(F.col("n_words") > 0)
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("words"),
+        F.sum("n_sub").cast("long").alias("subword_tokens"),
+        F.round(F.sum("n_sub") * 1.0 / F.sum("n_words"), 4).alias("fertility"),
+        F.round(F.sum("n_chars") * 1.0 / F.sum("n_sub"), 4).alias("chars_per_token"),
+    )
+
+
+@register(
     "quality_score_filter",
     f"""
     WITH toks AS (SELECT doc_id, text, {_TOKS} AS ws FROM documents),
