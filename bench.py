@@ -80,6 +80,8 @@ ADDED_R7 = [
     "curriculum_quality_order",
     "soft_dedup_weights",
     "temperature_mixture_weights",
+    "tokenizer_fertility_by_lang",
+    "mixture_realized_upsample",
 ]
 LEGACY = list(HEADLINE)
 HEADLINE = HEADLINE + ADDED_R7

@@ -131,6 +131,64 @@ def temperature_weights(
     )
 
 
+def realize_repeats(
+    docs: DataFrame,
+    factor_col: str,
+    id_col: str = "doc_id",
+    seed: str = "up",
+    epoch: int = 1,
+) -> DataFrame:
+    """Deterministic sampling-with-replacement REALIZATION: turn a
+    per-row real-valued sampling factor (from temperature_weights,
+    source_mixture_weights, or soft-dedup weights) into actual row
+    copies — ``floor(f)`` guaranteed copies plus one more iff the row's
+    seeded hash fraction falls below ``frac(f)`` (stochastic rounding by
+    row identity, so E[copies] = f exactly). Factors < 1 downsample
+    (Bernoulli keep), factors > 1 upsample; a new epoch reseeds which
+    rows get the extra copy.
+
+    Output: the input columns plus ``n_copies`` (long) and ``copy_idx``
+    (long, 1..n_copies) — one row per realized copy; rows with 0 copies
+    disappear. Downstream epoch shuffling keys on (id, copy_idx).
+
+    Determinism contract: the Bernoulli draw compares the integer value
+    of the first 8 md5 hex chars against ``frac(f)·2^32`` — the hash is
+    a pure function of row identity (cluster-size/retry/partitioning
+    invariant, same as epoch_shuffle), and the threshold is one IEEE
+    multiply of the same double on any engine. 100 TB shape: stateless
+    map + explode, zero shuffles; fan-out is bounded by the factor."""
+    f = F.col(factor_col)
+    base = F.floor(f).cast("long")
+    hv = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{seed}:{epoch}:"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+    )
+    extra = F.when(
+        hv < (f - base.cast("double")) * F.lit(float(2**32)), F.lit(1)
+    ).otherwise(F.lit(0))
+    keyed = docs.withColumn("n_copies", (base + extra).cast("long"))
+    seq = F.when(
+        F.col("n_copies") >= 1,
+        F.sequence(F.lit(1).cast("long"), F.col("n_copies")),
+    ).otherwise(F.array().cast("array<long>"))
+    return keyed.select(
+        *docs.columns, "n_copies", F.explode(seq).alias("copy_idx")
+    )
+
+
 def mixture_select(
     docs: DataFrame,
     allocations: DataFrame,

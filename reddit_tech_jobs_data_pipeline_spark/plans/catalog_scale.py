@@ -1161,6 +1161,74 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mixture_realized_upsample",
+    f"""
+    WITH toks AS (SELECT doc_id, source, length({_TOKS}) AS n_tok FROM documents),
+    per_source AS (
+      SELECT source, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+      FROM toks GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(total_tokens) AS BIGINT) AS all_tokens,
+                   count(*) AS n_sources FROM per_source),
+    fac AS (
+      SELECT source,
+             CAST(all_tokens AS DOUBLE) / (n_sources * total_tokens) AS factor
+      FROM per_source CROSS JOIN tot
+    ),
+    keyed AS (
+      SELECT d.doc_id, d.source, fac.factor,
+             CAST(floor(fac.factor) AS BIGINT) AS base,
+             ('0x' || substr(md5('up:1:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+      FROM documents d JOIN fac USING (source)
+    ),
+    copies AS (
+      SELECT doc_id, source,
+             base + CASE WHEN CAST(hv AS DOUBLE)
+                              < (factor - base) * 4294967296.0
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM keyed
+    )
+    SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_idx
+    FROM copies
+    """,
+    tags=["mixture", "sampling", "text", "scale"],
+)
+def mixture_realized_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture REALIZATION: the uniform-target sampling weights
+    (source_mixture_weights' weight = target_share / actual_share, a
+    ratio of exact long sums — cross-engine-identical doubles) turned
+    into an actual repeated-row epoch stream via
+    operators/mixture.realize_repeats: floor(weight) guaranteed copies
+    per doc + one hash-Bernoulli extra, so each source's realized token
+    mass hits its target in expectation. This is the step that makes
+    weight tables PHYSICAL — what the trainer actually reads. 100 TB
+    shape: the factor table is a K-row broadcast join; realization is a
+    stateless map + explode, zero shuffles beyond the per-source totals
+    groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    per_source = (
+        docs.select("source", textfn.token_count(F.col("text")).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("long").alias("total_tokens"))
+    )
+    tot = per_source.agg(
+        F.sum("total_tokens").cast("long").alias("all_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    fac = per_source.join(F.broadcast(tot)).select(
+        "source",
+        (
+            F.col("all_tokens").cast("double")
+            / (F.col("n_sources") * F.col("total_tokens"))
+        ).alias("factor"),
+    )
+    keyed = docs.select("doc_id", "source").join(F.broadcast(fac), "source")
+    out = mixture.realize_repeats(keyed, "factor", "doc_id", seed="up", epoch=1)
+    return out.select("doc_id", "source", "n_copies", "copy_idx")
+
+
+@register(
     "temperature_mixture_weights",
     f"""
     WITH toks AS (SELECT source, length({_TOKS}) AS n_tok FROM documents),

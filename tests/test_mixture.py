@@ -153,3 +153,54 @@ def test_temperature_zero_mass_source(spark):
     assert got["s0"].p_temperature == 0.0
     assert got["s0"].upsample_factor is None
     assert abs(got["s1"].p_temperature - 0.5) < 1e-12
+
+
+def _realized(spark, factors, n=200, seed="t"):
+    # factors: dict source -> factor; docs round-robin across sources
+    srcs = list(factors)
+    docs = spark.createDataFrame(
+        [(i, srcs[i % len(srcs)], float(factors[srcs[i % len(srcs)]])) for i in range(n)],
+        "doc_id long, source string, factor double",
+    )
+    return mixture.realize_repeats(docs, "factor", "doc_id", seed=seed)
+
+
+def test_realize_integer_factor_is_exact(spark):
+    out = _realized(spark, {"a": 2.0}, n=50)
+    per = out.groupBy("doc_id").count().collect()
+    assert len(per) == 50 and all(r["count"] == 2 for r in per)
+    # copy_idx enumerates 1..n_copies
+    idx = sorted(r.copy_idx for r in out.filter(F.col("doc_id") == 0).collect())
+    assert idx == [1, 2]
+
+
+def test_realize_zero_factor_drops_everything(spark):
+    assert _realized(spark, {"a": 0.0}, n=40).count() == 0
+
+
+def test_realize_fractional_factor_concentrates(spark):
+    # E[copies] = 1.5 per doc over 2000 docs: sd = sqrt(2000*0.25) ≈ 22
+    out = _realized(spark, {"a": 1.5}, n=2000)
+    total = out.count()
+    assert abs(total - 3000) < 5 * 22
+    per = {r.doc_id: r["count"] for r in out.groupBy("doc_id").count().collect()}
+    assert set(per.values()) <= {1, 2}
+    assert len(per) == 2000  # floor(1.5) = 1 guarantees every doc survives
+
+
+def test_realize_downsample_bernoulli(spark):
+    # factor 0.25 over 2000 docs: keep ≈ 500, sd ≈ 19
+    out = _realized(spark, {"a": 0.25}, n=2000)
+    kept = out.count()
+    assert abs(kept - 500) < 5 * 19
+    assert out.filter(F.col("copy_idx") != 1).count() == 0
+
+
+def test_realize_is_partitioning_invariant_and_epoch_keyed(spark):
+    docs = _realized(spark, {"a": 1.3, "b": 0.7}, n=300)
+    again = _realized(spark, {"a": 1.3, "b": 0.7}, n=300)
+    assert sorted(map(tuple, docs.collect())) == sorted(map(tuple, again.collect()))
+    other_seed = _realized(spark, {"a": 1.3, "b": 0.7}, n=300, seed="u")
+    assert sorted(map(tuple, docs.collect())) != sorted(
+        map(tuple, other_seed.collect())
+    )
