@@ -82,6 +82,7 @@ ADDED_R7 = [
     "temperature_mixture_weights",
     "tokenizer_fertility_by_lang",
     "mixture_realized_upsample",
+    "mixture_epoch_export_e2e",
 ]
 LEGACY = list(HEADLINE)
 HEADLINE = HEADLINE + ADDED_R7

@@ -1160,10 +1160,10 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "mixture_realized_upsample",
-    f"""
-    WITH toks AS (SELECT doc_id, source, length({_TOKS}) AS n_tok FROM documents),
+# Shared CTE chain: uniform-target factors realized into per-doc copy
+# counts. Used by mixture_realized_upsample AND mixture_epoch_export_e2e.
+_REALIZE_CTES = f"""
+    toks AS (SELECT doc_id, source, length({_TOKS}) AS n_tok FROM documents),
     per_source AS (
       SELECT source, CAST(sum(n_tok) AS BIGINT) AS total_tokens
       FROM toks GROUP BY source
@@ -1188,6 +1188,13 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 1 ELSE 0 END AS n_copies
       FROM keyed
     )
+"""
+
+
+@register(
+    "mixture_realized_upsample",
+    f"""
+    WITH {_REALIZE_CTES}
     SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies,
            CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_idx
     FROM copies
@@ -1206,6 +1213,14 @@ def mixture_realized_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: the factor table is a K-row broadcast join; realization is a
     stateless map + explode, zero shuffles beyond the per-source totals
     groupBy."""
+    return _realized_stream(spark, sf_dir).select(
+        "doc_id", "source", "n_copies", "copy_idx"
+    )
+
+
+def _realized_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The realized uniform-target epoch stream (doc_id, source,
+    n_copies, copy_idx) — Spark twin of the _REALIZE_CTES chain."""
     docs = _t(spark, sf_dir, "documents")
     per_source = (
         docs.select("source", textfn.token_count(F.col("text")).alias("n_tok"))
@@ -1224,8 +1239,61 @@ def mixture_realized_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("factor"),
     )
     keyed = docs.select("doc_id", "source").join(F.broadcast(fac), "source")
-    out = mixture.realize_repeats(keyed, "factor", "doc_id", seed="up", epoch=1)
-    return out.select("doc_id", "source", "n_copies", "copy_idx")
+    return mixture.realize_repeats(keyed, "factor", "doc_id", seed="up", epoch=1)
+
+
+@register(
+    "mixture_epoch_export_e2e",
+    f"""
+    WITH {_REALIZE_CTES},
+    stream AS (
+      SELECT doc_id, source,
+             CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_idx
+      FROM copies
+    ),
+    skeyed AS (
+      SELECT doc_id, copy_idx,
+             CAST(doc_id AS VARCHAR) || ':' || CAST(copy_idx AS VARCHAR)
+               AS copy_id,
+             md5('mx:1:' || CAST(doc_id AS VARCHAR) || ':'
+                 || CAST(copy_idx AS VARCHAR)) AS h
+      FROM stream
+    ),
+    sharded AS (
+      SELECT *, ('0x' || substr(h, 1, 2))::BIGINT % 8 AS shard FROM skeyed
+    )
+    SELECT doc_id, copy_idx, CAST(shard AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h, copy_id)
+                AS BIGINT) AS pos_in_shard
+    FROM sharded
+    """,
+    tags=["mixture", "sampling", "export", "scale"],
+)
+def mixture_epoch_export_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture → trainer files, end to end: realize the uniform-target
+    weights into repeated rows, then epoch-shuffle the REALIZED stream —
+    the permutation key is the md5 of the (doc, copy) identity, so the
+    2nd copy of an upsampled doc lands in a different shard/position
+    than the 1st instead of training twice back-to-back. This is the
+    interface-drift gate between realize_repeats and epoch_shuffle (the
+    copy_id handoff). 100 TB shape: the realization adds no shuffle; the
+    shuffle stage is the standard one-repartition writer path
+    (operators/shuffling.write_epoch_shards on copy_id realizes it
+    physically)."""
+    from reddit_tech_jobs_data_pipeline_spark.operators import shuffling
+
+    stream = _realized_stream(spark, sf_dir).withColumn(
+        "copy_id",
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("copy_idx").cast("string"),
+        ),
+    )
+    sh = shuffling.epoch_shuffle(
+        stream, "copy_id", seed="mx", epoch=1, num_shards=8
+    )
+    return sh.select("doc_id", "copy_idx", "shard", "pos_in_shard")
 
 
 @register(
