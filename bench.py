@@ -83,6 +83,7 @@ ADDED_R7 = [
     "tokenizer_fertility_by_lang",
     "mixture_realized_upsample",
     "mixture_epoch_export_e2e",
+    "annealed_mixture_schedule",
 ]
 LEGACY = list(HEADLINE)
 HEADLINE = HEADLINE + ADDED_R7

@@ -1160,6 +1160,91 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "annealed_mixture_schedule",
+    f"""
+    WITH toks AS (SELECT source, length({_TOKS}) AS n_tok FROM documents),
+    per_source AS (
+      SELECT source, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+      FROM toks GROUP BY source
+    ),
+    tot AS (SELECT sum(total_tokens * 1.0) AS mass_tot FROM per_source),
+    alphas AS (SELECT * FROM (VALUES (1, 0.2), (2, 0.5), (3, 0.8), (4, 1.0))
+               AS t(epoch, alpha)),
+    ex AS (
+      SELECT p.source, p.total_tokens, a.epoch, a.alpha,
+             pow(p.total_tokens, a.alpha) AS m_a
+      FROM per_source p CROSS JOIN alphas a
+    ),
+    z AS (SELECT epoch, sum(m_a) AS z FROM ex GROUP BY epoch)
+    SELECT CAST(ex.epoch AS BIGINT) AS epoch, ex.alpha, ex.source,
+           round(m_a / z.z, 6) AS p_epoch,
+           round((m_a / z.z) / (total_tokens / mass_tot), 6)
+             AS upsample_factor
+    FROM ex JOIN z USING (epoch) CROSS JOIN tot
+    """,
+    tags=["mixture", "text", "scale"],
+)
+def annealed_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annealed mixture schedule: a per-epoch temperature ramp
+    α = 0.2 → 0.5 → 0.8 → 1.0, so early epochs train on a FLATTENED
+    mixture (low-resource sources upsampled for coverage) and the final
+    epoch approaches the natural distribution — the standard
+    two-stage / midtraining anneal, emitted as one (epoch, source)
+    factor table a trainer feeds straight into realize_repeats per
+    epoch.
+
+    100 TB shape: ONE corpus scan (per-source totals groupBy with
+    map-side combine), then everything runs on the K-row totals table —
+    the α fan-out is an explode to K×4 rows, the per-epoch normalizer a
+    4-row groupBy joined back, the corpus mass a broadcast scalar.
+    Compare operators/mixture.temperature_weights (single α): this is
+    its schedule form, deliberately NOT four temperature_weights calls —
+    that would scan the corpus four times."""
+    docs = _t(spark, sf_dir, "documents")
+    per_source = (
+        docs.select("source", textfn.token_count(F.col("text")).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("long").alias("total_tokens"))
+    )
+    tot = per_source.agg(
+        F.sum(F.col("total_tokens").cast("double")).alias("mass_tot")
+    )
+    schedule = F.array(
+        *[
+            F.struct(
+                F.lit(e).cast("long").alias("epoch"), F.lit(a).alias("alpha")
+            )
+            for e, a in [(1, 0.2), (2, 0.5), (3, 0.8), (4, 1.0)]
+        ]
+    )
+    ex = per_source.select(
+        "source", "total_tokens", F.explode(schedule).alias("ea")
+    ).select(
+        "source",
+        "total_tokens",
+        F.col("ea.epoch").alias("epoch"),
+        F.col("ea.alpha").alias("alpha"),
+        F.pow(F.col("total_tokens").cast("double"), F.col("ea.alpha")).alias(
+            "m_a"
+        ),
+    )
+    z = ex.groupBy("epoch").agg(F.sum("m_a").alias("z"))
+    p = F.col("m_a") / F.col("z")
+    natural = F.col("total_tokens") / F.col("mass_tot")
+    return (
+        ex.join(F.broadcast(z), "epoch")
+        .join(F.broadcast(tot))
+        .select(
+            "epoch",
+            "alpha",
+            "source",
+            F.round(p, 6).alias("p_epoch"),
+            F.round(p / natural, 6).alias("upsample_factor"),
+        )
+    )
+
+
 # Shared CTE chain: uniform-target factors realized into per-doc copy
 # counts. Used by mixture_realized_upsample AND mixture_epoch_export_e2e.
 _REALIZE_CTES = f"""
