@@ -57,3 +57,45 @@ def test_write_epoch_shards_realizes_order(spark, tmp_path):
         ]
         assert stored == expect
     assert got.count() == 100
+
+
+def test_write_epoch_shards_on_realized_copy_stream(spark, tmp_path):
+    """The mixture_epoch_export_e2e handoff, physically: a realized
+    stream with repeated doc_ids keyed by copy_id goes through the
+    writer; copies of the same doc must spread across the epoch rather
+    than train back-to-back."""
+    from reddit_tech_jobs_data_pipeline_spark.operators import mixture
+
+    docs = spark.range(120).select(
+        F.col("id").alias("doc_id"), F.lit(2.5).alias("factor")
+    )
+    stream = mixture.realize_repeats(docs, "factor", "doc_id").withColumn(
+        "copy_id",
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("copy_idx").cast("string"),
+        ),
+    )
+    n = stream.count()
+    assert 240 <= n <= 360  # 2 guaranteed copies + Bernoulli(0.5) third
+
+    path = str(tmp_path / "epoch_copies")
+    shuffling.write_epoch_shards(
+        stream, path, id_col="copy_id", seed="mx", epoch=1, num_shards=4
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    assert back.select("copy_id").distinct().count() == n
+
+    # copies of one doc almost never share a shard-adjacent position:
+    # measure how many docs have all copies in the same shard — with 4
+    # shards and ≥2 copies that's ≤ (1/4)^(c-1) per doc in expectation
+    per_doc_shards = {
+        r.doc_id: r.n
+        for r in back.groupBy("doc_id")
+        .agg(F.countDistinct("shard").alias("n"))
+        .collect()
+    }
+    same_shard = sum(1 for v in per_doc_shards.values() if v == 1)
+    assert same_shard < 120 * 0.5  # uniform spread, not clumped
