@@ -84,6 +84,7 @@ ADDED_R7 = [
     "mixture_realized_upsample",
     "mixture_epoch_export_e2e",
     "annealed_mixture_schedule",
+    "combined_dedup_clusters",
 ]
 LEGACY = list(HEADLINE)
 HEADLINE = HEADLINE + ADDED_R7

@@ -26,7 +26,7 @@ Co-occurrence joins exploded tokens on doc_id (bounded per-doc fan-out).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from reddit_tech_jobs_data_pipeline_spark.functions.extract import tokens
@@ -36,6 +36,18 @@ from reddit_tech_jobs_data_pipeline_spark.plans.catalog import _t, register
 from reddit_tech_jobs_data_pipeline_spark.plans.catalog_scale import (
     _TOKS,
     DSIR_ONESHOT_SQL,
+)
+from reddit_tech_jobs_data_pipeline_spark.plans.catalog_scale import (
+    _CORPUS_SQL as _SC_CORPUS_SQL,
+)
+from reddit_tech_jobs_data_pipeline_spark.plans.catalog_scale import (
+    _JACCARD_VERIFY_SQL as _SC_JACCARD_VERIFY_SQL,
+)
+from reddit_tech_jobs_data_pipeline_spark.plans.catalog_scale import (
+    _SHINGLE_SQL as _SC_SHINGLE_SQL,
+)
+from reddit_tech_jobs_data_pipeline_spark.plans.catalog_scale import (
+    _minhash_sql as _sc_minhash_sql,
 )
 
 
@@ -401,8 +413,10 @@ _CANON_SQL = f"""
 """
 
 
-def _raw_urls_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    i = F.col("doc_id")
+def _raw_url_col(i: Column) -> Column:
+    """The deterministic synthetic raw URL for an id column — Spark twin
+    of _RAW_URL_SQL, parameterized so the injected-copy corpus (ids
+    shifted +100000) can carry URLs too (combined_dedup_clusters)."""
 
     def pick(mod, options, col=i):
         c = F.when(col % mod == 0, F.lit(options[0]))
@@ -410,7 +424,7 @@ def _raw_urls_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             c = c.when(col % mod == k, F.lit(options[k]))
         return c
 
-    raw = F.concat(
+    return F.concat(
         pick(3, ["http", "HTTPS", "https"]),
         F.lit("://"),
         pick(
@@ -430,7 +444,12 @@ def _raw_urls_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(4, ["?utm_source=x&b=2&a=1", "?gclid=9", "", "?z=1&utm_campaign=c&y=2"], col=i + 1),
         pick(3, ["#sec", "", ""], col=i + 1),
     )
-    return _t(spark, sf_dir, "documents").select("doc_id", "source", raw.alias("raw_url"))
+
+
+def _raw_urls_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", _raw_url_col(F.col("doc_id")).alias("raw_url")
+    )
 
 
 @register(
@@ -1323,3 +1342,80 @@ def curriculum_quality_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("decile").cast("long").alias("decile"),
         F.row_number().over(wd).cast("long").alias("pos_in_decile"),
     )
+
+
+# ===========================================================================
+# Combined-evidence dedup: URL-equality edges ∪ content-LSH edges → one
+# connected-components pass. RefinedWeb runs URL dedup THEN text dedup
+# as separate stages; the union-CC gives the transitive closure across
+# BOTH evidence types in one clustering (A=B by canonical URL, B=C by
+# near-dup text ⇒ {A,B,C} one cluster — the sequential form misses the
+# A~C identity unless it re-clusters).
+# ===========================================================================
+
+# the corpus (injected-copy) id space carries the same synthetic URLs,
+# keyed on id instead of doc_id
+_CORPUS_URL_SQL = (
+    (_RAW_URL_SQL + ",\n" + _CANON_SQL)
+    .replace("doc_id, source", "id")
+    .replace("doc_id", "id")
+    .replace("FROM documents", "FROM corpus")
+)
+
+
+@register(
+    "combined_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SC_CORPUS_SQL}, {_SC_SHINGLE_SQL},
+    {_sc_minhash_sql(16, 4)},
+    {_SC_JACCARD_VERIFY_SQL.format(candidate_filter="JOIN cand ON cand.id_a = a.id AND cand.id_b = b.id")},
+    tpairs AS (SELECT id_a, id_b FROM scored WHERE jaccard_raw >= 0.7),
+    {_CORPUS_URL_SQL},
+    ukeep AS (SELECT canon_url, min(id) AS mid FROM curls GROUP BY canon_url),
+    upairs AS (
+      SELECT c.id AS id_a, k.mid AS id_b
+      FROM curls c JOIN ukeep k USING (canon_url)
+      WHERE c.id <> k.mid
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM tpairs
+      UNION SELECT id_b, id_a FROM tpairs
+      UNION SELECT id_a, id_b FROM upairs
+      UNION SELECT id_b, id_a FROM upairs
+    ),
+    reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    )
+    SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+    """,
+    tags=["dedup", "urls", "iterative", "scale"],
+)
+def combined_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-evidence dedup clusters: edge set = (docs sharing a
+    canonical URL) ∪ (MinHash-LSH verified near-dup text pairs), one
+    O(log n) star-contraction CC over both. URL edges are star-shaped
+    (every member → the group's min id), so each URL group contributes
+    |group|-1 edges, never a quadratic clique; text edges are the
+    candidates-only LSH pairs. 100 TB shape: both edge builders are the
+    existing audited plans (one canonicalize groupBy; band join +
+    verify), the union is shuffle-free concatenation, and the CC is the
+    same bounded-round contraction the text-only clustering uses."""
+    from reddit_tech_jobs_data_pipeline_spark.functions import urls as U
+    from reddit_tech_jobs_data_pipeline_spark.plans.catalog_scale import _corpus_df
+
+    corpus = _corpus_df(spark, sf_dir)
+    tpairs = dedup_ops.minhash_lsh_dedup_pairs(
+        corpus, "text", "id", num_hashes=16, bands=4, n=3, threshold=0.7
+    ).select("id_a", "id_b")
+    curls = corpus.select(
+        "id", U.canonicalize_url(_raw_url_col(F.col("id"))).alias("canon_url")
+    )
+    ukeep = curls.groupBy("canon_url").agg(F.min("id").alias("mid"))
+    upairs = (
+        curls.join(ukeep, "canon_url")
+        .filter(F.col("id") != F.col("mid"))
+        .select(F.col("id").alias("id_a"), F.col("mid").alias("id_b"))
+    )
+    return dedup_ops.cluster_near_dups_star(tpairs.unionByName(upairs))
