@@ -85,6 +85,7 @@ ADDED_R7 = [
     "mixture_epoch_export_e2e",
     "annealed_mixture_schedule",
     "combined_dedup_clusters",
+    "quality_threshold_sweep",
 ]
 LEGACY = list(HEADLINE)
 HEADLINE = HEADLINE + ADDED_R7

@@ -243,6 +243,87 @@ def quality_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_threshold_sweep",
+    f"""
+    WITH toks AS (SELECT doc_id, text, {_TOKS} AS ws FROM documents),
+    scored AS (
+      SELECT doc_id, length(ws) AS n_tok,
+        (CASE WHEN length(ws) BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+        + (CASE WHEN length(ws) > 0 AND
+             length(list_filter(ws, t -> list_contains({_STOP_SQL}, t))) * 1.0 / length(ws) > 0.05
+           THEN 0.2 ELSE 0.0 END)
+        + (CASE WHEN coalesce(length(text),0) = 0 OR
+             length(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0 / length(text) < 0.2
+           THEN 0.2 ELSE 0.0 END)
+        + (CASE WHEN length(ws) > 0 AND
+             list_aggregate(list_transform(ws, t -> length(t)), 'sum') * 1.0 / length(ws)
+               BETWEEN 2.0 AND 12.0
+           THEN 0.2 ELSE 0.0 END) AS q
+      FROM toks
+    ),
+    rungs AS (
+      SELECT round(q, 2) AS quality, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS tokens
+      FROM scored GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_docs) AS all_docs, sum(tokens) AS all_tokens
+            FROM rungs)
+    SELECT quality AS threshold,
+           CAST(n_docs AS BIGINT) AS n_docs_at,
+           CAST(sum(n_docs) OVER (ORDER BY quality DESC) AS BIGINT)
+             AS docs_kept,
+           CAST(sum(tokens) OVER (ORDER BY quality DESC) AS BIGINT)
+             AS tokens_kept,
+           round(sum(n_docs) OVER (ORDER BY quality DESC) * 1.0 / all_docs, 4)
+             AS doc_keep_rate,
+           round(sum(tokens) OVER (ORDER BY quality DESC) * 1.0 / all_tokens, 4)
+             AS token_keep_rate
+    FROM rungs CROSS JOIN tot
+    """,
+    tags=["text", "filter", "scale"],
+)
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table for the quality filter: for every score rung
+    the composite quality_score can emit ({0, .2, .4, .6, .8, 1.0}),
+    how many docs/tokens survive a ≥-threshold cut — the table you read
+    BEFORE picking quality_score_filter's 0.6 (keep-rate vs token
+    budget). 100 TB shape: one corpus scan to a ≤6-row rung histogram
+    (map-side combine); the reverse-cumulative window and keep-rates run
+    on those 6 rows. The rung domain is closed by construction, so the
+    sweep is exact, not sampled."""
+    docs = _t(spark, sf_dir, "documents")
+    rungs = (
+        docs.select(
+            F.round(textfn.quality_score(F.col("text")), 2).alias("quality"),
+            textfn.token_count(F.col("text")).alias("n_tok"),
+        )
+        .groupBy("quality")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("tokens"),
+        )
+    )
+    tot = rungs.agg(
+        F.sum("n_docs").alias("all_docs"), F.sum("tokens").alias("all_tokens")
+    )
+    w = Window.orderBy(F.col("quality").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return rungs.join(F.broadcast(tot)).select(
+        F.col("quality").alias("threshold"),
+        F.col("n_docs").cast("long").alias("n_docs_at"),
+        F.sum("n_docs").over(w).cast("long").alias("docs_kept"),
+        F.sum("tokens").over(w).cast("long").alias("tokens_kept"),
+        F.round(F.sum("n_docs").over(w) * 1.0 / F.col("all_docs"), 4).alias(
+            "doc_keep_rate"
+        ),
+        F.round(F.sum("tokens").over(w) * 1.0 / F.col("all_tokens"), 4).alias(
+            "token_keep_rate"
+        ),
+    )
+
+
+@register(
     "doc_fingerprint_dedup",
     f"""
     WITH {_CORPUS_SQL},
