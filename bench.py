@@ -16,6 +16,7 @@ compiler, not the engine).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -101,38 +102,51 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("bench")
     reg = get_registry()
-    names = [n for n in HEADLINE if n in reg]
 
-    # untimed pass: JVM + file listing + per-plan codegen compilation
-    for name in names:
-        materialize(reg[name].spark(spark, sf_dir))
-
-    # Operators that .cache()/persist() internally register plans in the
-    # CacheManager; without clearing, the timed pass would substitute the
-    # warm-up's already-materialized InMemoryRelations and under-report.
-    # Clearing between timed queries also stops cache-plan reuse ACROSS
-    # queries that share sub-plans (e.g. the shingle table) and bounds
-    # cached-plan memory. localCheckpoint blocks are RDD storage, NOT
-    # CacheManager entries — clearCache() doesn't free them — but they
-    # can't be substituted either: each pass rebuilds the DataFrame, which
-    # computes fresh checkpoints, so the timed pass stays honest.
-    spark.catalog.clearCache()
-
-    # Best-of-2 timed passes per query, caches cleared before each, so a
-    # transient external load spike on the shared host (observed 4×
-    # slowdowns on otherwise-flat queries) doesn't masquerade as a
-    # regression. Both passes do the full work — min is interference
-    # suppression, not cache reuse.
+    # PHASED protocol: warm + time the legacy set COMPLETELY before any
+    # ADDED_R7 query runs. Measured A/B (r7): warming all 50 queries
+    # before timing legacy inflated value_legacy28 from 33.9 s to
+    # 42.3 s — the added families' star-contraction localCheckpoint
+    # blocks (RDD storage, not CacheManager entries, so clearCache()
+    # can't free them) plus broadcast/GC residue tax everything timed
+    # after. Phasing keeps value_legacy28 semantics identical to the
+    # r1-r6 runs (nothing but legacy's own warm-up precedes it), which
+    # is what BENCH_r*.json round-over-round comparison assumes.
     timings: dict[str, float] = {}
-    for name in names:
-        best = float("inf")
-        for _ in range(2):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
+    for group in (LEGACY, ADDED_R7):
+        names = [n for n in group if n in reg]
+
+        # untimed pass: JVM + file listing + per-plan codegen compilation
+        for name in names:
             materialize(reg[name].spark(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+
+        # Operators that .cache()/persist() internally register plans in
+        # the CacheManager; without clearing, the timed pass would
+        # substitute the warm-up's already-materialized InMemoryRelations
+        # and under-report. Clearing between timed queries also stops
+        # cache-plan reuse ACROSS queries that share sub-plans (e.g. the
+        # shingle table) and bounds cached-plan memory. localCheckpoint
+        # blocks can't be substituted: each pass rebuilds the DataFrame,
+        # which computes fresh checkpoints, so the timed pass stays
+        # honest; gc.collect() lets the ContextCleaner reap the old ones.
         spark.catalog.clearCache()
+        gc.collect()
+
+        # Best-of-2 timed passes per query, caches cleared before each,
+        # so a transient external load spike on the shared host (observed
+        # 4× slowdowns on otherwise-flat queries) doesn't masquerade as a
+        # regression. Both passes do the full work — min is interference
+        # suppression, not cache reuse.
+        for name in names:
+            best = float("inf")
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                materialize(reg[name].spark(spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+            spark.catalog.clearCache()
+            gc.collect()
 
     print(
         json.dumps(
