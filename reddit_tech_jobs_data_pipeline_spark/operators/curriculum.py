@@ -53,7 +53,10 @@ def assign_curriculum_decile(
     """Stateless decile assignment from broadcast cut points. With
     ``descending`` (curriculum convention) decile 1 is the HIGHEST-score
     band: score > cuts[-1] → 1, ... score <= cuts[0] → k. A plain
-    when-chain — whole-stage-codegen'd, no shuffle, no UDF."""
+    when-chain — whole-stage-codegen'd, no shuffle, no UDF. Cuts are
+    sorted here, so callers may pass them in any order; a NaN score
+    compares false everywhere and lands in the worst band."""
+    cuts = sorted(cuts)
     k = len(cuts) + 1
     expr = F.lit(k if descending else 1)
     # build from the lowest cut upward; later (higher) cuts override
