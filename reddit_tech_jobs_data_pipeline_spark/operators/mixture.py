@@ -104,9 +104,14 @@ def temperature_weights(
     caller rounds for cross-engine presentation.
 
     Scale note: runs entirely on the per-source totals table (one row
-    per source — tens, not billions), joined back as a broadcast scalar.
-    Zero-mass sources get p = 0 and a null upsample_factor (no tokens to
-    draw from), never a division error."""
+    per source — tens, not billions). The normalizers are K-row
+    unpartitioned windows rather than an agg-and-join-back: a separate
+    `.agg()` branch makes Spark RE-SCAN whatever produced ``per_source``
+    (a second full corpus pass when it comes straight off a groupBy) —
+    the window keeps the plan one linear subtree, one upstream scan, at
+    the cost of a single-partition window over K rows (the documented
+    K-row license). Zero-mass sources get p = 0 and a null
+    upsample_factor (no tokens to draw from), never a division error."""
     powed = per_source.select(
         "*", F.pow(F.col(mass_col).cast("double"), F.lit(alpha)).alias("__m_a")
     )
@@ -114,20 +119,14 @@ def temperature_weights(
     powed = powed.withColumn(
         "__m_a", F.when(F.col(mass_col) <= 0, F.lit(0.0)).otherwise(F.col("__m_a"))
     )
-    tot = powed.agg(
-        F.sum(F.col(mass_col).cast("double")).alias("__mass_tot"),
-        F.sum("__m_a").alias("__z"),
-    )
-    natural = F.col(mass_col) / F.col("__mass_tot")
-    p_temp = F.col("__m_a") / F.col("__z")
-    return (
-        powed.join(F.broadcast(tot))
-        .select(
-            *per_source.columns,
-            natural.alias("natural_share"),
-            p_temp.alias("p_temperature"),
-            F.when(F.col(mass_col) > 0, p_temp / natural).alias("upsample_factor"),
-        )
+    w = Window.partitionBy()
+    natural = F.col(mass_col) / F.sum(F.col(mass_col).cast("double")).over(w)
+    p_temp = F.col("__m_a") / F.sum("__m_a").over(w)
+    return powed.select(
+        *per_source.columns,
+        natural.alias("natural_share"),
+        p_temp.alias("p_temperature"),
+        F.when(F.col(mass_col) > 0, p_temp / natural).alias("upsample_factor"),
     )
 
 

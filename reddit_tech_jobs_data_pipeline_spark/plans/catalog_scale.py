@@ -288,9 +288,11 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     how many docs/tokens survive a ≥-threshold cut — the table you read
     BEFORE picking quality_score_filter's 0.6 (keep-rate vs token
     budget). 100 TB shape: one corpus scan to a ≤6-row rung histogram
-    (map-side combine); the reverse-cumulative window and keep-rates run
-    on those 6 rows. The rung domain is closed by construction, so the
-    sweep is exact, not sampled."""
+    (map-side combine); the reverse-cumulative and grand-total windows
+    and keep-rates all run on those 6 rows (windows, not
+    agg-and-join-back — a second `.agg()` branch would re-scan the
+    corpus; plan-audited to 1 scan). The rung domain is closed by
+    construction, so the sweep is exact, not sampled."""
     docs = _t(spark, sf_dir, "documents")
     rungs = (
         docs.select(
@@ -303,23 +305,21 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("tokens"),
         )
     )
-    tot = rungs.agg(
-        F.sum("n_docs").alias("all_docs"), F.sum("tokens").alias("all_tokens")
-    )
     w = Window.orderBy(F.col("quality").desc()).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    return rungs.join(F.broadcast(tot)).select(
+    w_all = Window.partitionBy()
+    return rungs.select(
         F.col("quality").alias("threshold"),
         F.col("n_docs").cast("long").alias("n_docs_at"),
         F.sum("n_docs").over(w).cast("long").alias("docs_kept"),
         F.sum("tokens").over(w).cast("long").alias("tokens_kept"),
-        F.round(F.sum("n_docs").over(w) * 1.0 / F.col("all_docs"), 4).alias(
-            "doc_keep_rate"
-        ),
-        F.round(F.sum("tokens").over(w) * 1.0 / F.col("all_tokens"), 4).alias(
-            "token_keep_rate"
-        ),
+        F.round(
+            F.sum("n_docs").over(w) * 1.0 / F.sum("n_docs").over(w_all), 4
+        ).alias("doc_keep_rate"),
+        F.round(
+            F.sum("tokens").over(w) * 1.0 / F.sum("tokens").over(w_all), 4
+        ).alias("token_keep_rate"),
     )
 
 
@@ -1216,26 +1216,26 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixture rebalancing — compute per-source token shares and
     the sampling weight that flattens the mixture to a uniform target
     (weight = target_share / actual_share; >1 upsample, <1 downsample).
-    One narrow scan + one tiny aggregation; the totals are a broadcast
-    scalar join, never a collect — at 100 TB the per-source table is
-    dozens of rows regardless of corpus size."""
+    One narrow scan + one tiny aggregation; the totals are K-row windows
+    over the per-source table (dozens of rows at any corpus size) —
+    not an agg-and-join-back, which would re-scan the corpus for the
+    second branch (plan-audited to 1 scan), and never a collect."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("source", textfn.token_count(F.col("text")).alias("n_tok"))
     per_source = toks.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("long").alias("total_tokens"),
     )
-    tot = per_source.agg(
-        F.sum("total_tokens").alias("all_tokens"),
-        F.count(F.lit(1)).alias("n_sources"),
+    w = Window.partitionBy()
+    share = (
+        F.col("total_tokens") * F.lit(1.0) / F.sum("total_tokens").over(w)
     )
-    share = F.col("total_tokens") * F.lit(1.0) / F.col("all_tokens")
-    return per_source.join(F.broadcast(tot)).select(
+    return per_source.select(
         "source",
         "n_docs",
         "total_tokens",
         F.round(share, 6).alias("token_share"),
-        F.round((F.lit(1.0) / F.col("n_sources")) / share, 6).alias(
+        F.round((F.lit(1.0) / F.count(F.lit(1)).over(w)) / share, 6).alias(
             "sampling_weight"
         ),
     )
@@ -1276,20 +1276,18 @@ def annealed_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch.
 
     100 TB shape: ONE corpus scan (per-source totals groupBy with
-    map-side combine), then everything runs on the K-row totals table —
-    the α fan-out is an explode to K×4 rows, the per-epoch normalizer a
-    4-row groupBy joined back, the corpus mass a broadcast scalar.
-    Compare operators/mixture.temperature_weights (single α): this is
-    its schedule form, deliberately NOT four temperature_weights calls —
-    that would scan the corpus four times."""
+    map-side combine; plan-audited — the normalizers are per-epoch
+    windows over the K×4 exploded totals, NOT agg-and-join-back
+    branches, which would each re-scan the corpus), then everything
+    runs on K-row data. Compare operators/mixture.temperature_weights
+    (single α): this is its schedule form, deliberately NOT four
+    temperature_weights calls — that would scan the corpus four
+    times."""
     docs = _t(spark, sf_dir, "documents")
     per_source = (
         docs.select("source", textfn.token_count(F.col("text")).alias("n_tok"))
         .groupBy("source")
         .agg(F.sum("n_tok").cast("long").alias("total_tokens"))
-    )
-    tot = per_source.agg(
-        F.sum(F.col("total_tokens").cast("double")).alias("mass_tot")
     )
     schedule = F.array(
         *[
@@ -1310,19 +1308,17 @@ def annealed_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m_a"
         ),
     )
-    z = ex.groupBy("epoch").agg(F.sum("m_a").alias("z"))
-    p = F.col("m_a") / F.col("z")
-    natural = F.col("total_tokens") / F.col("mass_tot")
-    return (
-        ex.join(F.broadcast(z), "epoch")
-        .join(F.broadcast(tot))
-        .select(
-            "epoch",
-            "alpha",
-            "source",
-            F.round(p, 6).alias("p_epoch"),
-            F.round(p / natural, 6).alias("upsample_factor"),
-        )
+    w_e = Window.partitionBy("epoch")
+    p = F.col("m_a") / F.sum("m_a").over(w_e)
+    natural = F.col("total_tokens") / F.sum(
+        F.col("total_tokens").cast("double")
+    ).over(w_e)
+    return ex.select(
+        "epoch",
+        "alpha",
+        "source",
+        F.round(p, 6).alias("p_epoch"),
+        F.round(p / natural, 6).alias("upsample_factor"),
     )
 
 
@@ -1386,24 +1382,29 @@ def mixture_realized_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _realized_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The realized uniform-target epoch stream (doc_id, source,
-    n_copies, copy_idx) — Spark twin of the _REALIZE_CTES chain."""
+    n_copies, copy_idx) — Spark twin of the _REALIZE_CTES chain.
+
+    Two corpus passes BY CONSTRUCTION (plan-audited): pass 1 builds the
+    K-row factor table (groupBy totals; the normalizers are K-row
+    windows, and the result is localCheckpoint'd so nothing downstream
+    re-derives it from the corpus), pass 2 broadcast-joins the factors
+    back onto every doc for the stateless realization explode. The
+    aggregate-then-apply shape needs both passes inherently — doing it
+    in one would shuffle the whole corpus by source instead."""
     docs = _t(spark, sf_dir, "documents")
     per_source = (
         docs.select("source", textfn.token_count(F.col("text")).alias("n_tok"))
         .groupBy("source")
         .agg(F.sum("n_tok").cast("long").alias("total_tokens"))
     )
-    tot = per_source.agg(
-        F.sum("total_tokens").cast("long").alias("all_tokens"),
-        F.count(F.lit(1)).alias("n_sources"),
-    )
-    fac = per_source.join(F.broadcast(tot)).select(
+    w = Window.partitionBy()
+    fac = per_source.select(
         "source",
         (
-            F.col("all_tokens").cast("double")
-            / (F.col("n_sources") * F.col("total_tokens"))
+            F.sum("total_tokens").over(w).cast("double")
+            / (F.count(F.lit(1)).over(w) * F.col("total_tokens"))
         ).alias("factor"),
-    )
+    ).localCheckpoint()
     keyed = docs.select("doc_id", "source").join(F.broadcast(fac), "source")
     return mixture.realize_repeats(keyed, "factor", "doc_id", seed="up", epoch=1)
 
