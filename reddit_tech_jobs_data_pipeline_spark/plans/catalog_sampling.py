@@ -464,11 +464,17 @@ def corpus_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "source", "doc_id", textfn.token_count(F.col("text")).alias("n_tok")
     )
-    totals = toks.groupBy("source").agg(
-        F.sum("n_tok").cast("long").alias("avail")
-    ).withColumn(
-        "w",
-        (F.regexp_extract(F.col("source"), "([0-9]+)", 1).cast("long") % 4) + 1,
+    totals = (
+        toks.groupBy("source")
+        .agg(F.sum("n_tok").cast("long").alias("avail"))
+        .withColumn(
+            "w",
+            (F.regexp_extract(F.col("source"), "([0-9]+)", 1).cast("long") % 4)
+            + 1,
+        )
+        # K rows; materialized so the budget agg below and the solve's
+        # branches read these rows instead of re-scanning the corpus
+        .localCheckpoint()
     )
     budget = totals.agg(
         F.floor(F.sum("avail") * 0.5).cast("long").alias("budget")
