@@ -42,6 +42,44 @@ def unique_check(df: DataFrame, name: str, *cols: str) -> DataFrame:
     )
 
 
+def fused_checks(
+    df: DataFrame,
+    predicate_bad: dict[str, Column],
+    unique_keys: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """All of a table's predicate + uniqueness checks in ONE pass: a
+    single conditional aggregate computes every violation count, then a
+    ``stack`` unpivots the one result row into (check_name, violations)
+    rows. This is the 100 TB shape for a multi-check table — N
+    predicate_check calls cost N full scans (each `.agg()` is its own
+    job branch; plan-audited 10 scans on dq_validation_suite before
+    this, 5 after — the remainder are the FK anti joins, which need
+    their own passes); fusing makes the table pay one. A uniqueness
+    check adds a count_distinct to the same aggregate (Spark plans an
+    Expand, still one scan)."""
+    unique_keys = unique_keys or {}
+    aggs, names = [], []
+    for n, bad in predicate_bad.items():
+        aggs.append(
+            F.coalesce(F.sum(F.when(bad, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(n)
+        )
+        names.append(n)
+    for n, cols in unique_keys.items():
+        aggs.append(
+            (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols]))
+            .cast("long")
+            .alias(n)
+        )
+        names.append(n)
+    row = df.agg(*aggs)
+    pairs = ", ".join(f"'{n}', `{n}`" for n in names)
+    return row.selectExpr(
+        f"stack({len(names)}, {pairs}) AS (check_name, violations)"
+    )
+
+
 def fk_check(
     child: DataFrame, parent: DataFrame, name: str, child_key: str, parent_key: str
 ) -> DataFrame:

@@ -174,15 +174,23 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     insensitive to the outliers it is hunting.
 
     Two exact-median aggregations (each a shuffle on event_type, but the
-    per-type stats are tiny) broadcast back onto the stream. The filter
-    constant 3.5/0.6745 is the same double on both engines, so the
-    inequality is bit-identical."""
+    per-type stats are tiny) broadcast back onto the stream. Both K-row
+    stat tables are localCheckpoint'd: the deviation/filter branches
+    otherwise re-derive them from their OWN events scans (plan-audited
+    4 scans before, 3 after — median pass, MAD pass, filter pass, the
+    inherent minimum for two-level medians). The filter constant
+    3.5/0.6745 is the same double on both engines, so the inequality is
+    bit-identical."""
     ev = _t(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    med = ev.groupBy("event_type").agg(
+        F.median("value").alias("med")
+    ).localCheckpoint()
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
-    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    mad = dev.groupBy("event_type").agg(
+        F.median("adev").alias("mad")
+    ).localCheckpoint()
     return (
         dev.join(F.broadcast(mad), "event_type")
         .filter(F.col("adev") > F.lit(3.5 / 0.6745) * F.col("mad"))

@@ -183,3 +183,46 @@ class TestObserveQuality:
         assert got["n_rows"] == n == 1000
         assert got["null_users"] == 0
         assert got["max_value"] == ev.agg(F.max("value")).first()[0]
+
+
+def test_fused_checks_match_individual(spark):
+    from reddit_tech_jobs_data_pipeline_spark.operators import dq
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, None, -1), (2, "c", 3), (3, "x", 0)],
+        "k long, s string, v long",
+    )
+    preds = {
+        "s_not_null": F.col("s").isNull(),
+        "v_positive": F.col("v") <= 0,
+        "s_accepted": ~F.col("s").isin("a", "c"),
+    }
+    fused = {
+        r.check_name: r.violations
+        for r in dq.fused_checks(
+            df, preds, unique_keys={"k_unique": ["k"]}
+        ).collect()
+    }
+    individual = {}
+    for n, bad in preds.items():
+        individual[n] = dq.predicate_check(df, n, bad).collect()[0].violations
+    individual["k_unique"] = dq.unique_check(df, "k_unique", "k").collect()[0].violations
+    assert fused == individual
+    assert fused == {
+        "s_not_null": 1,
+        "v_positive": 2,
+        # NULL s: isin is null → when() counts it as OK, same as individual
+        "s_accepted": 1,
+        "k_unique": 1,
+    }
+
+
+def test_fused_checks_single_scan_plan(spark):
+    from reddit_tech_jobs_data_pipeline_spark.operators import dq
+
+    df = spark.range(100).select(F.col("id").alias("k"))
+    out = dq.fused_checks(
+        df, {"k_small": F.col("k") >= 1000}, unique_keys={"k_unique": ["k"]}
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") <= 1  # one pass over the table
