@@ -87,6 +87,7 @@ ADDED_R7 = [
     "annealed_mixture_schedule",
     "combined_dedup_clusters",
     "quality_threshold_sweep",
+    "bm25_doc_ranking",
 ]
 LEGACY = list(HEADLINE)
 HEADLINE = HEADLINE + ADDED_R7

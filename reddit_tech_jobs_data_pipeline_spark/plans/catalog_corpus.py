@@ -1434,3 +1434,97 @@ def combined_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("id_a"), F.col("mid").alias("id_b"))
     )
     return dedup_ops.cluster_near_dups_star(tpairs.unionByName(upairs))
+
+
+@register(
+    "bm25_doc_ranking",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS ws FROM documents
+               WHERE text IS NOT NULL),
+    t AS (
+      SELECT doc_id, length(ws) AS dl,
+             length(list_filter(ws, x -> x = 'join')) AS tf0,
+             length(list_filter(ws, x -> x = 'scan')) AS tf1,
+             length(list_filter(ws, x -> x = 'filter')) AS tf2,
+             length(list_filter(ws, x -> x = 'window')) AS tf3,
+             length(list_filter(ws, x -> x = 'vector')) AS tf4
+      FROM d
+    ),
+    s AS (
+      SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             count(*) AS n,
+             sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+             sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3,
+             sum(CASE WHEN tf4 > 0 THEN 1 ELSE 0 END) AS df4
+      FROM t
+    )
+    SELECT doc_id,
+           round(ln((n - df0 + 0.5) / (df0 + 0.5) + 1) * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + ln((n - df3 + 0.5) / (df3 + 0.5) + 1) * tf3 * 2.2 / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + ln((n - df4 + 0.5) / (df4 + 0.5) + 1) * tf4 * 2.2 / (tf4 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25
+    FROM t CROSS JOIN s
+    WHERE tf0 + tf1 + tf2 + tf3 + tf4 > 0
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+    tags=["text", "ir", "scale"],
+)
+def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (Robertson-Walker, k1=1.2, b=0.75,
+    +1-smoothed idf) of every document against a fixed 5-term query —
+    the ranking function behind classic lexical search and the lexical
+    half of hybrid RAG retrieval. Top-20 by (rounded score, doc_id).
+
+    Spark-first shape — NO explode, NO per-term shuffle: per-doc term
+    frequencies come from array `filter`/`size` on the token array
+    (codegen'd per row), the corpus stats (N, avgdl, per-term df) are
+    ONE conditional aggregate collapsed to a 1-row broadcast
+    (localCheckpoint'd so the scoring branch does not re-derive it),
+    and the score is a fixed-order arithmetic expression — bit-identical
+    across engines, so the rounded order and the LIMIT-20 cut are
+    deterministic. Two corpus passes total (stats + score), the
+    aggregate-then-apply minimum; top-20 is TakeOrderedAndProject, never
+    a global sort."""
+    terms = ["join", "scan", "filter", "window", "vector"]
+
+    def _is(term):
+        # single-arg lambda via factory: a default-arg closure would make
+        # PySpark read the signature as the (element, index) filter form
+        return lambda x: x == F.lit(term)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = docs.select(
+        "doc_id",
+        F.size(tokens("text")).alias("dl"),
+        *[
+            F.size(F.filter(tokens("text"), _is(tt))).alias(f"tf{i}")
+            for i, tt in enumerate(terms)
+        ],
+    )
+    stats = t.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    ).localCheckpoint()
+    score = None
+    for i in range(len(terms)):
+        idf = F.log(
+            (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5) + 1
+        )
+        part = idf * F.col(f"tf{i}") * 2.2 / (
+            F.col(f"tf{i}") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+        )
+        score = part if score is None else score + part
+    return (
+        t.crossJoin(F.broadcast(stats))
+        .filter(sum(F.col(f"tf{i}") for i in range(len(terms))) > 0)
+        .select("doc_id", F.round(score, 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
