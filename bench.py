@@ -88,6 +88,7 @@ ADDED_R7 = [
     "combined_dedup_clusters",
     "quality_threshold_sweep",
     "bm25_doc_ranking",
+    "rrf_multi_query_fusion",
 ]
 LEGACY = list(HEADLINE)
 HEADLINE = HEADLINE + ADDED_R7

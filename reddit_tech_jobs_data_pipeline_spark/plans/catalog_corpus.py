@@ -1436,59 +1436,58 @@ def combined_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.cluster_near_dups_star(tpairs.unionByName(upairs))
 
 
-@register(
-    "bm25_doc_ranking",
-    f"""
-    WITH d AS (SELECT doc_id, {_TOKS} AS ws FROM documents
+_BM25_K1, _BM25_B, _RRF_K = 1.2, 0.75, 60
+
+_QUERY_A = ["join", "scan", "filter", "window", "vector"]
+_QUERY_B = ["customer", "order", "merge", "batch", "stream"]
+
+
+def _bm25_sql(terms: list[str], tag: str) -> tuple[str, str]:
+    """(CTE chain, scored-select) for a BM25 ranking of `documents`
+    against ``terms``; CTE names are suffixed with ``tag`` so two
+    rankings can coexist in one WITH clause."""
+    n = len(terms)
+    tf_cols = ",\n             ".join(
+        f"length(list_filter(ws, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n             ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(n)
+    )
+    score = "\n           + ".join(
+        f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1) * tf{i} * 2.2"
+        f" / (tf{i} + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+        for i in range(n)
+    )
+    any_tf = " + ".join(f"tf{i}" for i in range(n))
+    ctes = f"""
+    d{tag} AS (SELECT doc_id, {{_TOKS}} AS ws FROM documents
                WHERE text IS NOT NULL),
-    t AS (
+    t{tag} AS (
       SELECT doc_id, length(ws) AS dl,
-             length(list_filter(ws, x -> x = 'join')) AS tf0,
-             length(list_filter(ws, x -> x = 'scan')) AS tf1,
-             length(list_filter(ws, x -> x = 'filter')) AS tf2,
-             length(list_filter(ws, x -> x = 'window')) AS tf3,
-             length(list_filter(ws, x -> x = 'vector')) AS tf4
-      FROM d
+             {tf_cols}
+      FROM d{tag}
     ),
-    s AS (
+    s{tag} AS (
       SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
              count(*) AS n,
-             sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
-             sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
-             sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
-             sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3,
-             sum(CASE WHEN tf4 > 0 THEN 1 ELSE 0 END) AS df4
-      FROM t
+             {df_cols}
+      FROM t{tag}
+    )"""
+    scored = (
+        f"SELECT doc_id, round({score}, 4) AS bm25\n"
+        f"    FROM t{tag} CROSS JOIN s{tag}\n"
+        f"    WHERE {any_tf} > 0"
     )
-    SELECT doc_id,
-           round(ln((n - df0 + 0.5) / (df0 + 0.5) + 1) * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-           + ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-           + ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-           + ln((n - df3 + 0.5) / (df3 + 0.5) + 1) * tf3 * 2.2 / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-           + ln((n - df4 + 0.5) / (df4 + 0.5) + 1) * tf4 * 2.2 / (tf4 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25
-    FROM t CROSS JOIN s
-    WHERE tf0 + tf1 + tf2 + tf3 + tf4 > 0
-    ORDER BY bm25 DESC, doc_id LIMIT 20
-    """,
-    tags=["text", "ir", "scale"],
-)
-def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 retrieval scoring (Robertson-Walker, k1=1.2, b=0.75,
-    +1-smoothed idf) of every document against a fixed 5-term query —
-    the ranking function behind classic lexical search and the lexical
-    half of hybrid RAG retrieval. Top-20 by (rounded score, doc_id).
+    return ctes, scored
 
-    Spark-first shape — NO explode, NO per-term shuffle: per-doc term
-    frequencies come from array `filter`/`size` on the token array
-    (codegen'd per row), the corpus stats (N, avgdl, per-term df) are
-    ONE conditional aggregate collapsed to a 1-row broadcast
-    (localCheckpoint'd so the scoring branch does not re-derive it),
-    and the score is a fixed-order arithmetic expression — bit-identical
-    across engines, so the rounded order and the LIMIT-20 cut are
-    deterministic. Two corpus passes total (stats + score), the
-    aggregate-then-apply minimum; top-20 is TakeOrderedAndProject, never
-    a global sort."""
-    terms = ["join", "scan", "filter", "window", "vector"]
+
+def _bm25_scored(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFrame:
+    """(doc_id, bm25) for every doc matching ≥1 query term — the Spark
+    twin of _bm25_sql. Array-function tf (no explode), one conditional
+    aggregate collapsed to a 1-row broadcast (localCheckpoint'd so the
+    scoring branch does not re-derive it), fixed-order arithmetic score
+    (bit-identical across engines). Two corpus passes: stats + score."""
 
     def _is(term):
         # single-arg lambda via factory: a default-arg closure would make
@@ -1525,6 +1524,99 @@ def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.crossJoin(F.broadcast(stats))
         .filter(sum(F.col(f"tf{i}") for i in range(len(terms))) > 0)
         .select("doc_id", F.round(score, 4).alias("bm25"))
+    )
+
+
+_BM25_CTES_A, _BM25_SCORED_A = _bm25_sql(_QUERY_A, "qa")
+_BM25_CTES_B, _BM25_SCORED_B = _bm25_sql(_QUERY_B, "qb")
+
+
+@register(
+    "bm25_doc_ranking",
+    f"""
+    WITH {_BM25_CTES_A}
+    {_BM25_SCORED_A}
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """.format(_TOKS=_TOKS),
+    tags=["text", "ir", "scale"],
+)
+def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (Robertson-Walker, k1=1.2, b=0.75,
+    +1-smoothed idf) of every document against a fixed 5-term query —
+    the ranking function behind classic lexical search and the lexical
+    half of hybrid RAG retrieval. Top-20 by (rounded score, doc_id).
+
+    Spark-first shape — NO explode, NO per-term shuffle (see
+    _bm25_scored); the rounded order and the LIMIT-20 cut are
+    deterministic, and top-20 is TakeOrderedAndProject, never a global
+    sort."""
+    return (
+        _bm25_scored(spark, sf_dir, _QUERY_A)
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
+    )
+
+
+@register(
+    "rrf_multi_query_fusion",
+    f"""
+    WITH {_BM25_CTES_A},
+    {_BM25_CTES_B},
+    sc_a AS ({_BM25_SCORED_A}),
+    sc_b AS ({_BM25_SCORED_B}),
+    top_a AS (SELECT doc_id, bm25 FROM sc_a
+              ORDER BY bm25 DESC, doc_id LIMIT 100),
+    top_b AS (SELECT doc_id, bm25 FROM sc_b
+              ORDER BY bm25 DESC, doc_id LIMIT 100),
+    rk_a AS (SELECT doc_id,
+                    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+             FROM top_a),
+    rk_b AS (SELECT doc_id,
+                    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+             FROM top_b)
+    SELECT doc_id,
+           round(coalesce(1.0 / (60 + a.r), 0)
+                 + coalesce(1.0 / (60 + b.r), 0), 6) AS rrf
+    FROM rk_a a FULL OUTER JOIN rk_b b USING (doc_id)
+    ORDER BY rrf DESC, doc_id LIMIT 15
+    """.format(_TOKS=_TOKS),
+    tags=["text", "ir", "scale"],
+)
+def rrf_multi_query_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two BM25 query
+    formulations — the standard zero-tuning way to merge rankings from
+    multiple query rewrites (and, with an ANN ranking as one side, the
+    hybrid-retrieval fusion step): rrf(d) = Σ_q 1/(60 + rank_q(d)) over
+    each query's top-100 list.
+
+    100 TB shape: each ranker's top-100 is TakeOrderedAndProject
+    (per-partition heaps, never a global sort); the rank window then
+    runs on 100 ROWS per ranker (the documented K-row license — this is
+    exactly why RRF is defined over top-k lists), and the fusion is a
+    100-vs-100 full outer join. Ranks break ties on (rounded score,
+    doc_id), and 1/(60+rank) divides exact integers, so the fused order
+    is cross-engine deterministic end to end."""
+    ranked = []
+    for terms in (_QUERY_A, _QUERY_B):
+        top = (
+            _bm25_scored(spark, sf_dir, terms)
+            .orderBy(F.col("bm25").desc(), "doc_id")
+            .limit(100)
+        )
+        w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+        ranked.append(top.select("doc_id", F.row_number().over(w).alias("r")))
+    a, b = ranked
+    return (
+        a.withColumnsRenamed({"r": "ra"})
+        .join(b.withColumnsRenamed({"r": "rb"}), "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("ra")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rb")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(15)
     )
