@@ -7,6 +7,7 @@ from reddit_tech_jobs_data_pipeline_spark.plans import (  # noqa: F401
     catalog_analytics,
     catalog_behavior,
     catalog_corpus,
+    catalog_drift,
     catalog_etl,
     catalog_hof,
     catalog_posts,

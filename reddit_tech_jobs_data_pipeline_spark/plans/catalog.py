@@ -481,6 +481,7 @@ def get_registry() -> dict[str, QuerySpec]:
         catalog_analytics,
         catalog_behavior,
         catalog_corpus,
+        catalog_drift,
         catalog_etl,
         catalog_hof,
         catalog_pipelineops,
