@@ -213,6 +213,102 @@ def prefix_filter_jaccard_pairs(
     return out
 
 
+def containment_prefix_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """Asymmetric shingle-containment pairs: |A∩B| / |A| ≥ num/den —
+    the sub-document duplicate detector (quote inclusion, boilerplate
+    wrapping, a doc re-published inside a digest). Jaccard misses these:
+    a 50-shingle doc fully contained in a 500-shingle page has J ≈ 0.1
+    but containment 1.0.
+
+    Candidate generation is the asymmetric prefix filter: under a global
+    rarest-first shingle order, |A∩B| ≥ ⌈τ|A|⌉ forces at least one
+    collision inside A's first |A| − ⌈τ|A|⌉ + 1 shingles (pigeonhole —
+    same theorem as the symmetric AllPairs prefix, applied to the
+    contained side only). So each doc PROBES with its prefix as a
+    potential contained doc against the FULL shingle index; only the
+    probe side shrinks, which is exactly where the quadratic fan-out
+    lives (prefixes hold the rarest shingles). A size filter
+    (den·|B| ≥ num·|A| ⟺ |B| ≥ ⌈τ|A|⌉) prunes pairs whose container is
+    too small. Candidates are verified exactly on full sorted shingle
+    arrays.
+
+    Every threshold test is integer-exact on both engines
+    (``n_common·den ≥ num·n_a`` — no float-boundary class at all; cf.
+    the prefix-length ceil note on :func:`prefix_filter_jaccard_pairs`).
+
+    Returns directional rows ``(contained_id, container_id, n_common,
+    n_contained, containment)``; a pair may appear in both directions
+    when each side contains ≥ τ of the other (true mutual near-dups).
+
+    100 TB shape: one shingle pass (checkpointed), one small df
+    aggregation, prefix-probe join against the inverted index (rare-key
+    joins only), verify join on candidate ids. No all-pairs anywhere.
+    """
+    sh = _shingle_table(df, text_col, id_col, n).localCheckpoint()
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.asc("df_"), F.asc("shingle"))
+            ),
+        )
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    )
+    # ⌈τ·n_sh⌉ integer-exact, then prefix length = n_sh − ⌈τ·n_sh⌉ + 1
+    min_overlap = F.floor(
+        (F.col("n_sh") * threshold_num + threshold_den - 1).cast("long")
+        / threshold_den
+    )
+    probe = ranked.filter(F.col("pos") <= F.col("n_sh") - min_overlap + 1).select(
+        F.col("id").alias("id_a"), "shingle", F.col("n_sh").alias("n_a")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    index = sh.join(sizes, "id").select(
+        F.col("id").alias("id_b"), "shingle", F.col("n_sh").alias("n_b")
+    )
+    cand = (
+        probe.join(index, "shingle")
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("n_b") * threshold_den >= F.col("n_a") * threshold_num)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    arrays = sh.groupBy("id").agg(F.array_sort(F.collect_set("shingle")).alias("arr"))
+    return (
+        cand.join(
+            arrays.select(F.col("id").alias("id_a"), F.col("arr").alias("arr_a")),
+            "id_a",
+        )
+        .join(
+            arrays.select(F.col("id").alias("id_b"), F.col("arr").alias("arr_b")),
+            "id_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("arr_a", "arr_b")).cast("long"))
+        .withColumn("n_a", F.size("arr_a").cast("long"))
+        .filter(
+            F.col("n_common") * threshold_den >= F.col("n_a") * threshold_num
+        )
+        .select(
+            F.col("id_a").alias("contained_id"),
+            F.col("id_b").alias("container_id"),
+            "n_common",
+            F.col("n_a").alias("n_contained"),
+            F.round(F.col("n_common") / F.col("n_a"), 4).alias("containment"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -487,6 +487,45 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "subdocument_containment",
+    f"""
+    WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT contained_id, container_id, n_common, n_contained,
+           round(n_common * 1.0 / n_contained, 4) AS containment
+    FROM (
+      SELECT id_a AS contained_id, id_b AS container_id, n_common,
+             sa.n_sh AS n_contained
+      FROM common JOIN sizes sa ON sa.id = common.id_a
+      WHERE n_common * 10 >= 9 * sa.n_sh
+      UNION ALL
+      SELECT id_b, id_a, n_common, sb.n_sh
+      FROM common JOIN sizes sb ON sb.id = common.id_b
+      WHERE n_common * 10 >= 9 * sb.n_sh
+    )
+    """,
+    tags=["dedup", "scale"],
+)
+def subdocument_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup (|A∩B|/|A| ≥ 0.9) — catches the
+    sub-document duplicates Jaccard misses (the planted '+2 tokens'
+    copies contain their originals at containment 1.0). The operator
+    joins only each doc's containment PREFIX against the full index;
+    the oracle is the EXHAUSTIVE inverted-index join in both directions
+    — matching proves the asymmetric prefix bound lossless. Thresholds
+    are integer-exact on both engines (n_common·10 ≥ 9·n_a)."""
+    corpus = _corpus_df(spark, sf_dir)
+    return dedup.containment_prefix_pairs(
+        corpus, "text", "id", n=3, threshold_num=9, threshold_den=10
+    )
+
+
 def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
     # Kirsch-Mitzenmacher family, mirroring operators/dedup.py: one md5
     # per shingle, w1/w2 = its first two 32-bit words, h_i = (w1 + i*w2)
