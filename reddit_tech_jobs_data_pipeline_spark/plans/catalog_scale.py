@@ -1866,6 +1866,55 @@ def ann_arrow_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_int8_topk",
+    f"""
+    WITH e AS (
+      SELECT vec_id, unnest({_DVEC}) AS v,
+             unnest(generate_series(1, length(embedding))) AS pos
+      FROM embeddings
+    ),
+    st AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM e GROUP BY pos),
+    deq AS (
+      SELECT vec_id, e.pos,
+             CASE WHEN mx = mn THEN mn
+                  ELSE mn + (least(255, floor((v - mn) / (mx - mn) * 256)) + 0.5)
+                       * (mx - mn) / 256 END AS dv
+      FROM e JOIN st USING (pos)
+    ),
+    q AS (SELECT vec_id AS query_id, pos, v AS qv FROM e WHERE vec_id < 10),
+    qn AS (SELECT query_id, sqrt(sum(qv * qv)) AS qnorm FROM q GROUP BY query_id),
+    cn AS (SELECT vec_id, sqrt(sum(dv * dv)) AS cnorm FROM deq GROUP BY vec_id),
+    dp AS (
+      SELECT query_id, d.vec_id AS neighbor_id, sum(qv * dv) AS dp
+      FROM q JOIN deq d ON q.pos = d.pos AND d.vec_id <> q.query_id
+      GROUP BY query_id, d.vec_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(dp / (qnorm * cnorm), 4) AS cosine
+      FROM dp JOIN qn USING (query_id) JOIN cn ON cn.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    tags=["similarity", "scale"],
+)
+def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantized ANN (asymmetric distance: full-precision
+    queries vs midpoint-reconstructed 8-bit corpus codes). The oracle
+    recomputes the identical quantize→dequantize→score pipeline in SQL —
+    model and codes are bit-identical across engines (min/max + integer
+    floor, no summation); recall-vs-exact is pinned separately in
+    tests/test_quantized_ann.py. See operators/similarity.quantized_topk
+    for why the codes table is the 100 TB artifact (4× smaller corpus)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.quantized_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
     "embedding_standardize",
     f"""
     WITH e AS (
