@@ -21,7 +21,41 @@ from pyspark.sql import functions as F
 
 from reddit_tech_jobs_data_pipeline_spark.functions.extract import tokens
 
-__all__ = ["psi", "source_token_divergence"]
+__all__ = ["psi", "psi_from_counts", "source_token_divergence"]
+
+
+def psi_from_counts(
+    binned: DataFrame,
+    group_cols: Sequence[str] = (),
+    eps: float = 0.5,
+) -> DataFrame:
+    """PSI from an already-binned counts table — one row per
+    (*group_cols, bin) with ``ca`` (baseline) and ``cb`` (current)
+    columns. This is the model-table form: callers that keep a persisted
+    baseline histogram (e.g. the streaming monitor) join their batch's
+    bin counts against it and never re-scan the baseline corpus. Rows
+    with ``ca = cb = 0`` are ignored; see :func:`psi` for the smoothing
+    contract and the returned schema."""
+    g = list(group_cols)
+    binned = binned.filter((F.col("ca") > 0) | (F.col("cb") > 0))
+    w = Window.partitionBy(*g) if g else Window.partitionBy(F.lit(1))
+    ta = F.sum("ca").over(w)
+    tb = F.sum("cb").over(w)
+    nb = F.count(F.lit(1)).over(w)
+    pa = (F.col("ca") + F.lit(eps)) / (ta + F.lit(eps) * nb)
+    pb = (F.col("cb") + F.lit(eps)) / (tb + F.lit(eps) * nb)
+    termed = binned.select(
+        *g,
+        F.col("ca"),
+        F.col("cb"),
+        ((pa - pb) * F.log(pa / pb)).alias("__term"),
+    )
+    return termed.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.round(F.sum("__term"), 6).alias("psi"),
+    )
 
 
 def psi(
@@ -54,34 +88,13 @@ def psi(
     g = list(group_cols)
     bin_c = F.col(bin_col) if isinstance(bin_col, str) else bin_col
     side_c = F.col(side_col) if isinstance(side_col, str) else side_col
-    binned = (
-        df.groupBy(*g, bin_c.alias("__bin"))
-        .agg(
-            F.count_if(side_c == "a").alias("ca"),
-            F.count_if(side_c == "b").alias("cb"),
-        )
-        # a bin no row fell into on either side cannot appear; rows with
-        # a side value outside {a, b} count toward neither distribution
-        .filter((F.col("ca") > 0) | (F.col("cb") > 0))
+    binned = df.groupBy(*g, bin_c.alias("__bin")).agg(
+        # rows with a side value outside {a, b} count toward neither side;
+        # a bin they alone created is dropped by psi_from_counts
+        F.count_if(side_c == "a").alias("ca"),
+        F.count_if(side_c == "b").alias("cb"),
     )
-    w = Window.partitionBy(*g) if g else Window.partitionBy(F.lit(1))
-    ta = F.sum("ca").over(w)
-    tb = F.sum("cb").over(w)
-    nb = F.count(F.lit(1)).over(w)
-    pa = (F.col("ca") + F.lit(eps)) / (ta + F.lit(eps) * nb)
-    pb = (F.col("cb") + F.lit(eps)) / (tb + F.lit(eps) * nb)
-    termed = binned.select(
-        *g,
-        F.col("ca"),
-        F.col("cb"),
-        ((pa - pb) * F.log(pa / pb)).alias("__term"),
-    )
-    return termed.groupBy(*g).agg(
-        F.count(F.lit(1)).alias("n_bins"),
-        F.sum("ca").alias("n_a"),
-        F.sum("cb").alias("n_b"),
-        F.round(F.sum("__term"), 6).alias("psi"),
-    )
+    return psi_from_counts(binned, group_cols=g, eps=eps)
 
 
 def source_token_divergence(

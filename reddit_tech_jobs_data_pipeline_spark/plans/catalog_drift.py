@@ -104,3 +104,54 @@ def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     never materialized (operators/drift.source_token_divergence)."""
     docs = _t(spark, sf_dir, "documents")
     return drift.source_token_divergence(docs, "text", "source")
+
+
+@register(
+    "streaming_drift_psi",
+    """
+    WITH v AS (
+      SELECT user_id % 4 AS tag, CAST(floor(value / 5.0) AS BIGINT) AS bin
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (SELECT bin, count(*) AS ca FROM v GROUP BY bin),
+    t AS (SELECT tag, bin, count(*) AS cb FROM v GROUP BY tag, bin),
+    grid AS (
+      SELECT tg.tag, g.bin, g.ca, coalesce(t.cb, 0) AS cb
+      FROM (SELECT DISTINCT tag FROM v) tg CROSS JOIN g
+      LEFT JOIN t ON t.tag = tg.tag AND t.bin = g.bin
+    ),
+    tot AS (
+      SELECT tag, ca, cb,
+             sum(ca) OVER (PARTITION BY tag) AS ta,
+             sum(cb) OVER (PARTITION BY tag) AS tb,
+             count(*) OVER (PARTITION BY tag) AS nb
+      FROM grid
+    ),
+    p AS (
+      SELECT tag, ca, cb,
+             (ca + 0.5) / (ta + 0.5 * nb) AS pa,
+             (cb + 0.5) / (tb + 0.5 * nb) AS pb
+      FROM tot
+    )
+    SELECT tag, count(*) AS n_bins,
+           CAST(sum(ca) AS BIGINT) AS n_a,
+           CAST(sum(cb) AS BIGINT) AS n_b,
+           round(sum((pa - pb) * ln(pa / pb)), 6) AS psi
+    FROM p GROUP BY tag
+    """,
+    tags=["streaming", "drift"],
+)
+def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-micro-batch PSI against a persisted baseline histogram, run
+    to completion over a deterministic tag-sliced replay (one parquet
+    file = one micro-batch = one user_id%4 slice). Per-batch cost is one
+    aggregation of the batch plus K-row model arithmetic — corpus-size
+    independent, the property that lets the monitor run forever. The
+    oracle recomputes each slice's PSI vs the full-table distribution in
+    batch SQL (the baseline includes the slice itself by construction —
+    it is the whole reference corpus). See streaming/drift_monitor.py."""
+    from reddit_tech_jobs_data_pipeline_spark.streaming.drift_monitor import (
+        run_drift_psi_batchlike,
+    )
+
+    return run_drift_psi_batchlike(spark, sf_dir, n_tags=4, bin_width=5.0)
