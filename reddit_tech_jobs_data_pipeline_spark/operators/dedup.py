@@ -220,6 +220,7 @@ def containment_prefix_pairs(
     n: int = 3,
     threshold_num: int = 9,
     threshold_den: int = 10,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Asymmetric shingle-containment pairs: |A∩B| / |A| ≥ num/den —
     the sub-document duplicate detector (quote inclusion, boilerplate
@@ -248,10 +249,24 @@ def containment_prefix_pairs(
     when each side contains ≥ τ of the other (true mutual near-dups).
 
     100 TB shape: one shingle pass (checkpointed), one small df
-    aggregation, prefix-probe join against the inverted index (rare-key
-    joins only), verify join on candidate ids. No all-pairs anywhere.
+    aggregation, prefix-probe join against the inverted index (the
+    probe side is prefix-pruned; the INDEX side is inherently full —
+    a tiny A may legitimately sit inside any part of a huge B, so no
+    theorem prunes B's postings), verify join on candidate ids. No
+    all-pairs anywhere, but candidate count grows with docs-per-shingle
+    density: on a corpus where hot shingles are shared by d docs the
+    join emits O(d²) rows per hot shingle (measured 162× candidates at
+    10× docs on the small-vocab synthetic corpus). ``max_df`` is the
+    skew guard for that regime — shingles with document frequency
+    above it are dropped from BOTH sides before anything else, i.e.
+    containment is then computed over the non-stop-shingle sets (the
+    same measured-guard contract as :func:`ngram_jaccard_pairs`).
     """
-    sh = _shingle_table(df, text_col, id_col, n).localCheckpoint()
+    sh = _shingle_table(df, text_col, id_col, n)
+    if max_df is not None:
+        freq0 = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        sh = sh.join(freq0.filter(F.col("df_") <= max_df), "shingle").drop("df_")
+    sh = sh.localCheckpoint()
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
     ranked = (
         sh.join(freq, "shingle")
@@ -347,6 +362,83 @@ def minhash_signatures_from_shingles(sh: DataFrame, num_hashes: int = 16) -> Dat
         for i in range(num_hashes)
     ]
     return hashed.groupBy("id").agg(*aggs)
+
+
+def bbit_pack(sig: DataFrame, num_hashes: int = 48) -> DataFrame:
+    """(id, bsig) — the 1-bit MinHash signature (Li & König, "b-Bit
+    Minwise Hashing", WWW'10 — public algorithm): the LOW BIT of each of
+    ``num_hashes`` minhash values packed into one BIGINT. 48 hashes → 6
+    effective bytes per doc versus 128 for the 16×long full store: the
+    21× smaller VERIFY store for corpus-scale incremental dedup (the
+    full-width signatures still drive LSH banding; banding needs the
+    whole values, the agreement estimator does not). ``num_hashes ≤ 63``
+    keeps the pack inside a signed long."""
+    assert 1 <= num_hashes <= 63
+    packed = None
+    for i in range(num_hashes):
+        bit = F.shiftleft(F.col(f"mh_{i}") % 2, i)
+        packed = bit if packed is None else packed + bit
+    return sig.select("id", packed.cast("long").alias("bsig"))
+
+
+def bbit_agreement(pairs: DataFrame, packed: DataFrame, num_hashes: int = 48) -> DataFrame:
+    """(id_a, id_b, n_agree, j_est) — Jaccard estimated from 1-bit
+    signature agreement: a random non-matching minhash agrees on its low
+    bit with prob ½, so E[â] = j + (1−j)/2 and ĵ = max(0, 2â − 1).
+    One xor + popcount per candidate pair — no shingles, no full
+    signatures, just the packed longs."""
+    a = packed.select(F.col("id").alias("id_a"), F.col("bsig").alias("bsig_a"))
+    b = packed.select(F.col("id").alias("id_b"), F.col("bsig").alias("bsig_b"))
+    n_agree = (
+        F.lit(num_hashes)
+        - F.bit_count(F.col("bsig_a").bitwiseXOR(F.col("bsig_b")))
+    ).cast("long")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            n_agree.alias("n_agree"),
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.lit(2.0) * n_agree / F.lit(num_hashes) - F.lit(1.0),
+                ),
+                4,
+            ).alias("j_est"),
+        )
+    )
+
+
+def bbit_minhash_estimate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lsh_hashes: int = 16,
+    lsh_bands: int = 4,
+    est_hashes: int = 48,
+    n: int = 3,
+    min_agree: int | None = None,
+) -> DataFrame:
+    """LSH candidates verified by the COMPRESSED 1-bit signature store:
+    candidate generation uses the standard full-width banding
+    (``lsh_hashes``/``lsh_bands``), the Jaccard decision uses only the
+    packed ``est_hashes``×1-bit signature (:func:`bbit_pack`). This is
+    the storage/accuracy dial for the incremental-ingest store: ~21×
+    smaller than the full signature store at σ(ĵ) ≈ 1/√est_hashes·(1+j)
+    — tests pin the estimator against exact Jaccard on planted dups.
+    ``min_agree`` filters integer-exactly (n_agree ≥ min_agree ⟺
+    ĵ ≥ 2·min_agree/est_hashes − 1). One shingle pass feeds both
+    signature widths."""
+    sh = _shingle_table(df, text_col, id_col, n).localCheckpoint()
+    sig_lsh = minhash_signatures_from_shingles(sh, lsh_hashes)
+    cand = lsh_candidate_pairs(sig_lsh, lsh_hashes, lsh_bands)
+    packed = bbit_pack(minhash_signatures_from_shingles(sh, est_hashes), est_hashes)
+    out = bbit_agreement(cand, packed, est_hashes)
+    if min_agree is not None:
+        out = out.filter(F.col("n_agree") >= min_agree)
+    return out
 
 
 def banded_keys(sig: DataFrame, num_hashes: int = 16, bands: int = 4) -> DataFrame:

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from reddit_tech_jobs_data_pipeline_spark.functions import text as textfn
 from reddit_tech_jobs_data_pipeline_spark.operators import (
+    contrastive,
     dedup,
     mixture,
     packing,
@@ -555,6 +556,51 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
       FROM stacked a JOIN stacked b ON a.bkey = b.bkey AND a.id < b.id
     )
     """
+
+
+def _bbit_sql(est_hashes: int, min_agree: int) -> str:
+    # second signature family at est_hashes width from the same shw CTE,
+    # low bits packed into one BIGINT (mirrors operators/dedup.bbit_pack)
+    mh_aggs = ",\n      ".join(
+        f"min((w1 + {i} * w2) % 4294967291) AS mh_{i}" for i in range(est_hashes)
+    )
+    pack = " + ".join(f"(mh_{i} % 2) * (1::BIGINT << {i})" for i in range(est_hashes))
+    return f"""
+    sig_e AS (SELECT id, {mh_aggs} FROM shw GROUP BY id),
+    packed AS (SELECT id, {pack} AS bsig FROM sig_e),
+    est AS (
+      SELECT id_a, id_b,
+             {est_hashes} - bit_count(xor(pa.bsig, pb.bsig)) AS n_agree
+      FROM cand
+      JOIN packed pa ON pa.id = cand.id_a
+      JOIN packed pb ON pb.id = cand.id_b
+    )
+    SELECT id_a, id_b, CAST(n_agree AS BIGINT) AS n_agree,
+           round(greatest(0.0, 2.0 * n_agree / {est_hashes} - 1.0), 4) AS j_est
+    FROM est WHERE n_agree >= {min_agree}
+    """
+
+
+@register(
+    "bbit_minhash_estimate",
+    f"""
+    WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
+    {_minhash_sql(16, 4)},
+    {_bbit_sql(48, 36)}
+    """,
+    tags=["dedup", "sketch", "scale"],
+)
+def bbit_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit MinHash verification of LSH candidates: the Jaccard
+    decision reads only a 48-bit packed signature (~21× smaller store
+    than the 16×long full signatures — the compression dial for the
+    incremental-ingest verify store). n_agree ≥ 36 ⟺ ĵ ≥ 0.5,
+    integer-exact on both engines; estimator accuracy vs exact Jaccard
+    is pinned in tests/test_bbit_minhash.py."""
+    corpus = _corpus_df(spark, sf_dir)
+    return dedup.bbit_minhash_estimate_pairs(
+        corpus, "text", "id", lsh_hashes=16, lsh_bands=4, est_hashes=48, min_agree=36
+    )
 
 
 @register(
@@ -1912,6 +1958,77 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for why the codes table is the 100 TB artifact (4× smaller corpus)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.quantized_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+_CONTRASTIVE_SCORED_SQL = f"""
+    c AS (SELECT vec_id AS neighbor_id, label AS n_label, {_DVEC} AS cvec
+          FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS q_label, {_DVEC} AS qvec
+          FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, q_label, neighbor_id, n_label,
+             round({_cosine_sql("qvec", "cvec")}, 4) AS cosine
+      FROM c CROSS JOIN q WHERE neighbor_id <> query_id
+    )
+"""
+
+
+@register(
+    "hard_negative_mining",
+    f"""
+    WITH {_CONTRASTIVE_SCORED_SQL}
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored WHERE n_label <> q_label
+    ) WHERE rank <= 5
+    """,
+    tags=["similarity", "contrastive", "scale"],
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 highest-cosine WRONG-label neighbors per anchor — the hard
+    negatives a contrastive loss actually learns from. Same broadcast +
+    per-query-window plan as ann_cosine_topk with the label predicate
+    fused into the join condition (wrong-label rows die before the
+    shuffle). See operators/contrastive.py for the |C|²-regime note."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return contrastive.hard_negative_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+@register(
+    "triplet_mining",
+    f"""
+    WITH {_CONTRASTIVE_SCORED_SQL},
+    pos AS (
+      SELECT query_id, neighbor_id AS pos_id, cosine AS pos_cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine ASC, neighbor_id) AS rn
+      FROM scored WHERE n_label = q_label
+    ),
+    neg AS (
+      SELECT query_id, neighbor_id AS neg_id, cosine AS neg_cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored WHERE n_label <> q_label
+    )
+    SELECT query_id, pos_id, pos_cos, neg_id, neg_cos,
+           round(pos_cos - neg_cos, 4) AS margin
+    FROM pos JOIN neg USING (query_id)
+    WHERE pos.rn = 1 AND neg.rn = 1
+    """,
+    tags=["similarity", "contrastive", "scale"],
+)
+def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hardest positive (same label, lowest cosine) + hardest negative
+    (different label, highest cosine) + margin per anchor — one training
+    triplet each, margin < 0 flagging currently mis-embedded anchors.
+    Margins subtract already-4dp-rounded cosines, so the column is
+    cross-engine exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return contrastive.triplet_mining(emb, emb.filter(F.col("vec_id") < 10))
 
 
 @register(

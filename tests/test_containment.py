@@ -108,3 +108,37 @@ def test_short_docs_excluded(spark):
     # fewer tokens than the shingle width → no shingles → never emitted
     got = _run(spark, [(1, "a b"), (2, "a b"), (3, "a b c d e"), (4, "a b c d e")])
     assert set(got) == {(3, 4), (4, 3)}
+
+
+def test_max_df_guard_drops_hot_shingles(spark):
+    # every doc shares the same hot prefix; with max_df the hot shingles
+    # drop and containment is computed over the remaining (rare) sets
+    hot = "the quick brown fox"
+    docs = [
+        (1, hot + " alpha beta gamma delta"),
+        (2, hot + " alpha beta gamma delta epsilon zeta"),
+        (3, hot + " unrelated words entirely different here"),
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    got = dedup.containment_prefix_pairs(
+        df, "text", "id", n=3, threshold_num=9, threshold_den=10, max_df=2
+    ).collect()
+    by_pair = {(r.contained_id, r.container_id): r for r in got}
+    # after dropping df=3 shingles, doc1's surviving shingles are those
+    # touching its unique suffix — all present in doc2's suffix superset
+    assert (1, 2) in by_pair and by_pair[(1, 2)].containment == 1.0
+    assert all(p[0] != 3 and p[1] != 3 for p in by_pair)
+    # per-pair counts must reflect the FILTERED sets, not the raw ones
+    import itertools as _it
+
+    def filtered_shingles(text, keep_df=2):
+        from collections import Counter
+
+        all_sh = {i: _shingles(t) for i, t in docs}
+        dfc = Counter(s for sh in all_sh.values() for s in sh)
+        return {s for s in _shingles(text) if dfc[s] <= keep_df}
+
+    fa = filtered_shingles(docs[0][1])
+    fb = filtered_shingles(docs[1][1])
+    assert by_pair[(1, 2)].n_contained == len(fa)
+    assert by_pair[(1, 2)].n_common == len(fa & fb)
