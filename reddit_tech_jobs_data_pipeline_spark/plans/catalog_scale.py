@@ -558,6 +558,69 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
     """
 
 
+@register(
+    "cms_heavy_hitters",
+    f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+    tc AS (SELECT token, count(*) AS exact_n FROM tok GROUP BY token),
+    tw AS (SELECT token, exact_n,
+                  ('0x' || substr(md5(token), 1, 8))::BIGINT AS w1,
+                  ('0x' || substr(md5(token), 9, 8))::BIGINT AS w2
+           FROM tc),
+    g AS (SELECT unnest(generate_series(0, 3)) AS i),
+    cells AS (
+      SELECT i, (w1 + i * w2) % 4294967291 % 1024 AS bucket,
+             sum(exact_n) AS cnt
+      FROM tw CROSS JOIN g GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT token, exact_n, min(cnt) AS est_n
+      FROM tw CROSS JOIN g
+      JOIN cells ON cells.i = g.i
+               AND cells.bucket = (w1 + g.i * w2) % 4294967291 % 1024
+      GROUP BY token, exact_n
+    )
+    SELECT token, CAST(exact_n AS BIGINT) AS exact_n,
+           CAST(est_n AS BIGINT) AS est_n,
+           CAST(est_n - exact_n AS BIGINT) AS overcount, rank
+    FROM (SELECT *, row_number() OVER (ORDER BY est_n DESC, token) AS rank
+          FROM est)
+    WHERE rank <= 20
+    """,
+    tags=["sketch", "text", "scale"],
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens by Count-Min-sketch estimate, with the exact count
+    and the (always ≥ 0) overcount alongside — the mergeable-sketch
+    alternative to the exact heavy_hitter_tokens aggregation. The d×w
+    grid is corpus-size independent and merges by addition
+    (operators/sketches.py); the oracle rebuilds the identical md5
+    double-hashed sketch in SQL, so every cell is bit-equal."""
+    from reddit_tech_jobs_data_pipeline_spark.functions.extract import tokens
+    from reddit_tech_jobs_data_pipeline_spark.operators import sketches
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    # build from the exact counts (weight form): identical cells to the
+    # per-occurrence build, one explode over vocab instead of corpus
+    sketch = sketches.cms_build(exact, "token", weight_col="exact_n")
+    est = sketches.cms_estimate(exact.select("token"), sketch)
+    w = Window.orderBy(F.col("est_n").desc(), F.col("token").asc())
+    return (
+        exact.join(est, "token")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "token",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def _bbit_sql(est_hashes: int, min_agree: int) -> str:
     # second signature family at est_hashes width from the same shw CTE,
     # low bits packed into one BIGINT (mirrors operators/dedup.bbit_pack)
