@@ -621,6 +621,49 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_cms_ingest",
+    f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+    tc AS (SELECT token, count(*) AS exact_n FROM tok GROUP BY token),
+    tw AS (SELECT token, exact_n,
+                  ('0x' || substr(md5(token), 1, 8))::BIGINT AS w1,
+                  ('0x' || substr(md5(token), 9, 8))::BIGINT AS w2
+           FROM tc),
+    g AS (SELECT unnest(generate_series(0, 3)) AS i),
+    cells AS (
+      SELECT i, (w1 + i * w2) % 4294967291 % 1024 AS bucket,
+             sum(exact_n) AS cnt
+      FROM tw CROSS JOIN g GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT token, min(cnt) AS est_n
+      FROM tw CROSS JOIN g
+      JOIN cells ON cells.i = g.i
+               AND cells.bucket = (w1 + g.i * w2) % 4294967291 % 1024
+      GROUP BY token
+    )
+    SELECT token, CAST(est_n AS BIGINT) AS est_n, rank
+    FROM (SELECT *, row_number() OVER (ORDER BY est_n DESC, token) AS rank
+          FROM est)
+    WHERE rank <= 20
+    """,
+    tags=["streaming", "sketch", "scale"],
+)
+def streaming_cms_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-micro-batch Count-Min cells appended idempotently to a
+    persisted store (content-derived batch keys; replay-safe; the store
+    is never rewritten), merged only at read time — cell additivity
+    makes the merged sketch equal the single-pass batch sketch the
+    oracle rebuilds in SQL. See streaming/cms_ingest.py for the
+    missing-path-only first-batch fallback contract."""
+    from reddit_tech_jobs_data_pipeline_spark.streaming.cms_ingest import (
+        run_cms_ingest_batchlike,
+    )
+
+    return run_cms_ingest_batchlike(spark, sf_dir, n_tags=4)
+
+
 def _bbit_sql(est_hashes: int, min_agree: int) -> str:
     # second signature family at est_hashes width from the same shw CTE,
     # low bits packed into one BIGINT (mirrors operators/dedup.bbit_pack)
