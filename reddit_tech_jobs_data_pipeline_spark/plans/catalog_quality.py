@@ -558,3 +558,63 @@ def langid_trigram_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid.langid_classify(
         docs, profiles, "text", "doc_id", 3, 100, 200, carry_cols=("lang",)
     )
+
+
+@register(
+    "k_anonymity_report",
+    """
+    SELECT c_mktsegment, c_nationkey,
+           count(*) AS n_rows,
+           count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS n_sensitive,
+           count(*) >= 5 AS k_anonymous,
+           count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= 3 AS l_diverse
+    FROM customer GROUP BY 1, 2
+    """,
+    tags=["privacy", "quality"],
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over the (segment, nation)
+    quasi-identifier with the account-balance thousand-bucket as the
+    sensitive attribute — the re-identification check the direct-PII
+    scrub cannot do (operators/privacy.py). One groupBy, group count
+    bounded by the quasi domain."""
+    from reddit_tech_jobs_data_pipeline_spark.operators import privacy
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "__sens", F.floor(F.col("c_acctbal") / 1000)
+    )
+    return privacy.anonymity_report(
+        cust, ["c_mktsegment", "c_nationkey"], "__sens", k=5, l=3
+    )
+
+
+@register(
+    "quasi_suppression_export",
+    """
+    WITH rep AS (
+      SELECT c_mktsegment, c_nationkey FROM customer
+      GROUP BY 1, 2
+      HAVING count(*) >= 10
+         AND count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= 5
+    )
+    SELECT c.c_mktsegment, count(*) AS n_kept
+    FROM customer c JOIN rep USING (c_mktsegment, c_nationkey)
+    GROUP BY 1
+    """,
+    tags=["privacy", "quality"],
+)
+def quasi_suppression_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The enforcement step: suppress every row whose quasi group fails
+    k ≥ 10 or l ≥ 5, then count survivors per segment — what a
+    privacy-gated export would actually ship. The keep-list is
+    quasi-domain-sized and broadcasts; the corpus streams through once
+    (operators/privacy.suppress_small_groups)."""
+    from reddit_tech_jobs_data_pipeline_spark.operators import privacy
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "__sens", F.floor(F.col("c_acctbal") / 1000)
+    )
+    kept = privacy.suppress_small_groups(
+        cust, ["c_mktsegment", "c_nationkey"], "__sens", k=10, l=5
+    )
+    return kept.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_kept"))
