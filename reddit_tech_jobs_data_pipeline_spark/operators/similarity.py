@@ -651,3 +651,61 @@ def quantized_topk(
             F.col("__rn").cast("long").alias("rank"),
         )
     )
+
+
+def label_centroid_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    z_thresh: float = 2.0,
+) -> DataFrame:
+    """Embedding QC: flag vectors unusually FAR from their own label's
+    centroid — the candidate mislabeled / noisy rows a training set
+    should quarantine before contrastive mining trusts the labels.
+
+    Plan: per-label centroid via one posexplode + groupBy(label, dim)
+    average (labels×D rows — model-table-sized, broadcasts back), then
+    per-vector cosine to its centroid (narrow map), then a labels-sized
+    mean/σ aggregation of those cosines and a z-score join. The corpus
+    is scanned twice (centroid pass + scoring pass), never shuffled by
+    vector.
+
+    Returns every row: (id, label, cos_centroid, z, is_outlier) with
+    ``is_outlier ⟺ z ≤ −z_thresh`` (only the far-side tail — vectors
+    unusually CLOSE to the centroid are fine). Cosines and z are
+    4-dp-rounded; z is computed FROM the rounded cosines so both
+    engines z-score identical inputs (residual float-sum noise in
+    mean/σ is the usual accepted-noise class)."""
+    cen = (
+        df.select(F.col(label_col).alias("label"), F.posexplode(_dvec(F.col(vec_col))).alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ps"))
+        .select("label", F.transform("ps", lambda s: s["m"]).alias("centroid"))
+    )
+    scored = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).alias("label"),
+            _dvec(F.col(vec_col)).alias("v"),
+        )
+        .join(F.broadcast(cen), "label")
+        .select(
+            "id",
+            "label",
+            F.round(cosine(F.col("v"), F.col("centroid")), 4).alias("cos_centroid"),
+        )
+    )
+    stats = scored.groupBy("label").agg(
+        F.avg("cos_centroid").alias("mu"), F.stddev_pop("cos_centroid").alias("sigma")
+    )
+    z = F.round((F.col("cos_centroid") - F.col("mu")) / F.col("sigma"), 4)
+    return scored.join(F.broadcast(stats), "label").select(
+        "id",
+        "label",
+        "cos_centroid",
+        z.alias("z"),
+        (z <= -float(z_thresh)).alias("is_outlier"),
+    )

@@ -2066,6 +2066,50 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantized_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+@register(
+    "embedding_label_outliers",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, unnest({_DVEC}) AS v,
+             unnest(generate_series(1, length(embedding))) AS pos
+      FROM embeddings
+    ),
+    cen AS (SELECT label, pos, avg(v) AS m FROM e GROUP BY label, pos),
+    dots AS (
+      SELECT e.vec_id, e.label,
+             sum(e.v * cen.m) AS dp,
+             sqrt(sum(e.v * e.v)) AS nv,
+             sqrt(sum(cen.m * cen.m)) AS nc
+      FROM e JOIN cen ON cen.label = e.label AND cen.pos = e.pos
+      GROUP BY e.vec_id, e.label
+    ),
+    scored AS (
+      SELECT vec_id AS id, label, round(dp / (nv * nc), 4) AS cos_centroid
+      FROM dots
+    ),
+    st AS (
+      SELECT label, avg(cos_centroid) AS mu, stddev_pop(cos_centroid) AS sigma
+      FROM scored GROUP BY label
+    )
+    SELECT id, scored.label, cos_centroid,
+           round((cos_centroid - mu) / sigma, 4) AS z,
+           round((cos_centroid - mu) / sigma, 4) <= -2.0 AS is_outlier
+    FROM scored JOIN st ON st.label = scored.label
+    """,
+    tags=["similarity", "quality", "scale"],
+)
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QC: per-label centroid distance z-scores flagging
+    candidate mislabeled vectors (z ≤ −2 on the 4-dp-rounded cosine).
+    Two corpus passes, everything else model-table-sized — see
+    operators/similarity.label_centroid_outliers. The oracle recomputes
+    the identical centroid/cosine/z pipeline in SQL (per-dim averages
+    carry ~1e-12 reassociation noise, absorbed by the 4-dp rounds —
+    accepted-noise class)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.label_centroid_outliers(emb, z_thresh=2.0)
+
+
 _CONTRASTIVE_SCORED_SQL = f"""
     c AS (SELECT vec_id AS neighbor_id, label AS n_label, {_DVEC} AS cvec
           FROM embeddings),

@@ -106,3 +106,31 @@ def test_rank_contract_matches_brute_force_shape(spark):
         ordered = sorted(rs, key=lambda r: (-r.cosine, r.neighbor_id))
         assert [r.rank for r in ordered] == [1, 2, 3, 4, 5]
         assert all(not math.isnan(r.cosine) for r in rs)
+
+
+def test_label_centroid_outliers_flags_planted(spark):
+    import random
+
+    rng = random.Random(4)
+    rows = []
+    # two tight clusters around orthogonal axes + one planted mislabel
+    for i in range(20):
+        rows.append((i, [1.0 + rng.gauss(0, 0.05), rng.gauss(0, 0.05)], 0))
+    for i in range(20, 40):
+        rows.append((i, [rng.gauss(0, 0.05), 1.0 + rng.gauss(0, 0.05)], 1))
+    rows.append((99, [0.0, 1.0], 0))  # label-0 vector sitting on cluster 1
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], lab) for i, v, lab in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r.id: r for r in similarity.label_centroid_outliers(df).collect()}
+    assert len(out) == 41
+    assert out[99].is_outlier, out[99]
+    assert out[99].z < -2
+    # the planted point is the worst row of its label
+    z0 = [r.z for r in out.values() if r.label == 0]
+    assert out[99].z == min(z0)
+    # clean rows: at most the natural z≤−2 tail gets flagged (~2.5%;
+    # allow 2/20), never the bulk
+    flagged_clean = sum(out[i].is_outlier for i in range(20, 40))
+    assert flagged_clean <= 2, flagged_clean
