@@ -90,8 +90,25 @@ ADDED_R7 = [
     "bm25_doc_ranking",
     "rrf_multi_query_fusion",
 ]
+# Added late round 7: the drift / sketch / containment / contrastive /
+# privacy families. Same bridge rule — "value" sums everything,
+# "value_legacy28" stays the r1-r6 set.
+ADDED_R7B = [
+    "corpus_snapshot_psi",
+    "source_token_divergence",
+    "streaming_drift_psi",
+    "subdocument_containment",
+    "ann_int8_topk",
+    "hard_negative_mining",
+    "triplet_mining",
+    "bbit_minhash_estimate",
+    "cms_heavy_hitters",
+    "streaming_cms_ingest",
+    "k_anonymity_report",
+    "embedding_label_outliers",
+]
 LEGACY = list(HEADLINE)
-HEADLINE = HEADLINE + ADDED_R7
+HEADLINE = HEADLINE + ADDED_R7 + ADDED_R7B
 
 
 def materialize(df) -> None:
@@ -115,7 +132,7 @@ def main() -> None:
     # r1-r6 runs (nothing but legacy's own warm-up precedes it), which
     # is what BENCH_r*.json round-over-round comparison assumes.
     timings: dict[str, float] = {}
-    for group in (LEGACY, ADDED_R7):
+    for group in (LEGACY, ADDED_R7, ADDED_R7B):
         names = [n for n in group if n in reg]
 
         # untimed pass: JVM + file listing + per-plan codegen compilation
