@@ -105,41 +105,62 @@ def triplet_mining(
     different-label partner produce no row (inner-join semantics — a
     triplet needs all three legs).
 
-    Both legs are rank-1 windows over the same scored-pairs scan, so
-    the corpus is read twice (once per label predicate) and everything
-    downstream is anchors-sized.
+    Both legs come from ONE scored pass: the corpus is scanned once,
+    joined once against the broadcast anchors, and BOTH rank-1 picks are
+    conditional struct min/max aggregates in a single groupBy(anchor) —
+    ``min(struct(cosine, id)) over same-label rows`` is lexicographically
+    the (lowest-cosine, lowest-id) positive and ``max(struct(cosine,
+    −id, id))`` the (highest-cosine, lowest-id) negative; null-valued
+    conditions are skipped by min/max, so a missing leg surfaces as a
+    null struct and the anchor is dropped. One exchange, WITH map-side
+    partial aggregation (each task reduces its slice to ≤ |anchors|
+    rows before the shuffle — a window plan would shuffle every scored
+    pair). Everything downstream is anchors-sized.
     """
-    pos = _scored_pairs(corpus, queries, id_col, vec_col, label_col, True)
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").asc(), F.col("neighbor_id").asc()
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("n_label"),
+        _dvec(F.col(vec_col)).alias("cvec"),
     )
-    pos1 = (
-        pos.withColumn("__rn", F.row_number().over(wp))
-        .filter(F.col("__rn") == 1)
-        .select(
-            "query_id",
-            F.col("neighbor_id").alias("pos_id"),
-            F.col("cosine").alias("pos_cos"),
-        )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("q_label"),
+        _dvec(F.col(vec_col)).alias("qvec"),
     )
-    neg = _scored_pairs(corpus, queries, id_col, vec_col, label_col, False)
-    wn = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    neg1 = (
-        neg.withColumn("__rn", F.row_number().over(wn))
-        .filter(F.col("__rn") == 1)
-        .select(
-            "query_id",
-            F.col("neighbor_id").alias("neg_id"),
-            F.col("cosine").alias("neg_cos"),
-        )
-    )
-    return pos1.join(neg1, "query_id").select(
+    scored = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select(
         "query_id",
-        "pos_id",
-        "pos_cos",
-        "neg_id",
-        "neg_cos",
-        F.round(F.col("pos_cos") - F.col("neg_cos"), 4).alias("margin"),
+        "neighbor_id",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cosine"),
+        (F.col("n_label") == F.col("q_label")).alias("same"),
+    )
+    pos_s = F.min(
+        F.when(
+            F.col("same"),
+            F.struct(F.col("cosine").alias("c"), F.col("neighbor_id").alias("i")),
+        )
+    )
+    neg_s = F.max(
+        F.when(
+            ~F.col("same"),
+            F.struct(
+                F.col("cosine").alias("c"),
+                (-F.col("neighbor_id")).alias("ni"),
+                F.col("neighbor_id").alias("i"),
+            ),
+        )
+    )
+    agg = (
+        scored.groupBy("query_id")
+        .agg(pos_s.alias("p"), neg_s.alias("n"))
+        .filter(F.col("p").isNotNull() & F.col("n").isNotNull())
+    )
+    return agg.select(
+        "query_id",
+        F.col("p.i").alias("pos_id"),
+        F.col("p.c").alias("pos_cos"),
+        F.col("n.i").alias("neg_id"),
+        F.col("n.c").alias("neg_cos"),
+        F.round(F.col("p.c") - F.col("n.c"), 4).alias("margin"),
     )
