@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from reddit_tech_jobs_data_pipeline_spark.functions.extract import tokens
 
-__all__ = ["psi", "psi_from_counts", "source_token_divergence"]
+__all__ = ["psi", "psi_from_counts", "source_token_divergence", "centroid_drift"]
 
 
 def psi_from_counts(
@@ -162,3 +162,54 @@ def source_token_divergence(
             F.sum("__js_term") + F.lit(0.5 * ln2) * (F.lit(1.0) - F.sum("__q")), 6
         ).alias("js"),
     )
+
+
+def centroid_drift(
+    df: DataFrame,
+    vec_col: str,
+    side_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Embedding-space drift between two snapshots: per group, the
+    cosine between side-'a' and side-'b' mean vectors (1.0 = the
+    embedding distribution's first moment hasn't moved; a drop says the
+    upstream encoder or the data changed). Completes the drift family
+    across modalities: :func:`psi` watches scalar shapes,
+    :func:`source_token_divergence` token mixes, this the vector space.
+
+    One posexplode pass with conditional averages (map-side combine to
+    ≤ groups×D rows); the cosine arithmetic runs on that model table.
+    A group missing one side yields a null cosine (nothing to compare).
+
+    Returns ``(*group_cols, n_a, n_b, centroid_cos)`` with the cosine
+    4-dp rounded (per-dim averages carry ~1e-12 reassociation noise —
+    accepted-noise class).
+    """
+    g = list(group_cols)
+    side = F.col(side_col)
+    e = df.select(
+        *g, side.alias("__side"), F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("pos", "v")
+    )
+    cen = e.groupBy(*g, "pos").agg(
+        F.avg(F.when(F.col("__side") == "a", F.col("v"))).alias("ma"),
+        F.avg(F.when(F.col("__side") == "b", F.col("v"))).alias("mb"),
+    )
+    per = cen.groupBy(*g).agg(
+        F.round(
+            F.sum(F.col("ma") * F.col("mb"))
+            / (
+                F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+            ),
+            4,
+        ).alias("centroid_cos")
+    )
+    counts = df.groupBy(*g).agg(
+        F.count_if(side == "a").alias("n_a"),
+        F.count_if(side == "b").alias("n_b"),
+    )
+    if g:
+        return counts.join(per, g).select(*g, "n_a", "n_b", "centroid_cos")
+    return counts.crossJoin(per).select("n_a", "n_b", "centroid_cos")

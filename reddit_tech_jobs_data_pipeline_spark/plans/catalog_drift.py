@@ -155,3 +155,46 @@ def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_drift_psi_batchlike(spark, sf_dir, n_tags=4, bin_width=5.0)
+
+
+@register(
+    "embedding_centroid_drift",
+    """
+    WITH e AS (
+      SELECT label, CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS side,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+             unnest(generate_series(1, length(embedding))) AS pos
+      FROM embeddings
+    ),
+    cen AS (
+      SELECT label, pos,
+             avg(v) FILTER (WHERE side = 'a') AS ma,
+             avg(v) FILTER (WHERE side = 'b') AS mb
+      FROM e GROUP BY label, pos
+    ),
+    per AS (
+      SELECT label,
+             round(sum(ma * mb) / (sqrt(sum(ma * ma)) * sqrt(sum(mb * mb))), 4)
+               AS centroid_cos
+      FROM cen GROUP BY label
+    ),
+    cnt AS (
+      SELECT label,
+             count(*) FILTER (WHERE vec_id % 2 = 0) AS n_a,
+             count(*) FILTER (WHERE vec_id % 2 = 1) AS n_b
+      FROM embeddings GROUP BY label
+    )
+    SELECT cnt.label, n_a, n_b, centroid_cos
+    FROM cnt JOIN per ON per.label = cnt.label
+    """,
+    tags=["drift", "similarity"],
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label cosine between the two interleaved snapshots' mean
+    embeddings — the vector-space leg of the drift family (PSI watches
+    scalar shapes, KL/JS token mixes). One posexplode pass to a
+    labels×D model table; see operators/drift.centroid_drift."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "side", F.when(F.col("vec_id") % 2 == 0, "a").otherwise("b")
+    )
+    return drift.centroid_drift(emb, "embedding", "side", group_cols=["label"])

@@ -180,3 +180,51 @@ def test_streaming_monitor_matches_batch_psi(spark):
         # smoothing-dominated at this tiny SF (~250 rows/slice), so bound
         # it loosely; exact parity with batch PSI is asserted above
         assert 0 <= got[tag].psi < 0.3
+
+
+def test_centroid_drift_identical_sides(spark):
+    vecs = [[1.0, 2.0, 3.0], [0.5, -1.0, 2.0], [2.0, 0.0, 1.0]]
+    rows = [("g", "a", v) for v in vecs] + [("g", "b", v) for v in vecs]
+    df = spark.createDataFrame(
+        [(g, s, [float(x) for x in v]) for g, s, v in rows],
+        "g string, side string, embedding array<float>",
+    )
+    r = drift.centroid_drift(df, "embedding", "side", ["g"]).collect()[0]
+    assert r.centroid_cos == 1.0 and r.n_a == 3 and r.n_b == 3
+
+
+def test_centroid_drift_orthogonal_sides(spark):
+    rows = [("g", "a", [1.0, 0.0])] * 4 + [("g", "b", [0.0, 1.0])] * 2
+    df = spark.createDataFrame(rows, "g string, side string, embedding array<float>")
+    r = drift.centroid_drift(df, "embedding", "side", ["g"]).collect()[0]
+    assert r.centroid_cos == 0.0 and (r.n_a, r.n_b) == (4, 2)
+
+
+def test_centroid_drift_matches_numpy(spark):
+    import random
+
+    import numpy as np
+
+    rng = random.Random(13)
+    rows = []
+    for lab in ("x", "y"):
+        for i in range(25):
+            side = "a" if i % 2 == 0 else "b"
+            rows.append((lab, side, [rng.gauss(0, 1) for _ in range(6)]))
+    df = spark.createDataFrame(
+        [(g, s, [float(x) for x in v]) for g, s, v in rows],
+        "g string, side string, embedding array<float>",
+    )
+    got = {r.g: r for r in drift.centroid_drift(df, "embedding", "side", ["g"]).collect()}
+    for lab in ("x", "y"):
+        a = np.mean([v for g, s, v in rows if g == lab and s == "a"], axis=0)
+        b = np.mean([v for g, s, v in rows if g == lab and s == "b"], axis=0)
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(got[lab].centroid_cos - want) < 2e-4, lab
+
+
+def test_centroid_drift_missing_side_is_null(spark):
+    rows = [("g", "a", [1.0, 0.0])] * 3
+    df = spark.createDataFrame(rows, "g string, side string, embedding array<float>")
+    r = drift.centroid_drift(df, "embedding", "side", ["g"]).collect()[0]
+    assert r.centroid_cos is None and r.n_b == 0
