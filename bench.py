@@ -106,6 +106,7 @@ ADDED_R7B = [
     "streaming_cms_ingest",
     "k_anonymity_report",
     "embedding_label_outliers",
+    "embedding_centroid_drift",
 ]
 LEGACY = list(HEADLINE)
 HEADLINE = HEADLINE + ADDED_R7 + ADDED_R7B
