@@ -18,12 +18,20 @@ is bit-identical to the one the DuckDB oracle rebuilds.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _P = 4294967291  # largest 32-bit prime (shared with operators/dedup.py)
 
-__all__ = ["cms_build", "cms_merge", "cms_estimate"]
+__all__ = [
+    "cms_build",
+    "cms_merge",
+    "cms_estimate",
+    "histogram_sketch",
+    "histogram_quantiles",
+    "bloom_build",
+    "bloom_probe",
+]
 
 
 def _bucket_array(token: Column, width: int, depth: int) -> Column:
@@ -87,4 +95,124 @@ def cms_estimate(
         q.join(F.broadcast(sketch), ["row_i", "bucket"], "left")
         .groupBy("token")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_n"))
+    )
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    bin_width: float,
+    group_cols: tuple = (),
+) -> DataFrame:
+    """Fixed-width histogram sketch — the mergeable quantile companion
+    to the CMS: (group..., bin, cnt) cells, additive across partitions /
+    days / sources exactly like :func:`cms_merge` (union + re-sum).
+    Deterministic by construction (no sampling, no data-dependent bin
+    edges), so any engine rebuilds identical cells; quantile error is
+    bounded by one bin width. NULLs carry no quantile information and
+    are excluded."""
+    g = list(group_cols)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            *g,
+            F.floor(F.col(value_col) / F.lit(float(bin_width))).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    sketch: DataFrame,
+    qs: tuple,
+    bin_width: float,
+    group_cols: tuple = (),
+) -> DataFrame:
+    """Quantile estimates from the histogram cells: for each q, the
+    upper edge of the first bin whose cumulative count reaches
+    ``ceil(q·N)`` (a conservative, integer-exact rank rule — no
+    interpolation, so the estimate is cross-engine bit-identical and
+    within one bin width of the true quantile). Runs entirely on the
+    cells table (window cumsum over bins per group)."""
+    g = list(group_cols)
+    w = (
+        Window.partitionBy(*g).orderBy("bin")
+        if g
+        else Window.partitionBy(F.lit(1)).orderBy("bin")
+    )
+    tot = (
+        Window.partitionBy(*g)
+        if g
+        else Window.partitionBy(F.lit(1))
+    )
+    cum = sketch.select(
+        *g,
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(tot).alias("n"),
+    )
+    outs = []
+    for q in qs:
+        # integer-exact rank: ceil(q·N) via (N·qn + 999) div 1000 —
+        # round() (not int()) because 0.99·1000 is 989.999… in binary
+        qn = round(q * 1000)
+        rank = F.floor((F.col("n") * qn + 999) / 1000)
+        est = (
+            cum.filter(F.col("cum") >= rank)
+            .groupBy(*g, "n")
+            .agg(F.min("bin").alias("qbin"))
+            .select(
+                *g,
+                F.lit(q).alias("q"),
+                F.col("n"),
+                ((F.col("qbin") + 1) * F.lit(float(bin_width))).alias("q_upper"),
+            )
+        )
+        outs.append(est)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def bloom_build(df: DataFrame, key_col: str, m_bits: int = 65536, k: int = 3) -> DataFrame:
+    """Bloom-filter set-bit table over a key column: each key sets k
+    md5-double-hashed positions in an m-position space; the filter is
+    the DISTINCT set of positions (≤ m rows whatever the key count —
+    at 100 TB the benchmark/eval-set filter is a broadcastable table
+    however many eval rows exist). Merge = union + distinct. No false
+    negatives by construction; false-positive rate ≈ (1−e^{−kn/m})^k."""
+    return (
+        df.select(F.posexplode(_bucket_array(F.col(key_col), m_bits, k)).alias("i", "bit"))
+        .select("bit")
+        .distinct()
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    m_bits: int = 65536,
+    k: int = 3,
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """Membership probe: a key is a (possible) member iff ALL k of its
+    positions are set. One explode (×k) + broadcast join against the
+    bit table + per-key count — the corpus never shuffles. Returns only
+    the maybe-member rows (``carry_cols`` are carried through)."""
+    g = list(carry_cols)
+    q = df.select(
+        *g,
+        F.col(key_col).alias("__key"),
+        F.posexplode(_bucket_array(F.col(key_col), m_bits, k)).alias("__i", "bit"),
+    )
+    j = q.join(
+        F.broadcast(bloom.withColumn("__hit", F.lit(1))), "bit", "left"
+    )
+    return (
+        j.groupBy(*g, "__key")
+        .agg(F.count_if(F.col("__hit").isNotNull()).alias("__n_hit"))
+        .filter(F.col("__n_hit") == k)
+        .select(*g)
     )

@@ -664,6 +664,103 @@ def streaming_cms_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_cms_ingest_batchlike(spark, sf_dir, n_tags=4)
 
 
+@register(
+    "histogram_quantile_sketch",
+    """
+    WITH cells AS (
+      SELECT source, CAST(floor(n_chars / 10.0) AS BIGINT) AS bin, count(*) AS cnt
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT source, bin,
+             sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY source) AS n
+      FROM cells
+    ),
+    qq AS (SELECT unnest([500, 900, 990]) AS qn),
+    est AS (
+      SELECT source, qn, n, min(bin) AS qbin
+      FROM cum CROSS JOIN qq
+      WHERE cum >= floor((n * qn + 999) / 1000.0)
+      GROUP BY source, qn, n
+    )
+    SELECT source, qn / 1000.0 AS q, CAST(n AS BIGINT) AS n,
+           (qbin + 1) * 10.0 AS q_upper
+    FROM est
+    """,
+    tags=["sketch", "stats", "scale"],
+)
+def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source p50/p90/p99 of document length from a fixed-width
+    histogram sketch — the mergeable quantile path (cells are additive
+    like the CMS: per-partition/day histograms union+re-sum, so corpus
+    quantiles never need a full sort). The rank rule is integer-exact
+    ceil(q·N) with no interpolation, so both engines pick the identical
+    bin; accuracy (within one bin width of exact percentile) is pinned
+    in tests/test_sketches.py. See operators/sketches.histogram_sketch."""
+    from reddit_tech_jobs_data_pipeline_spark.operators import sketches
+
+    docs = _t(spark, sf_dir, "documents")
+    cells = sketches.histogram_sketch(docs, "n_chars", 10.0, ("source",))
+    return sketches.histogram_quantiles(cells, (0.5, 0.9, 0.99), 10.0, ("source",))
+
+
+@register(
+    "bloom_decontamination",
+    """
+    WITH keys AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE text IS NOT NULL
+    ),
+    bw AS (
+      SELECT ('0x' || substr(md5(fp), 1, 8))::BIGINT AS w1,
+             ('0x' || substr(md5(fp), 9, 8))::BIGINT AS w2
+      FROM keys WHERE doc_id % 7 = 0
+    ),
+    g AS (SELECT unnest(generate_series(0, 2)) AS i),
+    bits AS (
+      SELECT DISTINCT (w1 + i * w2) % 4294967291 % 65536 AS bit
+      FROM bw CROSS JOIN g
+    ),
+    probe AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(fp), 1, 8))::BIGINT AS w1,
+             ('0x' || substr(md5(fp), 9, 8))::BIGINT AS w2
+      FROM keys
+    ),
+    hits AS (
+      SELECT doc_id, count(*) AS n_hit
+      FROM probe CROSS JOIN g
+      JOIN bits ON bits.bit = (w1 + i * w2) % 4294967291 % 65536
+      GROUP BY doc_id
+    )
+    SELECT doc_id, doc_id % 7 = 0 AS is_true_member
+    FROM hits WHERE n_hit = 3
+    """,
+    tags=["sketch", "dedup", "scale"],
+)
+def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by Bloom membership: the eval set
+    (doc_id % 7 = 0 stands in for it) builds a ≤ 65536-row set-bit
+    table; the whole corpus probes it with a broadcast join — zero
+    false negatives (every true member is flagged — the property a
+    decontamination gate must have), collision-rate false positives
+    visible via the is_true_member column (identical on both engines:
+    the bits are md5 double-hashed, engine-portable). See
+    operators/sketches.bloom_build / bloom_probe."""
+    from reddit_tech_jobs_data_pipeline_spark.operators import sketches
+
+    keys = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.md5("text").alias("fp"))
+    )
+    bloom = sketches.bloom_build(keys.filter(F.col("doc_id") % 7 == 0), "fp")
+    flagged = sketches.bloom_probe(keys, "fp", bloom, carry_cols=("doc_id",))
+    return flagged.select(
+        "doc_id", (F.col("doc_id") % 7 == 0).alias("is_true_member")
+    )
+
+
 def _bbit_sql(est_hashes: int, min_agree: int) -> str:
     # second signature family at est_hashes width from the same shw CTE,
     # low bits packed into one BIGINT (mirrors operators/dedup.bbit_pack)
