@@ -107,6 +107,8 @@ ADDED_R7B = [
     "k_anonymity_report",
     "embedding_label_outliers",
     "embedding_centroid_drift",
+    "histogram_quantile_sketch",
+    "bloom_decontamination",
 ]
 LEGACY = list(HEADLINE)
 HEADLINE = HEADLINE + ADDED_R7 + ADDED_R7B
