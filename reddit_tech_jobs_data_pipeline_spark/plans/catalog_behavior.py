@@ -311,3 +311,72 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "record_linkage_scored",
+    """
+    WITH a AS (
+      SELECT p_partkey AS id_a, p_brand, p_name AS na,
+             p_type AS ca, p_retailprice AS ra
+      FROM part
+    ),
+    b AS (
+      SELECT p_partkey + 500000 AS id_b, p_brand,
+             substr(p_name, 1, 2) || substr(p_name, 4, 1)
+               || substr(p_name, 3, 1) || substr(p_name, 5) AS nb,
+             p_type AS cb, p_retailprice + 1.0 AS rb
+      FROM part WHERE p_partkey % 3 = 0
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             (CASE WHEN levenshtein(na, nb) <= 2 THEN 8 ELSE -4 END
+              + CASE WHEN ca = cb THEN 4 ELSE -2 END
+              + CASE WHEN abs(ra - rb) <= 2.0 THEN 3 ELSE -3 END) AS score
+      FROM a JOIN b USING (p_brand)
+    )
+    SELECT id_a, id_b, CAST(score AS BIGINT) AS score
+    FROM scored WHERE score >= 10
+    """,
+    tags=["linkage", "fuzzy", "join"],
+)
+def record_linkage_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter-style scored linkage between two part registries
+    (registry B = every third part with name chars 3/4 transposed and
+    price shifted +1 — realistic per-field noise): blocked on p_brand,
+    scored on THREE fields (name edit-gate +8/−4, type equality
+    +4/−2, price proximity +3/−3), linked at score ≥ 10. All weights and
+    the threshold are integers — the decision is cross-engine exact.
+    The step beyond fuzzy_name_pairs' single-field gate: one noisy field
+    no longer decides alone (operators/linkage.py)."""
+    from reddit_tech_jobs_data_pipeline_spark.operators import linkage
+
+    part = _t(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("id_a"),
+        "p_brand",
+        F.col("p_name").alias("na"),
+        F.col("p_type").alias("ca"),
+        F.col("p_retailprice").alias("ra"),
+    )
+    b = part.filter(F.col("p_partkey") % 3 == 0).select(
+        (F.col("p_partkey") + 500000).alias("id_b"),
+        "p_brand",
+        F.concat(
+            F.substring("p_name", 1, 2),
+            F.substring("p_name", 4, 1),
+            F.substring("p_name", 3, 1),
+            F.expr("substring(p_name, 5)"),
+        ).alias("nb"),
+        F.col("p_type").alias("cb"),
+        (F.col("p_retailprice") + 1.0).alias("rb"),
+    )
+
+    def comparisons(cand):
+        return [
+            (F.levenshtein("na", "nb") <= 2, 8, -4),
+            (F.col("ca") == F.col("cb"), 4, -2),
+            (F.abs(F.col("ra") - F.col("rb")) <= 2.0, 3, -3),
+        ]
+
+    return linkage.blocked_link(a, b, ["p_brand"], comparisons, threshold=10)
