@@ -109,6 +109,7 @@ ADDED_R7B = [
     "embedding_centroid_drift",
     "histogram_quantile_sketch",
     "bloom_decontamination",
+    "record_linkage_scored",
 ]
 LEGACY = list(HEADLINE)
 HEADLINE = HEADLINE + ADDED_R7 + ADDED_R7B
