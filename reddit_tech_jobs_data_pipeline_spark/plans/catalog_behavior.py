@@ -388,3 +388,53 @@ def record_linkage_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
 
     return linkage.blocked_link(a, b, ["p_brand", "p_size", "nlen"], comparisons, threshold=10)
+
+
+@register(
+    "user_event_sequences",
+    """
+    WITH ordered AS (
+      SELECT user_id,
+             row_number() OVER w AS pos,
+             event_type AS t0,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2,
+             lead(event_type, 3) OVER w AS t3,
+             lead(event_type, 4) OVER w AS t4
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(pos AS BIGINT) AS win_start,
+           t0 || '>' || t1 || '>' || t2 || '>' || t3 || '>' || t4 AS seq
+    FROM ordered
+    WHERE t4 IS NOT NULL AND pos % 2 = 1
+    """,
+    tags=["sequences", "window", "behavior"],
+)
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding training sequences from behavioral logs: per user, the
+    ordered event-type stream cut into length-5 windows at stride 2 —
+    the sequence-model prep step (next-event prediction / session
+    embeddings) that doc_chunking_windows performs for text. Pure
+    window-lead construction: one shuffle on user_id, no explode, each
+    row emits at most one window; the (ts, event_id) tiebreak makes the
+    order — and therefore every sequence string — total and
+    cross-engine exact."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    leads = [F.col("event_type")] + [
+        F.lead("event_type", i).over(w) for i in range(1, 5)
+    ]
+    out = ev.select(
+        "user_id",
+        F.row_number().over(w).alias("win_start"),
+        *[leads[i].alias(f"t{i}") for i in range(5)],
+    )
+    return (
+        out.filter(F.col("t4").isNotNull() & (F.col("win_start") % 2 == 1))
+        .select(
+            "user_id",
+            F.col("win_start").cast("long").alias("win_start"),
+            F.concat_ws(">", *[f"t{i}" for i in range(5)]).alias("seq"),
+        )
+    )
