@@ -42,9 +42,12 @@ def approx_decile_cuts(
     """The k-1 interior quantile cut points of ``score_col`` via Spark's
     Greenwald-Khanna sketch. Driver-side result is k-1 doubles — bounded
     at any corpus size. NULL scores are ignored (approxQuantile skips
-    them), matching the exact mode's "no score → not in the curriculum"."""
+    them) and NaN scores are filtered here (Spark orders NaN above every
+    numeric, so a handful of NaNs would drag every upper cut to NaN) —
+    both match "no valid score → does not shape the curriculum"."""
     probs = [i / k for i in range(1, k)]
-    return df.approxQuantile(score_col, probs, relative_error)
+    clean = df.filter(~F.isnan(F.col(score_col).cast("double")))
+    return clean.approxQuantile(score_col, probs, relative_error)
 
 
 def assign_curriculum_decile(
@@ -54,15 +57,22 @@ def assign_curriculum_decile(
     ``descending`` (curriculum convention) decile 1 is the HIGHEST-score
     band: score > cuts[-1] → 1, ... score <= cuts[0] → k. A plain
     when-chain — whole-stage-codegen'd, no shuffle, no UDF. Cuts are
-    sorted here, so callers may pass them in any order; a NaN score
-    compares false everywhere and lands in the worst band."""
+    sorted here, so callers may pass them in any order. Spark orders NaN
+    GREATER than every numeric (so ``NaN > cut`` is true and the plain
+    chain would put NaN in the BEST band); an explicit isnan guard pins
+    NaN to the worst band instead — a doc with no valid score must never
+    train first in a quality curriculum."""
     cuts = sorted(cuts)
     k = len(cuts) + 1
-    expr = F.lit(k if descending else 1)
+    worst = k if descending else 1
+    expr = F.lit(worst)
     # build from the lowest cut upward; later (higher) cuts override
     for i, c in enumerate(cuts):
         decile = (k - 1 - i) if descending else (i + 2)
         expr = F.when(score > F.lit(float(c)), F.lit(decile)).otherwise(expr)
+    # NaN compares greater than any numeric in Spark — guard it into the
+    # worst band before the when-chain can see it
+    expr = F.when(F.isnan(score.cast("double")), F.lit(worst)).otherwise(expr)
     return expr.cast("long")
 
 
@@ -78,7 +88,8 @@ def curriculum_order_scale(
     """Production curriculum ordering: (decile, order key) per doc with
     NO global window — approx cut points + stateless assignment + the
     seeded permutation hash. Rows with NULL score are dropped (same
-    contract as the exact mode). Returns ``id_col``, ``score_col``,
+    contract as the exact mode); NaN-scored rows are kept but pinned to
+    the worst decile (and excluded from the cut-point sketch). Returns ``id_col``, ``score_col``,
     ``decile`` (1 = best), ``h`` (the within-decile order key; global
     training order = ORDER BY decile, h, id)."""
     scored = docs.filter(F.col(score_col).isNotNull())

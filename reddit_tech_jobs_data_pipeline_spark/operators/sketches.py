@@ -200,7 +200,12 @@ def bloom_probe(
     """Membership probe: a key is a (possible) member iff ALL k of its
     positions are set. One explode (×k) + broadcast join against the
     bit table + per-key count — the corpus never shuffles. Returns only
-    the maybe-member rows (``carry_cols`` are carried through)."""
+    the maybe-member rows (``carry_cols`` are carried through), one
+    output row per input row (duplicate (carry_cols, key) rows survive
+    with their multiplicity — no false negatives even when the probe
+    side repeats a row: the all-positions-hit test compares hits to the
+    GROUP's total exploded positions, never to the constant k, and the
+    collapsed duplicates are re-expanded from the group size)."""
     g = list(carry_cols)
     q = df.select(
         *g,
@@ -212,7 +217,16 @@ def bloom_probe(
     )
     return (
         j.groupBy(*g, "__key")
-        .agg(F.count_if(F.col("__hit").isNotNull()).alias("__n_hit"))
-        .filter(F.col("__n_hit") == k)
+        .agg(
+            F.count_if(F.col("__hit").isNotNull()).alias("__n_hit"),
+            F.count(F.lit(1)).alias("__n_pos"),
+        )
+        .filter(F.col("__n_hit") == F.col("__n_pos"))
+        # re-expand collapsed duplicates: the group held __n_pos / k
+        # identical input rows; emit that many output rows
+        .withColumn(
+            "__copy",
+            F.explode(F.sequence(F.lit(1), (F.col("__n_pos") / k).cast("int"))),
+        )
         .select(*g)
     )

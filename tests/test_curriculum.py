@@ -83,3 +83,30 @@ def test_writer_realizes_global_curriculum_order(spark, tmp_path):
     assert len(keys) == 800
     assert keys == sorted(keys)
     assert keys[0][0] == 1 and keys[-1][0] == 10
+
+
+def test_nan_scores_land_in_worst_decile_and_do_not_shift_cuts(spark):
+    # Regression: Spark orders NaN GREATER than every numeric, so the plain
+    # when-chain put NaN in decile 1 (best band) — a doc with no valid
+    # score would have trained FIRST in a quality curriculum.
+    docs = _scored(spark, 200).withColumn(
+        "score",
+        F.when(F.col("doc_id") % 10 == 0, F.lit(float("nan"))).otherwise(
+            F.col("score")
+        ),
+    )
+    out = curriculum.curriculum_order_scale(docs, "score")
+    nan_rows = out.filter(F.isnan("score")).collect()
+    assert len(nan_rows) == 20
+    assert all(r.decile == 10 for r in nan_rows)  # worst band, never best
+    # cut points exclude NaN: they equal the cuts of the NaN-free subset
+    clean = docs.filter(~F.isnan("score"))
+    assert curriculum.approx_decile_cuts(docs, "score") == (
+        curriculum.approx_decile_cuts(clean, "score")
+    )
+    # ascending mode: worst band is decile 1
+    asc = curriculum.assign_curriculum_decile(
+        F.col("score"), curriculum.approx_decile_cuts(docs, "score"), descending=False
+    )
+    asc_nan = docs.select("score", asc.alias("d")).filter(F.isnan("score")).collect()
+    assert all(r.d == 1 for r in asc_nan)

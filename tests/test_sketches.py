@@ -165,3 +165,20 @@ def test_bloom_probe_rejects_all_missing_bits(spark):
         carry_cols=("k",),
     ).collect()
     assert out == []
+
+
+def test_bloom_probe_duplicate_rows_survive_with_multiplicity(spark):
+    # Regression: duplicate (carry_cols, key) rows used to collapse in the
+    # per-key groupBy, making n_hit = 2k != k and silently DROPPING true
+    # members — a false negative in a no-false-negatives contract.
+    bloom = sketches.bloom_build(
+        _tok_df(spark, ["a", "b"]).withColumnsRenamed({"token": "k"}), "k"
+    )
+    probe = _tok_df(spark, ["a", "a", "b", "zzz_absent"]).withColumnsRenamed(
+        {"token": "k"}
+    )
+    out = [
+        r.k
+        for r in sketches.bloom_probe(probe, "k", bloom, carry_cols=("k",)).collect()
+    ]
+    assert sorted(out) == ["a", "a", "b"]  # both 'a' copies survive
