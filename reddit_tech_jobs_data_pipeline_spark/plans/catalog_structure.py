@@ -310,3 +310,110 @@ def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_users")
         ).alias("hll_within_5pct"),
     )
+
+
+@register(
+    "streaming_hll_ingest",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           count(DISTINCT event_id % 4) AS n_batches_merged,
+           true AS hll_within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=["streaming", "sketch", "scale"],
+)
+def streaming_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-micro-batch HLL sketches appended idempotently to a persisted
+    store (content-derived batch keys; replay-safe; never rewritten),
+    unioned only at read time — sketch mergeability makes the unioned
+    estimate equal the single-pass estimate, and the bound contract
+    (exact + 5% flag) plus the exactly-checked merged-batch count is
+    what the oracle replays. See streaming/hll_ingest.py."""
+    from reddit_tech_jobs_data_pipeline_spark.streaming.hll_ingest import (
+        run_hll_ingest_batchlike,
+    )
+
+    return run_hll_ingest_batchlike(spark, sf_dir, n_tags=4)
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction — the oracle unrolls the 3-round loop with the
+# SAME island-parity greedy-merge algebra the operator uses (operators/
+# bpe.py module docstring proves the equivalence to sequential greedy).
+
+
+def _bpe_round_sql(i: int) -> str:
+    return f"""
+    c{i} AS (
+      SELECT tok AS l, nxt AS r, count(*) AS c FROM (
+        SELECT tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM tok{i}) WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    r{i} AS (SELECT l, r, c FROM c{i} ORDER BY c DESC, l, r LIMIT 1),
+    a{i} AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY doc_id, streak ORDER BY pos) AS srn
+        FROM (
+          SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS streak
+          FROM (
+            SELECT doc_id, pos, tok,
+                   lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+            FROM tok{i})
+          WHERE tok = (SELECT l FROM r{i}) AND nxt = (SELECT r FROM r{i})))
+      WHERE srn % 2 = 1
+    ),
+    tok{i + 1} AS (
+      SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos, tok
+      FROM (
+        SELECT t.doc_id, t.pos,
+               CASE WHEN a.pos IS NOT NULL
+                    THEN t.tok || '+' || (SELECT r FROM r{i}) ELSE t.tok END AS tok
+        FROM tok{i} t
+        LEFT JOIN a{i} a ON a.doc_id = t.doc_id AND a.pos = t.pos
+        ANTI JOIN a{i} d ON d.doc_id = t.doc_id AND d.pos = t.pos - 1)
+    )"""
+
+
+_BPE_ORACLE = (
+    """
+    WITH tok1 AS (
+      SELECT doc_id,
+             unnest(range(0, len(string_split(text, ' ')))) AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),"""
+    + ",".join(_bpe_round_sql(i) for i in (1, 2, 3))
+    + """
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS round, l AS left, r AS right, c AS pair_count FROM r1
+      UNION ALL SELECT CAST(2 AS BIGINT), l, r, c FROM r2
+      UNION ALL SELECT CAST(3 AS BIGINT), l, r, c FROM r3
+    ) ORDER BY round
+    """
+)
+
+
+@register("bpe_merge_rules", _BPE_ORACLE, tags=["corpus", "tokenizer", "iterative", "scale"])
+def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer induction, 3 merge rounds (Sennrich et al. 2016):
+    per round, count every adjacent symbol pair corpus-wide, elect the
+    most frequent (count desc, then lexicographic), apply its greedy
+    left-to-right merge everywhere, repeat on the merged stream. The
+    greedy merge is window algebra, not a sequential fold — island
+    parity (operators/bpe.py) — so the oracle replays the identical
+    3-round loop unrolled in SQL and the learned rule table matches
+    value-for-value (also pinned against a pure-python sequential BPE
+    in tests/test_bpe.py).
+
+    100 TB: 3 doc-keyed window shuffles + one tiny agg per round;
+    driver state = the rule table. Production tokenizer training runs
+    this on a corpus SAMPLE (compose with deterministic_sample); the
+    loop is per-doc parallel at any width."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.bpe import bpe_merge_rules_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_merge_rules_df(docs, rounds=3)
