@@ -226,3 +226,46 @@ def udtf_table_arg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT * FROM partition_stats_udtf(TABLE(udtf_events_v) "
         "PARTITION BY event_type ORDER BY event_id)"
     )
+
+
+@register(
+    "orc_roundtrip_agg",
+    """
+    SELECT event_type,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS first_us
+    FROM events
+    GROUP BY event_type, day
+    """,
+    tags=["source", "sink", "format"],
+)
+def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source fidelity: write the events table to ORC, read
+    it back, and aggregate — counts, a money-scale sum, and the min
+    timestamp at microsecond precision must equal what the parquet
+    oracle computes, proving the second columnar format's type mapping
+    (LTZ timestamps, doubles, strings) roundtrips losslessly. ZLIB ORC
+    with schema-on-read; partition layout is whatever the write's
+    parallelism produced — the agg must not care.
+
+    100 TB: a format-conversion pass is one read + one write, both
+    embarrassingly parallel; the value here is the pinned type contract,
+    not the shuffle (the agg is one map-side-combined groupBy)."""
+    import os
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_orc_{abs(hash(sf_dir))}"
+    )
+    ev.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min(F.unix_micros("ts")).alias("first_us"),
+    )

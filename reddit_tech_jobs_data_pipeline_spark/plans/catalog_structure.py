@@ -417,3 +417,94 @@ def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return bpe_merge_rules_df(docs, rounds=3)
+
+
+@register(
+    "length_bucket_batching",
+    """
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    b AS (
+      SELECT doc_id, n_tok,
+             CAST(power(2, ceil(log2(n_tok * 1.0))) AS BIGINT) AS bucket
+      FROM d WHERE n_tok > 0
+    ),
+    batched AS (
+      SELECT bucket, n_tok,
+             (row_number() OVER (PARTITION BY bucket ORDER BY n_tok, doc_id) - 1)
+                  // 16 AS batch
+      FROM b
+    ),
+    per_batch AS (
+      SELECT bucket, batch, count(*) AS n, max(n_tok) AS mx, sum(n_tok) AS real
+      FROM batched GROUP BY bucket, batch
+    ),
+    bucketed AS (
+      SELECT bucket, CAST(sum(n) AS BIGINT) AS n_docs,
+             count(*) AS n_batches,
+             CAST(sum(real) AS BIGINT) AS real_tokens,
+             CAST(sum(mx * n - real) AS BIGINT) AS pad_tokens
+      FROM per_batch GROUP BY bucket
+    ),
+    naive_batched AS (
+      SELECT n_tok,
+             (row_number() OVER (ORDER BY doc_id) - 1) // 16 AS batch
+      FROM b
+    ),
+    naive AS (
+      SELECT CAST(-1 AS BIGINT) AS bucket,
+             CAST(sum(n) AS BIGINT) AS n_docs, count(*) AS n_batches,
+             CAST(sum(real) AS BIGINT) AS real_tokens,
+             CAST(sum(mx * n - real) AS BIGINT) AS pad_tokens
+      FROM (SELECT batch, count(*) AS n, max(n_tok) AS mx, sum(n_tok) AS real
+            FROM naive_batched GROUP BY batch)
+    )
+    SELECT * FROM bucketed UNION ALL SELECT * FROM naive
+    """,
+    tags=["corpus", "batching", "scale"],
+)
+def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-efficient training batches: power-of-two length buckets,
+    16-doc batches cut in (length, id) order, waste = pad-to-batch-max
+    (operators/packing.length_bucket_batches). The bucket = −1 row is
+    the measured BASELINE — arrival-order batching with its global
+    window — kept only for the comparison (per-bucket padding is
+    typically ~10× lower); the bucketed path itself has no global
+    order: each of the ~log2(max_len) buckets shuffles independently.
+    All outputs are integers — engine-exact."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.packing import (
+        length_bucket_batches,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tok")).filter(
+        F.col("n_tok") > 0
+    )
+    per_batch = length_bucket_batches(d, "n_tok", "doc_id", batch_size=16)
+    bucketed = per_batch.groupBy("bucket").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum("real_tokens").cast("long").alias("real_tokens"),
+        F.sum("pad_tokens").cast("long").alias("pad_tokens"),
+    )
+    from pyspark.sql import Window as W
+
+    naive_b = d.withColumn(
+        "batch",
+        ((F.row_number().over(W.orderBy("doc_id")) - 1) / 16).cast("long"),
+    )
+    naive_pb = naive_b.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("n_tok").alias("mx"),
+        F.sum("n_tok").alias("real"),
+    )
+    naive = naive_pb.agg(
+        F.lit(-1).cast("long").alias("bucket"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum("real").cast("long").alias("real_tokens"),
+        F.sum(F.col("mx") * F.col("n") - F.col("real")).cast("long").alias("pad_tokens"),
+    ).select("bucket", "n_docs", "n_batches", "real_tokens", "pad_tokens")
+    return bucketed.unionByName(naive)

@@ -89,3 +89,25 @@ def test_shard_summary_totals(spark):
     }
     # offsets 0..900 step 100 → floor(offset/250): shards 0,0,0,1,1,2,2,2,3,3
     assert got == {0: (3, 300), 1: (2, 200), 2: (3, 300), 3: (2, 200)}
+
+
+def test_length_bucket_batches_integer_exact(spark):
+    from reddit_tech_jobs_data_pipeline_spark.operators.packing import (
+        length_bucket_batches,
+    )
+
+    rows = [(i, n) for i, n in enumerate([1, 2, 3, 4, 5, 8, 9, 16, 17, 31, 32, 33])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = {
+        (r.bucket, r.batch): r
+        for r in length_bucket_batches(df, "n_tok", "doc_id", batch_size=2).collect()
+    }
+    # power-of-two buckets: smallest 2^k >= len
+    assert set(b for b, _ in out) == {1, 2, 4, 8, 16, 32, 64}
+    # bucket 4 holds lens 3,4 → one batch, pad = 2*4 - 7 = 1
+    r = out[(4, 0)]
+    assert (r.n_docs, r.max_len, r.real_tokens, r.pad_tokens) == (2, 4, 7, 1)
+    # bucket 32 holds 17,31,32 → batches [17,31],[32]; pads 14 and 0
+    assert (out[(32, 0)].pad_tokens, out[(32, 1)].pad_tokens) == (14, 0)
+    # padding never negative, and zero for singleton batches
+    assert all(r.pad_tokens >= 0 for r in out.values())
