@@ -111,8 +111,22 @@ ADDED_R7B = [
     "bloom_decontamination",
     "record_linkage_scored",
 ]
+# Added round 8: the structural-hygiene / classifier / sketch-store /
+# tokenizer-induction families.
+ADDED_R8 = [
+    "boilerplate_line_removal",
+    "paragraph_dedup_exact",
+    "corpus_hygiene_e2e",
+    "quality_classifier_score",
+    "quality_classifier_train_filter",
+    "hll_distinct_sketch",
+    "streaming_hll_ingest",
+    "bpe_merge_rules",
+    "length_bucket_batching",
+    "orc_roundtrip_agg",
+]
 LEGACY = list(HEADLINE)
-HEADLINE = HEADLINE + ADDED_R7 + ADDED_R7B
+HEADLINE = HEADLINE + ADDED_R7 + ADDED_R7B + ADDED_R8
 
 
 def materialize(df) -> None:
@@ -136,7 +150,7 @@ def main() -> None:
     # r1-r6 runs (nothing but legacy's own warm-up precedes it), which
     # is what BENCH_r*.json round-over-round comparison assumes.
     timings: dict[str, float] = {}
-    for group in (LEGACY, ADDED_R7, ADDED_R7B):
+    for group in (LEGACY, ADDED_R7, ADDED_R7B, ADDED_R8):
         names = [n for n in group if n in reg]
 
         # untimed pass: JVM + file listing + per-plan codegen compilation

@@ -508,3 +508,125 @@ def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("mx") * F.col("n") - F.col("real")).cast("long").alias("pad_tokens"),
     ).select("bucket", "n_docs", "n_batches", "real_tokens", "pad_tokens")
     return bucketed.unionByName(naive)
+
+
+@register(
+    "corpus_hygiene_e2e",
+    f"""
+    WITH {_PAGE_CTE},
+    dom AS (SELECT source, count(*) AS dom_n FROM pages GROUP BY source),
+    ldf AS (
+      SELECT source, line, count(DISTINCT doc_id) AS df
+      FROM lines GROUP BY source, line
+    ),
+    boiler AS (
+      SELECT ldf.source, ldf.line FROM ldf JOIN dom ON dom.source = ldf.source
+      WHERE df >= 2 AND df >= 0.5 * dom_n
+    ),
+    kept1 AS (
+      SELECT l.* FROM lines l
+      ANTI JOIN boiler b ON b.source = l.source AND b.line = l.line
+    ),
+    ranked AS (
+      SELECT doc_id, source, li, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, li) AS rn
+      FROM kept1
+    ),
+    clean AS (
+      SELECT doc_id, source,
+             string_agg(line, ' ' ORDER BY li) AS text
+      FROM ranked WHERE rn = 1 GROUP BY doc_id, source
+    ),
+    f AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) * 1.0 AS n,
+             len(list_filter(string_split(text, ' '),
+                             t -> t = 'the' OR t = 'a')) * 1.0 AS stop,
+             len(list_distinct(string_split(text, ' '))) * 1.0 AS dst,
+             length(text) * 1.0 AS chars
+      FROM clean
+    ),
+    scored AS (
+      SELECT doc_id, source, CAST(n AS BIGINT) AS n_tok,
+             round(1.0 / (1.0 + exp(-(
+               (-1.0 + 1.2 * (n / 100.0))
+               + (-6.0 * (stop / n))
+               + (2.5 * (dst / n))
+               + (-1.5 * (((chars - (n - 1.0)) / n) / 10.0))))), 4) AS score
+      FROM f
+    ),
+    tot AS (SELECT source, count(*) AS docs_in FROM pages GROUP BY source)
+    SELECT t.source, t.docs_in,
+           coalesce(k.docs_kept, 0) AS docs_kept,
+           coalesce(k.tokens_kept, 0) AS tokens_kept,
+           coalesce(k.mean_score, 0.0) AS mean_score
+    FROM tot t LEFT JOIN (
+      SELECT source, count(*) AS docs_kept,
+             CAST(sum(n_tok) AS BIGINT) AS tokens_kept,
+             round(avg(score), 4) AS mean_score
+      FROM scored WHERE score >= 0.45 GROUP BY source
+    ) k USING (source)
+    """,
+    tags=["corpus", "hygiene", "e2e", "scale"],
+)
+def corpus_hygiene_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round's hygiene stages chained as ONE pipeline, catching
+    interface drift the per-stage oracles cannot (the corpus_export_e2e
+    precedent): synthesized pages → boilerplate-line removal → exact
+    paragraph dedup (keep-first) on the CLEANED lines → logistic quality
+    scoring of the surviving text (newlines re-joined with spaces so the
+    feature tokenizer sees one stream) → gate at rounded score >= 0.45 →
+    per-source manifest (docs in/kept, tokens kept, mean score). The
+    score is rounded to 4 dp BEFORE the threshold on both engines, so
+    the keep-set is engine-exact even at the boundary.
+
+    100 TB: the chain reuses each stage's scaling shape (doc-keyed
+    shuffles + line-hash groupBys); no stage widens rows beyond the
+    doc's own lines, and the gate is stateless."""
+    pages = _pages(_t(spark, sf_dir, "documents"))
+    stripped = structure.strip_boilerplate_lines(
+        pages, domain_col="source", min_docs=2, df_ratio=0.5
+    )
+    nonempty = stripped.filter(F.col("clean_text") != "").select(
+        "doc_id", "source", F.col("clean_text").alias("text")
+    )
+    deduped = (
+        paragraph_dedup_first_with_source(nonempty)
+        .filter(F.col("clean_text") != "")
+        .select(
+            "doc_id",
+            "source",
+            F.replace(F.col("clean_text"), F.lit("\n"), F.lit(" ")).alias("text"),
+        )
+    )
+    feats = classifier.featurize_documents(deduped)
+    scored = classifier.logreg_score(feats, _W, _B).select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        F.round("score", 4).alias("score"),
+    )
+    kept = scored.filter(F.col("score") >= 0.45)
+    per_source = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_kept"),
+        F.sum("n_tok").cast("long").alias("tokens_kept"),
+        F.round(F.avg("score"), 4).alias("mean_score"),
+    )
+    tot = pages.groupBy("source").agg(F.count(F.lit(1)).alias("docs_in"))
+    j = tot.join(per_source, "source", "left")
+    return j.select(
+        "source",
+        "docs_in",
+        F.coalesce("docs_kept", F.lit(0)).alias("docs_kept"),
+        F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
+        F.coalesce("mean_score", F.lit(0.0)).alias("mean_score"),
+    )
+
+
+def paragraph_dedup_first_with_source(docs: DataFrame) -> DataFrame:
+    """paragraph_dedup_first, carrying the source column through the
+    reassembly (the operator keys everything on doc_id; source is
+    functionally dependent, so a first() in the totals join is exact)."""
+    out = structure.paragraph_dedup_first(docs)
+    src = docs.select("doc_id", "source")
+    return out.join(src, "doc_id")
