@@ -88,11 +88,15 @@ def bpe_learn(
     id_col: str = "doc_id",
     rounds: int = 3,
     sep: str = "+",
+    return_tokens: bool = False,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``rounds`` merge rules; returns [(round, left, right,
     pair_count)] with the standard tiebreak (count desc, left asc,
     right asc). pair_count is the ALL-adjacent-occurrences count the
-    rule was selected by (overlaps included)."""
+    rule was selected by (overlaps included). With ``return_tokens``,
+    also applies the LAST rule and returns (rules, encoded_tokens) —
+    the fully-encoded stream for free, instead of a fresh re-apply of
+    every rule (the encode path's shape)."""
     toks = _tokens(docs, text_col, id_col)
     rules: list[tuple[int, str, str, int]] = []
     for r in range(1, rounds + 1):
@@ -111,9 +115,9 @@ def bpe_learn(
             break
         left, right, cnt = top[0][0], top[0][1], int(top[0][2])
         rules.append((r, left, right, cnt))
-        if r < rounds:
+        if r < rounds or return_tokens:
             toks = _apply_rule(toks, id_col, left, right, sep)
-    return rules
+    return (rules, toks) if return_tokens else rules
 
 
 def bpe_merge_rules_df(
@@ -129,3 +133,25 @@ def bpe_merge_rules_df(
     return spark.createDataFrame(
         rules, "round long, left string, right string, pair_count long"
     )
+
+
+def bpe_encode_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rounds: int = 3,
+    sep: str = "+",
+) -> DataFrame:
+    """Learn ``rounds`` merge rules, then ENCODE the corpus with them:
+    returns (id_col, n_before, n_after) token counts per doc — the
+    compression the learned vocabulary buys (tokens-per-doc is the
+    fertility metric training-cost estimates run on). The encode is the
+    same island-parity application as learning, run once per rule in
+    rule order."""
+    toks = _tokens(docs, text_col, id_col)
+    before = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_before"))
+    _rules, encoded = bpe_learn(
+        docs, text_col, id_col, rounds, sep, return_tokens=True
+    )
+    after = encoded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_after"))
+    return before.join(after, id_col)

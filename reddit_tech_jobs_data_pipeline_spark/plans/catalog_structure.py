@@ -630,3 +630,96 @@ def paragraph_dedup_first_with_source(docs: DataFrame) -> DataFrame:
     out = structure.paragraph_dedup_first(docs)
     src = docs.select("doc_id", "source")
     return out.join(src, "doc_id")
+
+
+@register(
+    "jsonl_roundtrip_fidelity",
+    f"""
+    WITH {_PAGE_CTE}
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
+             AS text_hash_sum,
+           CAST(sum(len(string_split(text, chr(10)))) AS BIGINT) AS n_lines
+    FROM pages WHERE text IS NOT NULL
+    GROUP BY source
+    """,
+    tags=["source", "sink", "format"],
+)
+def jsonl_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL export/import fidelity on HOSTILE text: the synthesized
+    multi-line pages (embedded newlines — the characters JSON must
+    escape) are written as JSON Lines, read back, and fingerprinted per
+    source (md5-prefix hash sum + line counts). The oracle computes the
+    same fingerprint from the ORIGINAL text, so any escaping loss,
+    truncation, or row splitting in the sink/source pair breaks the
+    match. JSONL is the interchange format every training-data consumer
+    reads; its newline-delimited framing vs embedded newlines is exactly
+    where naive exporters corrupt corpora.
+
+    100 TB: write + read are embarrassingly parallel; the check agg is
+    one map-side-combined groupBy."""
+    import os
+    import tempfile
+
+    pages = _pages(_t(spark, sf_dir, "documents")).filter(F.col("text").isNotNull())
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_jsonl_{abs(hash(sf_dir))}"
+    )
+    pages.write.mode("overwrite").json(path)
+    back = spark.read.json(path).select("doc_id", "source", "text")
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+        ).cast("long").alias("text_hash_sum"),
+        F.sum(F.size(F.split("text", "\n"))).cast("long").alias("n_lines"),
+    )
+
+
+_BPE_ENCODE_ORACLE = (
+    """
+    WITH tok1 AS (
+      SELECT doc_id,
+             unnest(range(0, len(string_split(text, ' ')))) AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),"""
+    + ",".join(_bpe_round_sql(i) for i in (1, 2, 3))
+    + """
+    , before_c AS (SELECT doc_id, count(*) AS n_before FROM tok1 GROUP BY doc_id),
+    after_c AS (SELECT doc_id, count(*) AS n_after FROM tok4 GROUP BY doc_id)
+    SELECT d.source,
+           CAST(sum(b.n_before) AS BIGINT) AS tokens_before,
+           CAST(sum(a.n_after) AS BIGINT) AS tokens_after,
+           round(sum(b.n_before) * 1.0 / sum(a.n_after), 4) AS compression
+    FROM before_c b JOIN after_c a USING (doc_id)
+    JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """
+)
+
+
+@register(
+    "bpe_encode_compression",
+    _BPE_ENCODE_ORACLE,
+    tags=["corpus", "tokenizer", "iterative", "scale"],
+)
+def bpe_encode_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the 3 learned BPE rules and report the
+    per-source compression (tokens before / after) — the fertility
+    number tokenizer-vocabulary decisions are made on. Exercises the
+    APPLY path at full depth (learning only applies rounds−1 merges);
+    the oracle replays the identical unrolled loop through tok4.
+
+    100 TB: encode is the same 3 doc-keyed window passes as learning,
+    per-doc parallel; counts are two map-side-combined groupBys."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.bpe import bpe_encode_counts
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    counts = bpe_encode_counts(docs, rounds=3)
+    j = counts.join(docs.select("doc_id", "source"), "doc_id")
+    return j.groupBy("source").agg(
+        F.sum("n_before").cast("long").alias("tokens_before"),
+        F.sum("n_after").cast("long").alias("tokens_after"),
+        F.round(F.sum("n_before") * 1.0 / F.sum("n_after"), 4).alias("compression"),
+    )
