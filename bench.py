@@ -124,6 +124,9 @@ ADDED_R8 = [
     "bpe_merge_rules",
     "length_bucket_batching",
     "orc_roundtrip_agg",
+    "jsonl_roundtrip_fidelity",
+    "bpe_encode_compression",
+    "ann_pq_topk",
 ]
 LEGACY = list(HEADLINE)
 HEADLINE = HEADLINE + ADDED_R7 + ADDED_R7B + ADDED_R8

@@ -2774,3 +2774,130 @@ def dsir_incremental_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     model = dsir.dsir_model(merged, 256)
     return dsir.dsir_score(docs.filter(~is_t), model, "text", "doc_id", 256)
+
+
+def _pq_sub_parts(s: int, ks: int, sub: int, iters: int) -> list[str]:
+    """Per-subspace unrolled k-means + code assignment + reconstruction
+    part — the PQ analog of _kmeans_parts, over embedding[lo:hi]."""
+    lo, hi = s * sub + 1, (s + 1) * sub
+    rng = f"range(1, {sub + 1})"
+    zeros = f"list_transform({rng}, i -> 0.0)"
+    dist = (
+        f"list_reduce(list_transform({rng},"
+        " j -> (v[j]-cvec[j])*(v[j]-cvec[j])), (p, q) -> p + q)"
+    )
+    parts = [
+        f"v{s} AS (SELECT vec_id,"
+        f" list_transform(embedding[{lo}:{hi}], x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings)",
+        f"""c0_{s} AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
+      FROM v{s} ORDER BY vec_id LIMIT {ks}
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""a{i}_{s} AS (
+      SELECT vec_id, v, cid, {dist} AS dist
+      FROM v{s} CROSS JOIN c{i - 1}_{s}
+    ),
+    s{i}_{s} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM a{i}_{s}
+      ) WHERE rn = 1
+    ),
+    c{i}_{s} AS (
+      SELECT cid, list_transform(vsum, x -> x / n) AS cvec FROM (
+        SELECT cid, count(*) AS n,
+               list_reduce(
+                 list_prepend({zeros}, list(v ORDER BY vec_id)),
+                 (acc, x) -> list_transform({rng}, j -> acc[j] + x[j])) AS vsum
+        FROM s{i}_{s} GROUP BY cid)
+    )"""
+        )
+    parts.append(
+        f"""code_{s} AS (
+      SELECT vec_id, cvec AS p{s} FROM (
+        SELECT vec_id, cid, row_number() OVER (
+          PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM (SELECT vec_id, v, cid, {dist} AS dist
+              FROM v{s} CROSS JOIN c{iters}_{s})
+      ) JOIN c{iters}_{s} USING (cid) WHERE rn = 1
+    )"""
+    )
+    return parts
+
+
+def _pq_sql(m: int, ks: int, iters: int, dim: int, topk: int, rerank_n: int) -> str:
+    sub = dim // m
+    sep = ",\n    "
+    parts: list[str] = []
+    for s in range(m):
+        parts.extend(_pq_sub_parts(s, ks, sub, iters))
+    recon_join = " JOIN ".join(
+        [f"code_{s}" + (" USING (vec_id)" if s else "") for s in range(m)]
+    )
+    rvec = " || ".join(f"p{s}" for s in range(m))
+    cos4 = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 4)"
+    )
+    return f"""
+    WITH {sep.join(parts)},
+    recon AS (
+      SELECT code_0.vec_id AS neighbor_id, {rvec} AS cvec
+      FROM {recon_join}
+    ),
+    qq AS (SELECT vec_id AS query_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+           FROM embeddings WHERE vec_id < 20),
+    adc AS (
+      SELECT query_id, neighbor_id, {cos4.format(a="qvec", b="cvec")} AS cosine
+      FROM recon CROSS JOIN qq WHERE neighbor_id <> query_id
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM adc
+      ) WHERE rn <= {rerank_n}
+    ),
+    cv AS (SELECT vec_id AS neighbor_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec2
+           FROM embeddings),
+    rescored AS (
+      SELECT query_id, s.neighbor_id, {cos4.format(a="qvec", b="cvec2")} AS cosine
+      FROM shortlist s JOIN cv ON cv.neighbor_id = s.neighbor_id
+      JOIN qq USING (query_id)
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM rescored
+    ) WHERE rank <= {topk}
+    """
+
+
+@register(
+    "ann_pq_topk",
+    _pq_sql(m=8, ks=16, iters=1, dim=64, topk=5, rerank_n=50),
+    tags=["similarity", "ml", "sketch", "scale"],
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN with exact rerank (Jégou et al. 2011, the
+    production two-stage shape): 8 subspaces × 16 learned centroids
+    (one ordered-fold Lloyd round each — bit-exact cross-engine), corpus
+    encoded as 8 sub-byte codes/vector, ADC shortlist of 50 candidates
+    per query against codebook reconstructions, exact cosine rescoring
+    of the shortlist only. Measured recall@5 vs exact at sf0.001: 0.27
+    ADC-only → 0.82 reranked (the synthetic unclustered vectors are
+    PQ's worst case; see operators/similarity.pq_topk). The oracle
+    replays the identical train→encode→reconstruct→shortlist→rescore
+    pipeline unrolled per subspace; recall is pinned in
+    tests/test_pq_ann.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 20),
+        k=5, m=8, ks=16, train_iters=1, dim=64, rerank_n=50,
+    )
