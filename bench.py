@@ -127,6 +127,7 @@ ADDED_R8 = [
     "jsonl_roundtrip_fidelity",
     "bpe_encode_compression",
     "ann_pq_topk",
+    "embedding_pca_power",
 ]
 LEGACY = list(HEADLINE)
 HEADLINE = HEADLINE + ADDED_R7 + ADDED_R7B + ADDED_R8

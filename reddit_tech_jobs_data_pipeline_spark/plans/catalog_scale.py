@@ -2901,3 +2901,86 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 20),
         k=5, m=8, ks=16, train_iters=1, dim=64, rerank_n=50,
     )
+
+
+def _pca_sql(dim: int, iters: int) -> str:
+    rng = f"range(1, {dim + 1})"
+    zeros = f"list_transform({rng}, i -> 0.0)"
+    addv = f"(acc, x) -> list_transform({rng}, j -> acc[j] + x[j])"
+    parts = [
+        "vecs AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        "nn AS (SELECT count(*) AS c FROM vecs)",
+        f"""musum AS (
+      SELECT list_reduce(list_prepend({zeros}, list(v ORDER BY vec_id)), {addv}) AS ms
+      FROM vecs
+    )""",
+        "mu AS (SELECT list_transform(ms, s -> s / c) AS m"
+        " FROM musum CROSS JOIN nn)",
+        f"""xc AS (
+      SELECT vec_id, list_transform({rng}, j -> v[j] - m[j]) AS x
+      FROM vecs CROSS JOIN mu
+    )""",
+        f"v0 AS (SELECT list_transform({rng},"
+        " j -> CASE WHEN j = 1 THEN 1.0 ELSE 0.0 END) AS vv)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""d{i} AS (
+      SELECT vec_id, x,
+             list_reduce(list_transform({rng},
+               j -> x[j] * vv[j]), (p, q) -> p + q) AS dt
+      FROM xc CROSS JOIN v{i - 1}
+    ),
+    w{i} AS (
+      SELECT list_reduce(
+        list_prepend({zeros},
+          list(list_transform({rng}, j -> dt * x[j]) ORDER BY vec_id)),
+        {addv}) AS w
+      FROM d{i}
+    ),
+    v{i} AS (
+      SELECT list_transform(w, y -> y / sqrt(
+        list_reduce(list_transform(w, z -> z * z), (p, q) -> p + q))) AS vv
+      FROM w{i}
+    )"""
+        )
+    sep = ",\n    "
+    return f"""
+    WITH {sep.join(parts)},
+    fd AS (
+      SELECT vec_id,
+             list_reduce(list_transform({rng},
+               j -> x[j] * vv[j]), (p, q) -> p + q) AS dt,
+             list_reduce(list_transform(x, z -> z * z), (p, q) -> p + q) AS tot
+      FROM xc CROSS JOIN v{iters}
+    ),
+    ev AS (SELECT sum(dt * dt) / sum(tot) AS r FROM fd)
+    SELECT CAST(pos AS BIGINT) AS pos,
+           round(vv[pos], 4) AS loading,
+           round(r, 4) AS explained_var
+    FROM range(1, {dim + 1}) t(pos) CROSS JOIN v{iters} CROSS JOIN ev
+    """
+
+
+@register(
+    "embedding_pca_power",
+    _pca_sql(dim=64, iters=3),
+    tags=["ml", "iterative", "scale", "float-tol"],
+)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the centered embeddings via 3 fixed
+    power-iteration rounds (init e₁) — the spectral preprocessing step
+    (whitening axes, index rotation, drift directions) computed without
+    materializing the covariance. Spark side: commutative per-dim sums,
+    one aggregate pass per round, driver state = the 64-vector (the
+    100 TB shape — operators/pca.py). Oracle: identical fixed loop with
+    ordered sequential folds; reassociation noise ≪ the 4-dp rounding,
+    float-tol gated locally (the kmeans_lloyd_clusters_scale numeric
+    contract). Output: (pos, loading, explained_var) per dimension."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.pca import top_component
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v, explained = top_component(emb, dim=64, iters=3)
+    rows = [(i + 1, round(x, 4), round(explained, 4)) for i, x in enumerate(v)]
+    return spark.createDataFrame(rows, "pos long, loading double, explained_var double")
