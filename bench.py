@@ -128,6 +128,7 @@ ADDED_R8 = [
     "bpe_encode_compression",
     "ann_pq_topk",
     "embedding_pca_power",
+    "streaming_boilerplate_ingest",
 ]
 LEGACY = list(HEADLINE)
 HEADLINE = HEADLINE + ADDED_R7 + ADDED_R7B + ADDED_R8

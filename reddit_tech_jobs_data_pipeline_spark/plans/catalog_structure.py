@@ -723,3 +723,40 @@ def bpe_encode_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_after").cast("long").alias("tokens_after"),
         F.round(F.sum("n_before") * 1.0 / F.sum("n_after"), 4).alias("compression"),
     )
+
+
+@register(
+    "streaming_boilerplate_ingest",
+    f"""
+    WITH {_PAGE_CTE},
+    dom AS (SELECT source, count(*) AS dom_n FROM pages GROUP BY source),
+    ldf AS (
+      SELECT source, line, count(DISTINCT doc_id) AS df
+      FROM lines GROUP BY source, line
+    ),
+    boiler AS (
+      SELECT ldf.source, ldf.line, dom.dom_n
+      FROM ldf JOIN dom ON dom.source = ldf.source
+      WHERE df >= 2 AND df >= 0.5 * dom_n
+    )
+    SELECT source, count(*) AS n_boiler_lines,
+           CAST(min(dom_n) AS BIGINT) AS dom_docs
+    FROM boiler GROUP BY source
+    """,
+    tags=["streaming", "hygiene", "scale"],
+)
+def streaming_boilerplate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-micro-batch line document-frequency cells appended
+    idempotently to a persisted store (content-derived batch keys,
+    never rewritten), merged only at read time: because each doc lives
+    in exactly one batch, the summed per-batch distinct-doc counts
+    EQUAL the single-pass counts — integers, no estimate — so the
+    boilerplate decision over the accumulated crawl never re-reads raw
+    pages. The oracle recomputes the same thresholds single-pass.
+    See streaming/boilerplate_ingest.py for the store layout."""
+    from reddit_tech_jobs_data_pipeline_spark.streaming.boilerplate_ingest import (
+        run_boilerplate_ingest_batchlike,
+    )
+
+    pages = _pages(_t(spark, sf_dir, "documents"))
+    return run_boilerplate_ingest_batchlike(spark, pages, n_tags=3)
