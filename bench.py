@@ -129,6 +129,7 @@ ADDED_R8 = [
     "ann_pq_topk",
     "embedding_pca_power",
     "streaming_boilerplate_ingest",
+    "mmr_diverse_topk",
 ]
 LEGACY = list(HEADLINE)
 HEADLINE = HEADLINE + ADDED_R7 + ADDED_R7B + ADDED_R8

@@ -835,3 +835,72 @@ def pq_topk(
     return out.select(
         "query_id", "neighbor_id", "cosine", F.col("__rn").cast("long").alias("rank")
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    query_id: int = 0,
+    k: int = 4,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) diverse
+    top-k: greedily select argmax of λ·rel(x) − (1−λ)·max_{s∈S} sim(x,s)
+    — the diversity-aware subset selection a training-data pipeline uses
+    where plain top-k would return k near-duplicates of the same point
+    (and retrieval uses for result diversification). rel = cosine to the
+    query vector; sim = cosine between candidates.
+
+    Each of the k greedy steps is ONE corpus pass: the selected set S is
+    ≤ k vectors, embedded as literals (broadcast-in-plan), so the step
+    scores every candidate against ≤ k literals and takes a
+    deterministic argmax (score rounded to 6 dp, then id) via a top-1
+    TakeOrderedAndProject — no shuffle, no state beyond k vectors on the
+    driver. The DuckDB oracle unrolls the same k steps with identical
+    rounded-component arithmetic (round-6 selection scores, round-4
+    outputs — the ivf cos6/cos4 contract).
+
+    Output: (rank, vec_id, mmr_score, rel) — one row per selection.
+    """
+    vecs = corpus.select(
+        F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("v")
+    )
+    qv = vecs.filter(F.col("vec_id") == query_id).first().v
+    q_arr = F.array(*[F.lit(float(x)) for x in qv])
+    cands = vecs.filter(F.col("vec_id") != query_id).select(
+        "vec_id", "v", F.round(cosine(F.col("v"), q_arr), 6).alias("rel")
+    )
+    selected: list = []  # (rank, vec_id, score, vector)
+    for rank in range(1, k + 1):
+        if selected:
+            sims = [
+                F.round(
+                    cosine(F.col("v"), F.array(*[F.lit(float(x)) for x in sv])), 6
+                )
+                for (_, _, _, sv) in selected
+            ]
+            maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+        else:
+            maxsim = F.lit(0.0)
+        sc = F.round(F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * maxsim, 6)
+        pool = cands.filter(
+            ~F.col("vec_id").isin([vid for (_, vid, _, _) in selected])
+            if selected
+            else F.lit(True)
+        )
+        pick = (
+            pool.select("vec_id", "v", "rel", sc.alias("sc"))
+            .orderBy(F.col("sc").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .first()
+        )
+        selected.append((rank, int(pick.vec_id), pick, list(pick.v)))
+    spark = corpus.sparkSession
+    rows = [
+        (r, vid, round(float(p.sc), 4), round(float(p.rel), 4))
+        for (r, vid, p, _) in selected
+    ]
+    return spark.createDataFrame(
+        rows, "rank long, vec_id long, mmr_score double, rel double"
+    )

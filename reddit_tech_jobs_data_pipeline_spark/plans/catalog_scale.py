@@ -2984,3 +2984,71 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     v, explained = top_component(emb, dim=64, iters=3)
     rows = [(i + 1, round(x, 4), round(explained, 4)) for i, x in enumerate(v)]
     return spark.createDataFrame(rows, "pos long, loading double, explained_var double")
+
+
+def _mmr_sql(k: int, lam: float) -> str:
+    cos6 = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    one_m = 1.0 - lam
+    parts = [
+        "vecs AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        "q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0)",
+        f"""rel AS (
+      SELECT vec_id, v, {cos6.format(a="v", b="qv")} AS rel
+      FROM vecs CROSS JOIN q WHERE vec_id <> 0
+    )""",
+        f"""p1 AS (
+      SELECT vec_id, v, rel, round({lam} * rel, 6) AS sc
+      FROM rel ORDER BY sc DESC, vec_id LIMIT 1
+    )""",
+    ]
+    for i in range(2, k + 1):
+        prev = [f"p{j}" for j in range(1, i)]
+        joins = " CROSS JOIN ".join(prev)
+        sims = ", ".join(
+            cos6.format(a="r.v", b=f"{p}.v") for p in prev
+        )
+        maxsim = f"greatest({sims})" if len(prev) > 1 else sims
+        excl = " AND ".join(f"r.vec_id <> {p}.vec_id" for p in prev)
+        parts.append(
+            f"""p{i} AS (
+      SELECT vec_id, v, rel, sc FROM (
+        SELECT r.vec_id, r.v, r.rel,
+               round({lam} * r.rel - {one_m} * {maxsim}, 6) AS sc
+        FROM rel r CROSS JOIN {joins}
+        WHERE {excl}
+      ) ORDER BY sc DESC, vec_id LIMIT 1
+    )"""
+        )
+    sep = ",\n    "
+    union = "\n      UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, vec_id,"
+        f" round(sc, 4) AS mmr_score, round(rel, 4) AS rel FROM p{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""
+    WITH {sep.join(parts)}
+    SELECT * FROM ({union}) ORDER BY rank
+    """
+
+
+@register(
+    "mmr_diverse_topk",
+    _mmr_sql(k=4, lam=0.7),
+    tags=["similarity", "sampling", "iterative", "scale"],
+)
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diverse top-4 around query vector 0
+    (λ=0.7): greedy argmax of λ·rel − (1−λ)·max-sim-to-selected, the
+    diversity-aware subset selection that replaces plain top-k when the
+    nearest neighbors are near-duplicates of each other. Each greedy
+    step is one corpus pass against ≤ k literal vectors; selection
+    scores are rounded to 6 dp with id tiebreaks so the argmax — and
+    therefore the whole greedy trajectory — is engine-exact (the
+    ivf cos6/cos4 contract). The oracle unrolls the identical k steps.
+    See operators/similarity.mmr_topk."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.mmr_topk(emb, query_id=0, k=4, lam=0.7)
