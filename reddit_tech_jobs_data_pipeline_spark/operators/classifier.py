@@ -21,8 +21,8 @@ linear family:
   caller when iterating (each iteration re-reads it otherwise).
 
 The reference pipeline has no learned gate (its quality filter is the
-keyword ladder at dags/dag.py:132-137); this is part of the mandated
-beyond-reference training-data family (quality scoring).
+keyword predicate ``is_job_post`` at dags/dag.py:41-69); this is part of
+the mandated beyond-reference training-data family (quality scoring).
 
 100 TB shape: training touches the corpus iters× (cache the projected
 feature frame — d+1 narrow doubles per row, a tiny fraction of corpus

@@ -172,7 +172,12 @@ def length_bucket_batches(
     each shuffled independently; if one bucket dominates, sub-salt it by
     a hash band the way epoch_shuffle shards do (the batch id then
     composes (band, batch)). No global order anywhere.
+
+    Rows with ``token_col`` <= 0 are dropped here (log2 of a nonpositive
+    length is undefined — they'd otherwise pool under a NULL bucket);
+    empty sequences carry no training signal to batch.
     """
+    df = df.filter(F.col(token_col) > 0)
     n = F.col(token_col).cast("double")
     bucket = F.pow(F.lit(2.0), F.ceil(F.log2(n))).cast("long")
     b = df.select(

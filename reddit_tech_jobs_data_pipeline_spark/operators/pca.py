@@ -79,6 +79,12 @@ def top_component(
             ).first()
             w = [float(w_row[f"w{j}"]) for j in range(dim)]
             nrm = math.sqrt(sum(x * x for x in w))
+            if nrm == 0.0:
+                # degenerate corpus (all vectors identical, or the current
+                # direction is exactly annihilated): keep the previous
+                # iterate rather than dividing into NaN — the explained
+                # ratio below then reports 0 via the row.den guard
+                break
             v = [x / nrm for x in w]
 
         # explained variance ratio of the final direction

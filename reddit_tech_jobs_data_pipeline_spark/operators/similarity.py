@@ -866,7 +866,12 @@ def mmr_topk(
     vecs = corpus.select(
         F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("v")
     )
-    qv = vecs.filter(F.col("vec_id") == query_id).first().v
+    q_row = vecs.filter(F.col("vec_id") == query_id).first()
+    if q_row is None:
+        raise ValueError(
+            f"mmr_topk: query_id={query_id} not present in {id_col!r}"
+        )
+    qv = q_row.v
     q_arr = F.array(*[F.lit(float(x)) for x in qv])
     cands = vecs.filter(F.col("vec_id") != query_id).select(
         "vec_id", "v", F.round(cosine(F.col("v"), q_arr), 6).alias("rel")
@@ -895,6 +900,8 @@ def mmr_topk(
             .limit(1)
             .first()
         )
+        if pick is None:  # pool exhausted: k exceeds the candidate count
+            break
         selected.append((rank, int(pick.vec_id), pick, list(pick.v)))
     spark = corpus.sparkSession
     rows = [

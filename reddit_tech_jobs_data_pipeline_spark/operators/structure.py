@@ -17,10 +17,12 @@ extraction and token-level dedup, complementing the existing family:
   ``duplicate_span_clip`` (operators/dedup.py) — paragraphs align with
   author intent, n-grams catch partial overlap; real pipelines run both.
 
-Reference parity: the reference pipeline (dags/dag.py:300-360) scrubs
-repeated template strings out of scraped post bodies with hard-coded
-patterns; these operators generalize that to data-driven template
-discovery at corpus scale.
+Beyond-reference: the reference pipeline has no template scrubbing —
+its hygiene surface is keyed dedup plus the keyword validity filter
+(dags/dag.py:294-365). These operators are part of the mandated
+training-data corpus-hygiene family; the data-driven template
+discovery here is what a web-scale crawl needs where the reference's
+single scraped source did not.
 
 100 TB shape (both operators):
 * one ``posexplode(split(text, sep))`` — linewise rows are a constant

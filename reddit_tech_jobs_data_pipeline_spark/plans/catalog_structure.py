@@ -14,8 +14,9 @@ pages, unique content below), and both engines build it from the same
 parquet bytes, so the hygiene operators' full split → frequency/keeper
 → clip → reassemble path is value-checked end to end.
 
-Reference parity: the reference scrubs fixed template strings from post
-bodies (dags/dag.py:300-360); these generalize to data-driven template
+Beyond-reference: the reference has no template scrubbing — its hygiene
+surface is keyed dedup + the keyword validity filter (dags/dag.py:294-365).
+These queries are the mandated corpus-hygiene family: data-driven template
 discovery (boilerplate) and corpus-wide structural dedup (paragraphs).
 
 Determinism notes (playbook rules): line order is pinned by the
@@ -759,4 +760,4 @@ def streaming_boilerplate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pages = _pages(_t(spark, sf_dir, "documents"))
-    return run_boilerplate_ingest_batchlike(spark, pages, n_tags=3)
+    return run_boilerplate_ingest_batchlike(spark, pages, n_tags=3, ident=sf_dir)

@@ -135,14 +135,20 @@ def run_boilerplate_ingest_batchlike(
     n_tags: int = 3,
     min_docs: int = 2,
     df_ratio: float = 0.5,
+    ident: str = "",
 ) -> DataFrame:
     """Run the ingest to completion over a tag-sliced pages replay
     (doc_id % n_tags, one file per tag, maxFilesPerTrigger=1), then
     report per source: accumulated doc count and how many distinct lines
     crossed the boilerplate thresholds. Counts are integers and additive
-    over the disjoint batches, so the oracle recomputes them single-pass."""
+    over the disjoint batches, so the oracle recomputes them single-pass.
+
+    ``ident`` must name the input (e.g. the sf_dir) — it keys the work
+    dir, so two concurrent runs over different inputs don't rmtree each
+    other's store/checkpoint (the run_hll_ingest_batchlike contract)."""
     work = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_boiler_{abs(hash((n_tags, df_ratio)))}"
+        tempfile.gettempdir(),
+        f"spark_graft_boiler_{abs(hash((ident, n_tags, df_ratio)))}",
     )
     src_dir = os.path.join(work, "src")
     store = os.path.join(work, "store")

@@ -55,3 +55,18 @@ def test_deterministic_and_partition_invariant(spark):
     b = [tuple(r) for r in similarity.mmr_topk(df.repartition(7), k=4).collect()]
     assert a == b
     assert len({r[1] for r in a}) == 4  # k distinct selections
+
+
+def test_missing_query_raises_value_error(spark):
+    import pytest
+
+    df = _clustered(spark)
+    with pytest.raises(ValueError, match="query_id=99"):
+        similarity.mmr_topk(df, query_id=99, k=2)
+
+
+def test_k_beyond_pool_stops_at_candidate_count(spark):
+    df = _clustered(spark)  # 4 candidates besides the query
+    out = similarity.mmr_topk(df, k=10).collect()
+    assert len(out) == 4
+    assert [r.rank for r in out] == [1, 2, 3, 4]

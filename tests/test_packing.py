@@ -111,3 +111,17 @@ def test_length_bucket_batches_integer_exact(spark):
     assert (out[(32, 0)].pad_tokens, out[(32, 1)].pad_tokens) == (14, 0)
     # padding never negative, and zero for singleton batches
     assert all(r.pad_tokens >= 0 for r in out.values())
+
+
+def test_length_bucket_drops_nonpositive_lengths(spark):
+    from reddit_tech_jobs_data_pipeline_spark.operators.packing import (
+        length_bucket_batches,
+    )
+
+    rows = [(0, 0), (1, -3), (2, 4), (3, 4)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = length_bucket_batches(df, "n_tok", "doc_id", batch_size=2).collect()
+    # the two nonpositive rows are dropped, not pooled under a NULL bucket
+    assert len(out) == 1
+    assert (out[0].bucket, out[0].n_docs) == (4, 2)
+    assert all(r.bucket is not None for r in out)

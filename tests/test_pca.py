@@ -51,3 +51,14 @@ def test_dominant_direction_found_on_anisotropic_data(spark):
     v, ev = pca.top_component(df, dim=8, iters=3)
     assert abs(v[3]) > 0.99  # the stretched axis dominates the component
     assert ev > 0.95
+
+
+def test_degenerate_corpus_no_nan(spark):
+    # all vectors identical: centered matrix is 0 → w = 0 on round 1;
+    # the guard keeps the init direction instead of dividing into NaN
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    v, ev = pca.top_component(df, dim=4, iters=3)
+    assert v == [1.0, 0.0, 0.0, 0.0]
+    assert ev == 0.0
+    assert all(x == x for x in v)  # no NaN
