@@ -780,8 +780,11 @@ def pq_topk(
     ADC, exact-rescore the shortlist): the quantized pass prunes the
     corpus to rerank_n candidates per query, then only those rows touch
     full-precision vectors. Measured on the synthetic (unclustered —
-    PQ's worst case) embeddings at sf0.001: pure ADC recall@5 = 0.27
-    (m=8, ks=16); +50-candidate rerank = 0.82. At 100 TB the shortlist
+    PQ's worst case) embeddings: sf0.001 ADC recall@5 = 0.27 (m=8,
+    ks=16), +50-rerank = 0.82; sf0.1 (2000 vectors) ADC 0.15,
+    +50-rerank 0.63, +200-rerank 0.92 — the shortlist depth is the
+    recall knob as the corpus grows, pinned at both SFs in
+    tests/test_pq_ann.py. At 100 TB the shortlist
     is a vanishing fraction of the corpus, which is the point: exact
     scoring cost collapses from |corpus| to rerank_n per query while the
     ADC pass reads only the m-byte codes table. The catalog oracle
@@ -791,6 +794,17 @@ def pq_topk(
     Output: (query_id, neighbor_id, cosine, rank) — brute_force_topk's
     contract; with rerank the cosine is the EXACT one."""
     codes, books = pq_encode(corpus, m, ks, train_iters, dim, id_col, vec_col)
+    c = _pq_reconstruct(codes, books, m)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qvec")
+    )
+    return _pq_adc_rerank(c, q, corpus, k, rerank_n, id_col, vec_col)
+
+
+def _pq_reconstruct(codes: DataFrame, books: DataFrame, m: int) -> DataFrame:
+    """Codebook reconstruction: m broadcast joins (the codebooks are
+    m×ks rows — KBs at any corpus size) re-expand each code row to the
+    concatenated centroid vector. Returns (neighbor_id, cvec)."""
     rec = codes
     for s in range(m):
         part = books.filter(F.col("sub") == s).select(
@@ -798,10 +812,22 @@ def pq_topk(
         )
         rec = rec.join(F.broadcast(part), f"code_{s}")
     rvec = F.concat(*[F.col(f"__p{s}") for s in range(m)])
-    c = rec.select(F.col("vec_id").alias("neighbor_id"), rvec.alias("cvec"))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qvec")
-    )
+    return rec.select(F.col("vec_id").alias("neighbor_id"), rvec.alias("cvec"))
+
+
+def _pq_adc_rerank(
+    c: DataFrame,
+    q: DataFrame,
+    corpus: DataFrame | None,
+    k: int,
+    rerank_n: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared ADC shortlist + optional exact rerank tail: ``c`` is the
+    reconstructed corpus (neighbor_id, cvec), ``q`` the full-precision
+    queries (query_id, qvec). ``corpus`` (raw vectors) is only touched
+    when rerank_n > 0, and then only for the shortlist rows."""
     scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
@@ -835,6 +861,82 @@ def pq_topk(
     return out.select(
         "query_id", "neighbor_id", "cosine", F.col("__rn").cast("long").alias("rank")
     )
+
+
+def write_pq_index(
+    corpus: DataFrame,
+    path: str,
+    m: int = 4,
+    ks: int = 8,
+    train_iters: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the PQ index ONCE: train the m per-subspace codebooks,
+    encode every corpus vector as m codes, and persist both — codes at
+    ``path/codes`` (one row per vector, m small ints — the 100 TB
+    artifact, ~m bytes/vector vs dim×4 float bytes), codebooks at
+    ``path/books`` (m×ks rows, KBs). This is the build half of the
+    build-once/probe-many split the IVF pair (write_ivf_index /
+    ivf_index_topk) established: at 100 TB, retraining codebooks per
+    query is an index rebuild per lookup — ann_pq_topk's 43-scan plan
+    collapses to a codes read + broadcast joins once the index is on
+    disk. Centroid vectors are doubles; parquet round-trips them
+    bit-identically, so a probe scores exactly like the in-memory path
+    and the same oracle gates both."""
+    codes, books = pq_encode(corpus, m, ks, train_iters, dim, id_col, vec_col)
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+    books.coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+
+
+def pq_index_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    corpus: DataFrame | None = None,
+    k: int = 5,
+    rerank_n: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a write_pq_index layout: read the m-byte codes table (NOT
+    the raw corpus), reconstruct with the codebooks baked into the plan
+    as LITERAL lookup arrays (the codebooks are the trained MODEL —
+    m×ks×(dim/m) doubles, KBs at any corpus size — so they ride the
+    plan like quantize_codes' mn/mx model, not a join side: zero
+    shuffles, zero extra scans, whole-stage-codegen'd element_at), ADC
+    shortlist, and — when ``rerank_n > 0`` — exact-rescore only the
+    shortlist against ``corpus`` full-precision vectors (the production
+    two-stage shape; ``corpus`` is required then). m is inferred from
+    the persisted codes schema. element_at on a literal array returns
+    the identical stored doubles, so scores replicate pq_topk exactly
+    and the same oracle gates both (the ivf_index_topk contract)."""
+    codes = spark.read.parquet(f"{index_path}/codes")
+    # bounded collect: the model, never data (m×ks rows)
+    book_rows = spark.read.parquet(f"{index_path}/books").collect()
+    m = sum(1 for col in codes.columns if col.startswith("code_"))
+    if rerank_n > 0 and corpus is None:
+        raise ValueError("pq_index_topk: rerank_n > 0 requires the raw corpus")
+    by_sub: dict[int, dict[int, list[float]]] = {}
+    for r in book_rows:
+        by_sub.setdefault(int(r.sub), {})[int(r.cid)] = [float(x) for x in r.cvec]
+    parts = []
+    for s in range(m):
+        cmap = by_sub[s]
+        width = len(next(iter(cmap.values())))
+        # dense cid→centroid table; gaps (centroids that lost all members)
+        # are zero-filled and unreferenced — no code points at them
+        table = [cmap.get(cid, [0.0] * width) for cid in range(max(cmap) + 1)]
+        lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in table])
+        parts.append(F.element_at(lit, F.col(f"code_{s}") + 1))
+    c = codes.select(
+        F.col("vec_id").alias("neighbor_id"), F.concat(*parts).alias("cvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qvec")
+    )
+    return _pq_adc_rerank(c, q, corpus, k, rerank_n, id_col, vec_col)
 
 
 def mmr_topk(

@@ -2903,6 +2903,32 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_pq_index_topk",
+    _pq_sql(m=8, ks=16, iters=1, dim=64, topk=5, rerank_n=50),
+    tags=["similarity", "ml", "sketch", "scale"],
+)
+def ann_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The on-disk PQ read path (build-once/probe-many — the
+    write_ivf_index precedent): codebooks + m-byte codes persisted via
+    write_pq_index, then the probe reads ONLY the codes table (+ KB-size
+    codebooks), reconstructs with m broadcast joins, ADC-shortlists 50
+    candidates and exact-rescoring touches just those rows of the raw
+    corpus. At 100 TB this turns ann_pq_topk's per-query codebook
+    retraining (43 scans in the plan audit) into one index build
+    amortized over every subsequent query. Parquet round-trips the
+    double centroids bit-identically, so scores replicate ann_pq_topk
+    exactly and the SAME oracle gates both."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = f"{tempfile.gettempdir()}/spark_graft_pq_index_{abs(hash(sf_dir))}"
+    similarity.write_pq_index(emb, path, m=8, ks=16, train_iters=1, dim=64)
+    return similarity.pq_index_topk(
+        spark, path, emb.filter(F.col("vec_id") < 20), corpus=emb, k=5, rerank_n=50
+    )
+
+
 def _pca_sql(dim: int, iters: int) -> str:
     rng = f"range(1, {dim + 1})"
     zeros = f"list_transform({rng}, i -> 0.0)"
