@@ -223,11 +223,102 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def _gd_train_sql(iters: int = 60, lr: float = 5.0) -> str:
+    """Unrolled-SQL replay of the full training pipeline (the
+    kmeans_lloyd_clusters precedent): teacher labels → z-scored features
+    → ``iters`` fixed GD iterations → 3-dp weight rounding → gate. The
+    arithmetic mirrors classifier.logreg_train exactly, including
+    Python's associativity: the weight update is ``w − lr·(g/n)`` but
+    the bias update is ``b − (lr·g_b)/n`` (left-assoc ``lr * g / n``),
+    and z accumulates left-to-right in FEATURE_COLS order. Engines'
+    sums reassociate (~1e-12 drift); the 3-dp rounding before the final
+    scoring absorbs it — the same contract the Spark side documents."""
+    w = _W
+    parts = [
+        """f AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) * 1.0 AS n,
+             len(list_filter(string_split(text, ' '),
+                             t -> t = 'the' OR t = 'a')) * 1.0 AS stop,
+             len(list_distinct(string_split(text, ' '))) * 1.0 AS dst,
+             length(text) * 1.0 AS chars
+      FROM documents
+    )""",
+        """raw AS (
+      SELECT doc_id, source,
+             n / 100.0 AS f0, stop / n AS f1, dst / n AS f2,
+             ((chars - (n - 1.0)) / n) / 10.0 AS f3
+      FROM f
+    )""",
+        # teacher verdict with the pretrained literal weights; CAST of the
+        # boolean keeps NULL-text docs NULL (Spark's (t>=0.5).cast contract)
+        f"""lab AS (
+      SELECT doc_id, source, f0, f1, f2, f3,
+             CAST(1.0 / (1.0 + exp(-({_B} + {w[0]} * f0 + {w[1]} * f1
+                                     + {w[2]} * f2 + {w[3]} * f3))) >= 0.5
+                  AS DOUBLE) AS label
+      FROM raw
+    )""",
+        # z-score model: one agg pass; stddev 0 (or NULL) divides by 1
+        """st AS (
+      SELECT avg(f0) AS m0, avg(f1) AS m1, avg(f2) AS m2, avg(f3) AS m3,
+             stddev_pop(f0) AS s0, stddev_pop(f1) AS s1,
+             stddev_pop(f2) AS s2, stddev_pop(f3) AS s3
+      FROM lab
+    )""",
+        # MATERIALIZED: 60 iterations reference z — without it DuckDB
+        # inlines the whole scan chain per reference (fd exhaustion)
+        """z AS MATERIALIZED (
+      SELECT doc_id, source, label,
+             (f0 - m0) / (CASE WHEN s0 IS NULL OR s0 = 0 THEN 1.0 ELSE s0 END) AS x0,
+             (f1 - m1) / (CASE WHEN s1 IS NULL OR s1 = 0 THEN 1.0 ELSE s1 END) AS x1,
+             (f2 - m2) / (CASE WHEN s2 IS NULL OR s2 = 0 THEN 1.0 ELSE s2 END) AS x2,
+             (f3 - m3) / (CASE WHEN s3 IS NULL OR s3 = 0 THEN 1.0 ELSE s3 END) AS x3
+      FROM lab CROSS JOIN st
+    )""",
+        "nn AS (SELECT count(*) * 1.0 AS n FROM z)",
+        "w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS b)",
+    ]
+    sig = "1.0 / (1.0 + exp(-(b + w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3)))"
+    for i in range(1, iters + 1):
+        # each w{i} is referenced twice by round i+1 (the gradient and
+        # the update) — MATERIALIZED stops DuckDB's inliner from
+        # expanding the chain exponentially (one row each, free)
+        parts.append(
+            f"""g{i} AS MATERIALIZED (
+      SELECT sum(e * x0) AS g0, sum(e * x1) AS g1,
+             sum(e * x2) AS g2, sum(e * x3) AS g3, sum(e) AS gb
+      FROM (SELECT {sig} - label AS e, x0, x1, x2, x3
+            FROM z CROSS JOIN w{i - 1})
+    ),
+    w{i} AS MATERIALIZED (
+      SELECT w0 - {lr} * (g0 / n) AS w0, w1 - {lr} * (g1 / n) AS w1,
+             w2 - {lr} * (g2 / n) AS w2, w3 - {lr} * (g3 / n) AS w3,
+             b - {lr} * gb / n AS b
+      FROM w{i - 1} CROSS JOIN g{i} CROSS JOIN nn
+    )"""
+        )
+    parts.append(
+        f"""wr AS (
+      SELECT round(w0, 3) AS w0, round(w1, 3) AS w1, round(w2, 3) AS w2,
+             round(w3, 3) AS w3, round(b, 3) AS b
+      FROM w{iters}
+    )"""
+    )
+    sep = ",\n    "
+    return f"""
+    WITH {sep.join(parts)}
+    SELECT source, count(*) AS n_kept
+    FROM z CROSS JOIN wr
+    WHERE {sig} >= 0.5
+    GROUP BY source
+    ORDER BY source
+    """
+
+
 @register(
     "quality_classifier_train_filter",
-    None,  # iterative float training: weights depend on summation order —
-    # rows-only check here; convergence/agreement vs a pure-python GD is
-    # pinned in tests/test_classifier.py
+    _gd_train_sql(iters=60, lr=5.0),
     tags=["corpus", "quality", "classifier", "iterative"],
 )
 def quality_classifier_train_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,7 +330,11 @@ def quality_classifier_train_filter(spark: SparkSession, sf_dir: str) -> DataFra
     filtered by the TRAINED model (measured 96.8% train accuracy vs the
     teacher at sf0.01). Weights are rounded to 3 dp before the final
     scoring so the keep-set is stable against float summation-order
-    drift between runs. Returns the kept docs' count per source."""
+    drift between runs AND engines — which is what lets the oracle
+    replay the full 60-iteration GD unrolled in SQL (_gd_train_sql;
+    value-hash-checked at sf0.001/0.01/0.1). Convergence vs a
+    pure-python GD is additionally pinned in tests/test_classifier.py.
+    Returns the kept docs' count per source."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     feats = classifier.featurize_documents(docs)
     teacher = classifier.logreg_score(feats, _W, _B, out_col="__t")
