@@ -12,6 +12,11 @@ compilation — then the timed pass measures steady-state execution, which
 is the number that scales with data volume (compile cost is a per-plan
 constant that vanishes at 100 TB; measuring it would grade the Janino
 compiler, not the engine).
+
+After the headline phases, every OTHER registered catalog query is timed
+once, cold (no warm pass) into BENCH_DETAIL.json's "tail_queries" — a
+family-level regression radar (compare round over round at >2×), not a
+headline number. SPARK_GRAFT_BENCH_FULL=0 skips the tail sweep.
 """
 
 from __future__ import annotations
@@ -131,8 +136,12 @@ ADDED_R8 = [
     "streaming_boilerplate_ingest",
     "mmr_diverse_topk",
 ]
+# Added round 9: the persisted-index ANN probe path.
+ADDED_R9 = [
+    "ann_pq_index_topk",
+]
 LEGACY = list(HEADLINE)
-HEADLINE = HEADLINE + ADDED_R7 + ADDED_R7B + ADDED_R8
+HEADLINE = HEADLINE + ADDED_R7 + ADDED_R7B + ADDED_R8 + ADDED_R9
 
 
 def materialize(df) -> None:
@@ -156,7 +165,7 @@ def main() -> None:
     # r1-r6 runs (nothing but legacy's own warm-up precedes it), which
     # is what BENCH_r*.json round-over-round comparison assumes.
     timings: dict[str, float] = {}
-    for group in (LEGACY, ADDED_R7, ADDED_R7B, ADDED_R8):
+    for group in (LEGACY, ADDED_R7, ADDED_R7B, ADDED_R8, ADDED_R9):
         names = [n for n in group if n in reg]
 
         # untimed pass: JVM + file listing + per-plan codegen compilation
@@ -191,6 +200,22 @@ def main() -> None:
             spark.catalog.clearCache()
             gc.collect()
 
+    # Full-catalog tail: every registered query NOT in the headline set,
+    # timed ONCE with no warm-up pass (the number includes per-plan
+    # codegen compile — fine for its purpose: a family-level regression
+    # radar across rounds, flagged at >2×, not a headline metric).
+    # Disable with SPARK_GRAFT_BENCH_FULL=0.
+    tail_timings: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_FULL", "1") != "0":
+        tail = sorted(n for n in reg if n not in set(HEADLINE))
+        for name in tail:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            materialize(reg[name].spark(spark, sf_dir))
+            tail_timings[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+        gc.collect()
+
     legacy_total = round(sum(t for n, t in timings.items() if n in LEGACY), 3)
     detail = {
         "metric": "headline_queries_total_sec",
@@ -201,6 +226,9 @@ def main() -> None:
         # bridge: BENCH_r1-r6 totals covered only the legacy 28
         # queries — compare those to value_legacy28, not value
         "value_legacy28": legacy_total,
+        # single-pass cold timings for the rest of the catalog (see above)
+        "tail_queries": tail_timings,
+        "tail_total_sec": round(sum(tail_timings.values()), 3),
     }
     # Full per-query detail: an EARLY stdout line + a repo file. The
     # driver keeps only the last 2000 chars of stdout and parses the

@@ -86,6 +86,27 @@ def _rm_staging(path: str) -> None:
     shutil.rmtree(path, ignore_errors=True)
 
 
+def compact_append_store(
+    spark: SparkSession,
+    store_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compact an append-only streaming store (streaming/{cms,hll,
+    boilerplate}_ingest.py): those stores grow one parquet fragment per
+    micro-batch FOREVER, so after N ingest days a merged read opens N
+    kilobyte files — exactly the small-file geometry ``compact`` exists
+    for. This is a row-preserving rewrite (no dedup, no re-aggregation):
+    merged reads are groupBy-sums/unions over the same rows, and replay
+    skip keys off ``batch_key`` values, so both are invariant under the
+    rewrite (proved by tests/test_store_compaction.py, which checks
+    merged-read equivalence AND that a replayed batch is still skipped
+    after compaction). Run it only while no writer is active — the
+    staging+overwrite swap would drop a concurrent append (under
+    Delta/Iceberg the same rewrite runs as a transactional OPTIMIZE).
+    Returns the new file count."""
+    return compact(spark, store_path, target_bytes=target_bytes)
+
+
 def morton_code(a: Column, b: Column, bits: int = 16) -> Column:
     """Interleave the low ``bits`` bits of two non-negative ints into a
     Z-order (Morton) key — pure Catalyst bit arithmetic, codegen'd.

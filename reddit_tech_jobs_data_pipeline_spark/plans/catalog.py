@@ -476,7 +476,11 @@ def running_total_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def get_registry() -> dict[str, QuerySpec]:
-    # import for side effect: registers the other catalog modules
+    # import for side effect: registers the other catalog modules.
+    # REGISTRATION ORDER is owned by plans/__init__.py (the package
+    # import triggers it first — see its docstring: the driver samples
+    # the first 50 registered queries); this list only guarantees
+    # completeness when catalog is imported directly.
     from reddit_tech_jobs_data_pipeline_spark.plans import (  # noqa: F401
         catalog_analytics,
         catalog_behavior,
