@@ -136,9 +136,12 @@ ADDED_R8 = [
     "streaming_boilerplate_ingest",
     "mmr_diverse_topk",
 ]
-# Added round 9: the persisted-index ANN probe path.
+# Added round 9: the persisted-index ANN probe path + incremental
+# index maintenance (frozen-quantizer/codebook appends).
 ADDED_R9 = [
     "ann_pq_index_topk",
+    "ann_pq_index_append",
+    "ivf_index_append_probe",
 ]
 LEGACY = list(HEADLINE)
 HEADLINE = HEADLINE + ADDED_R7 + ADDED_R7B + ADDED_R8 + ADDED_R9

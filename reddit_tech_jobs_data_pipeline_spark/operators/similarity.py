@@ -477,6 +477,68 @@ def write_ivf_index(
     assigned.write.mode("overwrite").partitionBy("cell_id").parquet(path)
 
 
+def append_ivf_index(
+    corpus_delta: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign a NEW batch of vectors with
+    the index's FROZEN centroids and append its rows to the existing
+    write_ivf_index layout (parquet append into the cell_id= dirs —
+    touched cells gain a fragment, untouched cells aren't rewritten).
+    Cell assignment is per-vector deterministic given the centroids, so
+    append ≡ rebuild-from-scratch with those centroids: a probe over the
+    appended index returns exactly what a full rewrite would (the
+    ivf_index_append_probe catalog query value-checks this against the
+    full-corpus oracle). This is the daily-ingest path at 100 TB — one
+    broadcast-assignment pass over the DELTA only; retraining/rewriting
+    the whole index per ingest day is the anti-pattern. Fragment buildup
+    in hot cells is the maintenance.compact_append_store job."""
+    c = corpus_delta.select(
+        F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("v")
+    )
+    assigned = ivf_assign_cells(c, centroids, nprobe=1, id_col="neighbor_id")
+    assigned.write.mode("append").partitionBy("cell_id").parquet(path)
+
+
+def append_pq_index(
+    spark,
+    corpus_delta: DataFrame,
+    path: str,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental PQ maintenance: encode a NEW batch with the index's
+    FROZEN codebooks (read from ``path/books``) and append the codes —
+    the codebook files are never touched. Per-subspace nearest-centroid
+    assignment is deterministic given the codebooks, so append ≡ re-encode
+    of the union: probes over the appended index match a from-scratch
+    encode with the same books (value-checked by ann_pq_index_append
+    against the full-corpus oracle). One broadcast-argmin pass per
+    subspace over the DELTA only."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.kmeans import assign_clusters
+
+    books = spark.read.parquet(f"{path}/books")
+    subs = sorted(r.sub for r in books.select("sub").distinct().collect())
+    m = len(subs)
+    sub_w = dim // m
+    base = corpus_delta.select(
+        F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("__v")
+    )
+    codes = None
+    for s in range(m):
+        sv = base.select("vec_id", F.slice("__v", s * sub_w + 1, sub_w).alias("v"))
+        cents = books.filter(F.col("sub") == s).select("cid", "cvec")
+        assigned = assign_clusters(sv, cents).select(
+            "vec_id", F.col("cid").alias(f"code_{s}")
+        )
+        codes = assigned if codes is None else codes.join(assigned, "vec_id")
+    codes.write.mode("append").parquet(f"{path}/codes")
+
+
 def ivf_index_topk(
     spark,
     index_path: str,

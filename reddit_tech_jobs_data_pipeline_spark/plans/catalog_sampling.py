@@ -381,6 +381,41 @@ def ivf_materialized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ivf_index_append_probe",
+    _IVF_ANN_SQL,
+    tags=["similarity", "maintenance", "scale"],
+)
+def ivf_index_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance — the daily-ingest path: day 1
+    (even vec_ids) builds the partitioned index; day 2 (odd vec_ids) is
+    assigned with the FROZEN coarse quantizer and parquet-APPENDED into
+    the cell_id= directories — touched cells gain a fragment, untouched
+    cells aren't rewritten, the quantizer never changes. Cell assignment
+    is per-vector deterministic given the centroids, so append ≡ rebuild
+    with the same quantizer, and a probe over the appended index matches
+    the full-corpus oracle exactly (same _IVF_ANN_SQL that gates the
+    one-shot builds). At 100 TB each ingest day costs one broadcast
+    assignment over the DELTA + an append; hot-cell fragment buildup is
+    maintenance.compact_append_store's job."""
+    import shutil
+    import tempfile
+
+    from reddit_tech_jobs_data_pipeline_spark.operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.seeded_centroids(emb, 8)
+    path = f"{tempfile.gettempdir()}/spark_graft_ivf_append_{abs(hash(sf_dir))}"
+    shutil.rmtree(path, ignore_errors=True)
+    similarity.write_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), cents, path)
+    similarity.append_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 1), cents, path
+    )
+    return similarity.ivf_index_topk(
+        spark, path, emb.filter(F.col("vec_id") < 20), cents, k=5, nprobe=2
+    )
+
+
 # ===========================================================================
 # Mixture-weighted corpus composition (operators/mixture.py): exact
 # water-filling of a global token budget across sources by target

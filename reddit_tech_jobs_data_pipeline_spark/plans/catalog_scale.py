@@ -2776,9 +2776,14 @@ def dsir_incremental_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir.dsir_score(docs.filter(~is_t), model, "text", "doc_id", 256)
 
 
-def _pq_sub_parts(s: int, ks: int, sub: int, iters: int) -> list[str]:
+def _pq_sub_parts(
+    s: int, ks: int, sub: int, iters: int, train_where: str | None = None
+) -> list[str]:
     """Per-subspace unrolled k-means + code assignment + reconstruction
-    part — the PQ analog of _kmeans_parts, over embedding[lo:hi]."""
+    part — the PQ analog of _kmeans_parts, over embedding[lo:hi].
+    ``train_where`` restricts the k-means TRAINING rows (frozen-codebook
+    incremental-encode scenarios); code assignment always covers the
+    full corpus."""
     lo, hi = s * sub + 1, (s + 1) * sub
     rng = f"range(1, {sub + 1})"
     zeros = f"list_transform({rng}, i -> 0.0)"
@@ -2790,16 +2795,24 @@ def _pq_sub_parts(s: int, ks: int, sub: int, iters: int) -> list[str]:
         f"v{s} AS (SELECT vec_id,"
         f" list_transform(embedding[{lo}:{hi}], x -> CAST(x AS DOUBLE)) AS v"
         " FROM embeddings)",
+    ]
+    train = f"v{s}"
+    if train_where is not None:
+        train = f"vt{s}"
+        parts.append(
+            f"vt{s} AS (SELECT * FROM v{s} WHERE {train_where})"
+        )
+    parts.append(
         f"""c0_{s} AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
-      FROM v{s} ORDER BY vec_id LIMIT {ks}
-    )""",
-    ]
+      FROM {train} ORDER BY vec_id LIMIT {ks}
+    )"""
+    )
     for i in range(1, iters + 1):
         parts.append(
             f"""a{i}_{s} AS (
       SELECT vec_id, v, cid, {dist} AS dist
-      FROM v{s} CROSS JOIN c{i - 1}_{s}
+      FROM {train} CROSS JOIN c{i - 1}_{s}
     ),
     s{i}_{s} AS (
       SELECT vec_id, v, cid FROM (
@@ -2829,12 +2842,20 @@ def _pq_sub_parts(s: int, ks: int, sub: int, iters: int) -> list[str]:
     return parts
 
 
-def _pq_sql(m: int, ks: int, iters: int, dim: int, topk: int, rerank_n: int) -> str:
+def _pq_sql(
+    m: int,
+    ks: int,
+    iters: int,
+    dim: int,
+    topk: int,
+    rerank_n: int,
+    train_where: str | None = None,
+) -> str:
     sub = dim // m
     sep = ",\n    "
     parts: list[str] = []
     for s in range(m):
-        parts.extend(_pq_sub_parts(s, ks, sub, iters))
+        parts.extend(_pq_sub_parts(s, ks, sub, iters, train_where))
     recon_join = " JOIN ".join(
         [f"code_{s}" + (" USING (vec_id)" if s else "") for s in range(m)]
     )
@@ -2924,6 +2945,44 @@ def ann_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     path = f"{tempfile.gettempdir()}/spark_graft_pq_index_{abs(hash(sf_dir))}"
     similarity.write_pq_index(emb, path, m=8, ks=16, train_iters=1, dim=64)
+    return similarity.pq_index_topk(
+        spark, path, emb.filter(F.col("vec_id") < 20), corpus=emb, k=5, rerank_n=50
+    )
+
+
+@register(
+    "ann_pq_index_append",
+    _pq_sql(
+        m=8, ks=16, iters=1, dim=64, topk=5, rerank_n=50,
+        train_where="vec_id % 2 = 0",
+    ),
+    tags=["similarity", "ml", "maintenance", "scale"],
+)
+def ann_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PQ index maintenance — the daily-ingest path: the
+    codebooks are trained ONCE on the historical corpus (day 1 = even
+    vec_ids), persisted, then each new batch (day 2 = odd vec_ids) is
+    encoded with the FROZEN books and its codes appended — the books are
+    never retouched and day 1's codes are never rewritten. Per-subspace
+    nearest-centroid assignment is deterministic given the books, so
+    append ≡ one-shot encode of the union with the same books — which is
+    exactly what the oracle computes (k-means CTEs restricted to the
+    day-1 rows, code assignment over everything). A probe after the
+    append sees the full corpus. At 100 TB each ingest day costs one
+    broadcast-argmin pass over the DELTA only; retraining (ann_pq_topk's
+    inline shape) or re-encoding history per day is the anti-pattern."""
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    day1 = emb.filter(F.col("vec_id") % 2 == 0)
+    day2 = emb.filter(F.col("vec_id") % 2 == 1)
+    path = f"{tempfile.gettempdir()}/spark_graft_pq_append_{abs(hash(sf_dir))}"
+    shutil.rmtree(path, ignore_errors=True)
+    codes1, books = similarity.pq_encode(day1, m=8, ks=16, train_iters=1, dim=64)
+    books.coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+    codes1.write.mode("append").parquet(f"{path}/codes")
+    similarity.append_pq_index(spark, day2, path, dim=64)
     return similarity.pq_index_topk(
         spark, path, emb.filter(F.col("vec_id") < 20), corpus=emb, k=5, rerank_n=50
     )

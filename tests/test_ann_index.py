@@ -84,3 +84,50 @@ def test_index_topk_matches_in_memory_ivf(spark, tmp_path):
         ).collect()
     }
     assert got == expect
+
+
+def test_append_equals_rebuild(spark, tmp_path):
+    # day-1 build + day-2 frozen-quantizer append must probe identically
+    # to a one-shot build of the union with the same centroids
+    emb = testdata.load_table(spark, SF, "embeddings")
+    cents = similarity.seeded_centroids(emb, 8)
+    queries = emb.filter(F.col("vec_id") < 20)
+
+    full = str(tmp_path / "ivf_full")
+    similarity.write_ivf_index(emb, cents, full)
+    inc = str(tmp_path / "ivf_inc")
+    similarity.write_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), cents, inc)
+    similarity.append_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), cents, inc)
+
+    a = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in similarity.ivf_index_topk(spark, full, queries, cents, k=5, nprobe=2).collect()
+    }
+    b = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in similarity.ivf_index_topk(spark, inc, queries, cents, k=5, nprobe=2).collect()
+    }
+    assert a == b
+
+
+def test_append_does_not_rewrite_existing_fragments(spark, tmp_path):
+    import os
+
+    emb = testdata.load_table(spark, SF, "embeddings")
+    cents = similarity.seeded_centroids(emb, 8)
+    path = str(tmp_path / "ivf_inc")
+    similarity.write_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), cents, path)
+    before = {}
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                p = os.path.join(root, fn)
+                before[p] = os.stat(p).st_mtime_ns
+    similarity.append_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), cents, path)
+    # every day-1 fragment survives byte-untouched; day-2 adds new ones
+    for p, m in before.items():
+        assert os.path.exists(p) and os.stat(p).st_mtime_ns == m
+    after = sum(
+        1 for root, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    assert after > len(before)

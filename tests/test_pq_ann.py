@@ -181,3 +181,37 @@ def test_recall_pins_at_sf01(spark):
         ).collect()
     }
     assert len(ivf & exact) / len(exact) >= 0.6
+
+
+def test_pq_append_equals_one_shot_encode(spark, tmp_path):
+    # frozen-codebook incremental encode: books trained on day 1 (even
+    # ids), day-2 codes appended; probes must match a one-shot encode of
+    # the union with the same books
+    emb = load_table(spark, SF_DIR, "embeddings")
+    day1 = emb.filter(F.col("vec_id") % 2 == 0)
+    day2 = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 20)
+
+    inc = str(tmp_path / "pq_inc")
+    codes1, books = similarity.pq_encode(day1, m=8, ks=16, train_iters=1, dim=64)
+    books.coalesce(1).write.mode("overwrite").parquet(f"{inc}/books")
+    codes1.write.mode("append").parquet(f"{inc}/codes")
+    similarity.append_pq_index(spark, day2, inc, dim=64)
+
+    one = str(tmp_path / "pq_one")
+    books.coalesce(1).write.mode("overwrite").parquet(f"{one}/books")
+    similarity.append_pq_index(spark, emb, one, dim=64)
+
+    a = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in similarity.pq_index_topk(
+            spark, inc, queries, corpus=emb, k=5, rerank_n=50
+        ).collect()
+    }
+    b = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in similarity.pq_index_topk(
+            spark, one, queries, corpus=emb, k=5, rerank_n=50
+        ).collect()
+    }
+    assert a == b
