@@ -964,16 +964,40 @@ def edit_distance_near_dup_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_bits(text: Column | str, width: int = 16) -> Column:
-    """SimHash fingerprint as an array<int> of ``width`` bits (hex-nibble
-    top-bit family: bit_j of token t = msb of nibble j of md5(t)).
+def _simhash_feats(text: Column | str, n: int = 1) -> Column:
+    """SimHash feature set: distinct tokens (n=1) or distinct n-token
+    shingles (n>1, Manku et al.'s production choice — token-SET features
+    degenerate on low-entropy text: two docs with the same vocabulary
+    but different word order collapse to one fingerprint, and the
+    hamming join goes quadratic on the resulting cliques)."""
+    toks = tokens(text)
+    if n <= 1:
+        return F.array_distinct(toks)
+    k = F.size(toks) - (n - 1)
+    sh = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k), lambda i: F.array_join(F.slice(toks, i, n), " ")
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(sh)
 
-    Per-bit majority over the doc's distinct tokens: bit = 1 iff more
-    token-hashes set it than clear it. Expressed with higher-order array
+
+def simhash_bits(text: Column | str, width: int = 16, n: int = 1) -> Column:
+    """SimHash fingerprint as an array<int> of ``width`` bits (hex-nibble
+    top-bit family: bit_j of feature t = msb of nibble j of md5(t)).
+
+    Per-bit majority over the doc's distinct features (tokens, or
+    n-shingles for n>1 — see _simhash_feats): bit = 1 iff more feature
+    hashes set it than clear it. Expressed with higher-order array
     functions only — md5 keeps it engine-agnostic for the oracle."""
     assert 1 <= width <= 32
-    toks = F.array_distinct(tokens(text))
-    hashes = F.transform(toks, lambda t: F.md5(t))
+    return _simhash_bits_from_feats(_simhash_feats(text, n), width)
+
+
+def _simhash_bits_from_feats(feats: Column, width: int) -> Column:
+    """Per-bit majority vote over an already-built feature array."""
+    hashes = F.transform(feats, lambda t: F.md5(t))
 
     def _vote(j: int):
         # closure factory: a defaulted lambda param would change the lambda's
@@ -1002,13 +1026,24 @@ def simhash_near_dup_pairs(
     width: int = 16,
     band_bits: int = 4,
     max_hamming: int = 2,
+    n: int = 1,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the fingerprint into width/band_bits
     blocks (a pair within Hamming ≤ blocks-1 shares ≥1 identical block —
-    the pigeonhole banding used at scale), then verify exact Hamming."""
+    the pigeonhole banding used at scale), then verify exact Hamming.
+
+    ``n`` sets the feature granularity (n-token shingles for n>1 — see
+    _simhash_feats; shingles keep fingerprints spread out on low-entropy
+    text where token-set features collapse into quadratic cliques).
+    Docs with NO features (empty/NULL text, or fewer than n tokens)
+    are excluded — an all-zero 'fingerprint of nothing' would otherwise
+    pair every such doc with every other."""
     assert width % band_bits == 0
     nbands = width // band_bits
-    base = df.select(F.col(id_col).alias("id"), simhash_bits(text_col, width).alias("bits"))
+    base = df.select(
+        F.col(id_col).alias("id"), _simhash_feats(text_col, n).alias("__f")
+    ).filter(F.size("__f") > 0)
+    base = base.select("id", _simhash_bits_from_feats(F.col("__f"), width).alias("bits"))
     base = base.localCheckpoint()
     banded = base.select(
         "id",

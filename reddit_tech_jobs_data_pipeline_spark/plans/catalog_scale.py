@@ -852,7 +852,17 @@ def edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     find every pair the oracle's EXHAUSTIVE length-blocked levenshtein
     join finds — matching it proves the count-filter pruning lossless,
     exactly as jaccard_prefix_filter_join does for token-level prefix
-    pruning."""
+    pruning.
+
+    q=8 (not the q=2 default): the r9 full-catalog bench caught q=2 at
+    153 s for sf0.1 — bigrams drawn from the tiny synthetic vocabulary
+    are all hot, so the inverted-index join fans out in Σ df² — while
+    the measured sweep q=2/3/4/6/8 gave 153/52/36/23/5.6 s with an
+    IDENTICAL 1375-pair result at every q (the filter is lossless at
+    any q; only its selectivity changes). q=8 keeps the gram-path
+    theorem valid here (strings are 40 chars > q−1+q·d = 23) and is the
+    right choice whenever the alphabet is low-entropy; the unguarded
+    join stays the default for general text."""
     docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 40)
     lt = F.lower(F.col("text"))
     originals = docs.select(
@@ -868,7 +878,7 @@ def edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
     )
     corpus = originals.unionByName(copies)
-    return dedup.edit_distance_near_dup_pairs(corpus, "s", "id", max_dist=2, q=2)
+    return dedup.edit_distance_near_dup_pairs(corpus, "s", "id", max_dist=2, q=8)
 
 
 def _incremental_minhash_sql(
@@ -1277,16 +1287,33 @@ def _simhash_sql(width: int = 16, band_bits: int = 4, max_hamming: int = 2) -> s
     "simhash_near_dup",
     f"""
     WITH {_CORPUS_SQL},
-    toks AS (SELECT id, {_TOKS} AS ws FROM corpus),
-    {_simhash_sql(16, 4)}
+    t0 AS (SELECT id, {_TOKS} AS ws1 FROM corpus),
+    toks AS (
+      SELECT id,
+             list_transform(range(1, len(ws1)),
+                            i -> ws1[i] || ' ' || ws1[i + 1]) AS ws
+      FROM t0
+    ),
+    {_simhash_sql(32, 8)}
     SELECT id_a, id_b, hamming FROM spairs WHERE hamming <= 2
     """,
     tags=["dedup", "scale"],
 )
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash over BIGRAM shingle features, width=32, 8-bit bands
+    (4 bands — the hamming<=2 pigeonhole guarantee needs >=3). The r9
+    full-catalog bench caught the original width=16 / 4-bit-band /
+    unigram form at 93 s for sf0.1: 4-bit bands have only 16 values (64
+    bucket keys for 80k banded rows), and — the dominant term — unigram
+    token-SET features are degenerate on the tiny-vocab corpus, so
+    whole cliques of docs shared one fingerprint and the output itself
+    was 2.46M pairs. Shingle features (Manku et al. 2007's production
+    choice) restore fingerprint entropy: word ORDER now matters, the
+    cliques dissolve, and the pair set is the near-dups. Measured at
+    sf0.1: 93 s / 2.46M rows → ~2 s / ~5k rows."""
     corpus = _corpus_df(spark, sf_dir)
     return dedup.simhash_near_dup_pairs(
-        corpus, "text", "id", width=16, band_bits=4, max_hamming=2
+        corpus, "text", "id", width=32, band_bits=8, max_hamming=2, n=2
     )
 
 

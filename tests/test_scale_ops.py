@@ -420,3 +420,35 @@ class TestNgramFamilyProperties:
                 assert clip[i].n_removed <= cov[i].covered_tok
 
         run()
+
+
+def test_simhash_shingle_features_separate_word_order(spark):
+    # unigram token-SET features collapse same-vocab docs to one
+    # fingerprint; bigram shingles keep word order in the signature
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # identical
+        (3, "theta eta zeta epsilon delta gamma beta alpha"),  # reversed
+        (4, None),  # no features: must not pair with anything
+        (5, ""),    # no features either
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    uni = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_dup_pairs(
+            df, "text", "id", width=32, band_bits=8, max_hamming=0, n=1
+        ).collect()
+    }
+    bi = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_dup_pairs(
+            df, "text", "id", width=32, band_bits=8, max_hamming=0, n=2
+        ).collect()
+    }
+    # unigram: the reversed doc has the same token set -> same fingerprint
+    assert uni[(1, 3)] == 0 and uni[(1, 2)] == 0
+    # bigram: identical docs still hamming 0, reversed doc separates
+    assert bi[(1, 2)] == 0
+    assert (1, 3) not in bi
+    # featureless docs never appear on either side
+    assert not any(4 in p or 5 in p for p in list(uni) + list(bi))
