@@ -1001,6 +1001,118 @@ def pq_index_topk(
     return _pq_adc_rerank(c, q, corpus, k, rerank_n, id_col, vec_col)
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    ks: int = 8,
+    train_iters: int = 1,
+    dim: int = 64,
+    rerank_n: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (Jégou et al. 2011 §IV, the FAISS IndexIVFPQ production
+    shape): the two halves of the ANN family composed — a coarse
+    quantizer routes vectors to cells (IVF), and what the cells store is
+    not the vector but the PQ code of its RESIDUAL v − centroid(cell).
+    Residuals are centered near zero with far less variance than raw
+    vectors, so the same m×ks codebook budget quantizes them with less
+    error than raw-vector PQ — and the probe both (a) reads only
+    nprobe/num_cells of the codes (the IVF pruning) and (b) reads m-byte
+    codes instead of dim×4-byte floats within those cells (the PQ
+    compression). Codebooks are GLOBAL across cells (one residual
+    codebook, the standard layout — per-cell books would be
+    num_cells× the training and broadcast cost for marginal gain).
+
+    Pipeline, all existing audited pieces: seeded coarse centroids →
+    nprobe=1 assignment (cosine round-6, cell tiebreak) → residual =
+    zip_with(v, cvec, −) → pq_encode on residuals → ADC scoring of
+    probed cells against coarse + reconstructed-residual → optional
+    exact rerank of the shortlist (rerank_n > 0). Scores round-4 with
+    neighbor_id tiebreaks — the family's oracle contract; the DuckDB
+    twin replays assignment, residual k-means, encode, reconstruct,
+    probe, and rerank unrolled.
+
+    At 100 TB: the build is one assignment pass + m subspace k-means on
+    a sample + one encode pass; persist codes partitioned by cell_id
+    (write_ivf_index's layout with m-byte payloads) and the probe reads
+    nprobe cells × m bytes/vector. Output: (query_id, neighbor_id,
+    cosine, rank) — brute_force_topk's contract."""
+    cents = seeded_centroids(corpus, num_cells, id_col, vec_col)
+    c = corpus.select(F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("v"))
+    assigned = ivf_assign_cells(c, cents, nprobe=1, id_col="vec_id")
+    resid = assigned.join(F.broadcast(cents), "cell_id").select(
+        "vec_id",
+        "cell_id",
+        F.col("cvec").alias("coarse"),
+        F.zip_with("v", "cvec", lambda a, b: a - b).alias("r"),
+    )
+    codes, books = pq_encode(
+        resid.select("vec_id", F.col("r").alias("embedding")),
+        m, ks, train_iters, dim,
+    )
+    rrec = _pq_reconstruct(codes, books, m).withColumnRenamed("cvec", "rrec")
+    cand = rrec.join(
+        resid.select(
+            F.col("vec_id").alias("neighbor_id"), "cell_id", "coarse"
+        ),
+        "neighbor_id",
+    ).select(
+        "neighbor_id",
+        "cell_id",
+        F.zip_with("coarse", "rrec", lambda a, b: a + b).alias("fullrec"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("v")
+    )
+    q_cells = ivf_assign_cells(q, cents, nprobe=nprobe, id_col="query_id")
+    scored = (
+        cand.join(
+            F.broadcast(q_cells.withColumnRenamed("v", "qvec")), "cell_id"
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("fullrec")), 4).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    first_n = rerank_n if rerank_n > 0 else k
+    out = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= first_n)
+        .select("query_id", "neighbor_id", "cosine", "__rn")
+    )
+    if rerank_n > 0:
+        cv = corpus.select(
+            F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("cvec2")
+        )
+        qq = q.withColumnRenamed("v", "qvec")
+        out = (
+            out.select("query_id", "neighbor_id")
+            .join(cv, "neighbor_id")
+            .join(F.broadcast(qq), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine(F.col("qvec"), F.col("cvec2")), 4).alias("cosine"),
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+        )
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("__rn").cast("long").alias("rank")
+    )
+
+
 def mmr_topk(
     corpus: DataFrame,
     query_id: int = 0,

@@ -2823,13 +2823,20 @@ def dsir_incremental_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_sub_parts(
-    s: int, ks: int, sub: int, iters: int, train_where: str | None = None
+    s: int,
+    ks: int,
+    sub: int,
+    iters: int,
+    train_where: str | None = None,
+    src_fmt: str | None = None,
 ) -> list[str]:
     """Per-subspace unrolled k-means + code assignment + reconstruction
     part — the PQ analog of _kmeans_parts, over embedding[lo:hi].
     ``train_where`` restricts the k-means TRAINING rows (frozen-codebook
     incremental-encode scenarios); code assignment always covers the
-    full corpus."""
+    full corpus. ``src_fmt`` overrides the v{s} body (placeholders
+    {lo}/{hi}) so the same machinery quantizes DERIVED vectors (e.g.
+    IVF-PQ residuals) instead of the raw embedding column."""
     lo, hi = s * sub + 1, (s + 1) * sub
     rng = f"range(1, {sub + 1})"
     zeros = f"list_transform({rng}, i -> 0.0)"
@@ -2837,11 +2844,16 @@ def _pq_sub_parts(
         f"list_reduce(list_transform({rng},"
         " j -> (v[j]-cvec[j])*(v[j]-cvec[j])), (p, q) -> p + q)"
     )
-    parts = [
-        f"v{s} AS (SELECT vec_id,"
-        f" list_transform(embedding[{lo}:{hi}], x -> CAST(x AS DOUBLE)) AS v"
-        " FROM embeddings)",
-    ]
+    src = (
+        src_fmt.format(lo=lo, hi=hi)
+        if src_fmt is not None
+        else (
+            "SELECT vec_id,"
+            f" list_transform(embedding[{lo}:{hi}], x -> CAST(x AS DOUBLE)) AS v"
+            " FROM embeddings"
+        )
+    )
+    parts = [f"v{s} AS ({src})"]
     train = f"v{s}"
     if train_where is not None:
         train = f"vt{s}"
@@ -3031,6 +3043,145 @@ def ann_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.append_pq_index(spark, day2, path, dim=64)
     return similarity.pq_index_topk(
         spark, path, emb.filter(F.col("vec_id") < 20), corpus=emb, k=5, rerank_n=50
+    )
+
+
+def _ivfpq_sql(
+    num_cells: int,
+    nprobe: int,
+    m: int,
+    ks: int,
+    iters: int,
+    dim: int,
+    topk: int,
+    rerank_n: int,
+) -> str:
+    """Unrolled IVF-PQ twin: seeded-cell assignment (cosine round-6,
+    cell tiebreak) → residuals → per-subspace k-means/encode on the
+    RESIDUALS (_pq_sub_parts with src_fmt) → ADC over probed cells
+    against coarse + reconstructed residual → exact rerank."""
+    sub = dim // m
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), {r})"
+    )
+    rng_d = f"range(1, {dim + 1})"
+    parts = [
+        f"""cent AS (
+      SELECT vec_id AS cell_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM embeddings WHERE vec_id < {num_cells}
+    )""",
+        """cvecs AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings)""",
+        f"""c_cells AS (
+      SELECT vec_id, v, cell_id, cvec FROM (
+        SELECT vec_id, v, cell_id, cvec,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY {cos.format(a="v", b="cvec", r=6)} DESC, cell_id) AS rn
+        FROM cvecs CROSS JOIN cent
+      ) WHERE rn = 1
+    )""",
+        f"""resid AS (
+      SELECT vec_id, cell_id, cvec AS coarse,
+             list_transform({rng_d}, j -> v[j] - cvec[j]) AS r
+      FROM c_cells
+    )""",
+    ]
+    src_fmt = "SELECT vec_id, r[{lo}:{hi}] AS v FROM resid"
+    for s in range(m):
+        parts.extend(_pq_sub_parts(s, ks, sub, iters, src_fmt=src_fmt))
+    recon_join = " JOIN ".join(
+        [f"code_{s}" + (" USING (vec_id)" if s else "") for s in range(m)]
+    )
+    rvec = " || ".join(f"p{s}" for s in range(m))
+    parts.append(
+        f"recon AS (SELECT code_0.vec_id AS vec_id, {rvec} AS rrec FROM {recon_join})"
+    )
+    parts.append(
+        f"""cand AS (
+      SELECT resid.vec_id AS neighbor_id, resid.cell_id,
+             list_transform({rng_d}, j -> coarse[j] + rrec[j]) AS fullrec
+      FROM resid JOIN recon USING (vec_id)
+    )"""
+    )
+    parts.append(
+        """qq AS (SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+      FROM embeddings WHERE vec_id < 20)"""
+    )
+    parts.append(
+        f"""q_cells AS (
+      SELECT query_id, qvec, cell_id FROM (
+        SELECT query_id, qvec, cell_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY {cos.format(a="qvec", b="cvec", r=6)} DESC, cell_id) AS rn
+        FROM qq CROSS JOIN cent
+      ) WHERE rn <= {nprobe}
+    )"""
+    )
+    parts.append(
+        f"""adc AS (
+      SELECT DISTINCT query_id, neighbor_id,
+             {cos.format(a="qvec", b="fullrec", r=4)} AS cosine
+      FROM cand JOIN q_cells USING (cell_id)
+      WHERE neighbor_id <> query_id
+    )"""
+    )
+    sep = ",\n    "
+    return f"""
+    WITH {sep.join(parts)},
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM adc
+      ) WHERE rn <= {rerank_n}
+    ),
+    cv AS (SELECT vec_id AS neighbor_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec2
+           FROM embeddings),
+    rescored AS (
+      SELECT query_id, s.neighbor_id, {cos.format(a="qvec", b="cvec2", r=4)} AS cosine
+      FROM shortlist s JOIN cv ON cv.neighbor_id = s.neighbor_id
+      JOIN qq USING (query_id)
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM rescored
+    ) WHERE rank <= {topk}
+    """
+
+
+@register(
+    "ann_ivfpq_topk",
+    _ivfpq_sql(
+        num_cells=8, nprobe=3, m=8, ks=16, iters=1, dim=64, topk=5, rerank_n=200
+    ),
+    tags=["similarity", "ml", "sketch", "scale"],
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the two ANN halves composed (FAISS IndexIVFPQ's shape):
+    coarse cells route the probe to nprobe/num_cells of the corpus, and
+    inside the cells only m-byte PQ codes of the RESIDUAL v − centroid
+    are stored (residuals carry far less variance than raw vectors, so
+    the same codebook budget quantizes them tighter). ADC shortlist of
+    200 over the probed cells, exact rerank of the shortlist only.
+
+    Measured recall@5 vs exact on the synthetic UNCLUSTERED embeddings
+    (the family's worst case): sf0.001 0.79, sf0.1 0.64 at nprobe=3/8 +
+    rerank 200 — vs flat-PQ rerank-200's 0.92 at sf0.1, which reads ALL
+    the codes; IVF-PQ reads 3/8 of them. That recall↔bytes-read dial is
+    the point of the composition, pinned in tests/test_pq_ann.py. See
+    operators/similarity.ivfpq_topk for the 100 TB layout (codes
+    partitioned by cell_id, m bytes/vector read per probe)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 20),
+        k=5, num_cells=8, nprobe=3, m=8, ks=16, train_iters=1, dim=64,
+        rerank_n=200,
     )
 
 

@@ -215,3 +215,47 @@ def test_pq_append_equals_one_shot_encode(spark, tmp_path):
         ).collect()
     }
     assert a == b
+
+
+def test_ivfpq_recall_and_reconstruction(spark):
+    # IVF-PQ composes the coarse router with residual PQ; measured
+    # recall@5 (2026-08-15): sf0.001 0.79, sf0.1 0.64 at nprobe=3/8 +
+    # rerank 200 (vs flat-PQ's 0.92 reading ALL codes — the dial is
+    # recall vs bytes read). Pin floors with slack, and pin that
+    # widening the probe never hurts.
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(npb, rr):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ivfpq_topk(
+                emb, queries, k=5, num_cells=8, nprobe=npb, m=8, ks=16,
+                train_iters=1, dim=64, rerank_n=rr,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r3 = recall(3, 200)
+    assert r3 >= 0.6, r3
+    # probing every cell removes the IVF pruning loss entirely: with
+    # the full corpus reachable and a 200-deep exact rerank the result
+    # matches flat PQ's regime
+    r8 = recall(8, 200)
+    assert r8 >= r3
+    # reranked cosines are the EXACT values (same contract as pq_topk)
+    out = similarity.ivfpq_topk(
+        emb, queries, k=5, num_cells=8, nprobe=3, m=8, ks=16,
+        train_iters=1, dim=64, rerank_n=200,
+    )
+    erow = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    for r in out.collect():
+        if (r.query_id, r.neighbor_id) in erow:
+            assert r.cosine == erow[(r.query_id, r.neighbor_id)]
