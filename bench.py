@@ -143,6 +143,7 @@ ADDED_R9 = [
     "ann_pq_index_append",
     "ivf_index_append_probe",
     "ann_ivfpq_topk",
+    "ann_ivfpq_index_topk",
 ]
 LEGACY = list(HEADLINE)
 HEADLINE = HEADLINE + ADDED_R7 + ADDED_R7B + ADDED_R8 + ADDED_R9

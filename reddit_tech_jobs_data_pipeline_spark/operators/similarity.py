@@ -1113,6 +1113,147 @@ def ivfpq_topk(
     )
 
 
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    num_cells: int = 8,
+    m: int = 4,
+    ks: int = 8,
+    train_iters: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-PQ index ONCE: coarse centroids at
+    ``path/cents`` (num_cells rows), residual codebooks at
+    ``path/books`` (m×ks rows), and the m-byte residual codes
+    partitioned by cell_id at ``path/codes`` — the full FAISS-style
+    on-disk layout: a probe partition-prunes to nprobe cell dirs and
+    reads m bytes/vector inside them. Train-inline ann_ivfpq_topk
+    audits at 127 scans; this split is the production path (the
+    write_pq_index / write_ivf_index precedent, composed)."""
+    cents = seeded_centroids(corpus, num_cells, id_col, vec_col)
+    c = corpus.select(F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("v"))
+    assigned = ivf_assign_cells(c, cents, nprobe=1, id_col="vec_id")
+    resid = assigned.join(F.broadcast(cents), "cell_id").select(
+        "vec_id", "cell_id", F.zip_with("v", "cvec", lambda a, b: a - b).alias("r")
+    )
+    codes, books = pq_encode(
+        resid.select("vec_id", F.col("r").alias("embedding")),
+        m, ks, train_iters, dim,
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/cents")
+    books.coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+    codes.join(resid.select("vec_id", "cell_id"), "vec_id").write.mode(
+        "overwrite"
+    ).partitionBy("cell_id").parquet(f"{path}/codes")
+
+
+def ivfpq_index_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    corpus: DataFrame | None = None,
+    k: int = 5,
+    nprobe: int = 2,
+    rerank_n: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a write_ivfpq_index layout: assign each query its nprobe
+    cells against the persisted centroids, read ONLY those cells' code
+    partitions (directory-level pruning — the isin filter, the
+    ivf_index_topk contract), reconstruct coarse + residual with BOTH
+    models as plan literals (centroids: num_cells×dim doubles; residual
+    codebooks: m×ks×(dim/m) doubles — KBs each, the pq_index_topk
+    contract), ADC-shortlist, and exact-rerank the shortlist against
+    ``corpus`` when rerank_n > 0. Scores replicate ivfpq_topk exactly,
+    so the same oracle gates both."""
+    cents = spark.read.parquet(f"{index_path}/cents")
+    book_rows = spark.read.parquet(f"{index_path}/books").collect()
+    cent_rows = sorted(
+        ((int(r.cell_id), [float(x) for x in r.cvec]) for r in cents.collect())
+    )
+    if rerank_n > 0 and corpus is None:
+        raise ValueError("ivfpq_index_topk: rerank_n > 0 requires the raw corpus")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("v")
+    )
+    q_cells = ivf_assign_cells(q, cents, nprobe=nprobe, id_col="query_id")
+    probed = sorted(
+        r["cell_id"] for r in q_cells.select("cell_id").distinct().collect()
+    )
+    codes = spark.read.parquet(f"{index_path}/codes").filter(
+        F.col("cell_id").isin([int(c) for c in probed])
+    )
+    m = sum(1 for col in codes.columns if col.startswith("code_"))
+    by_sub: dict[int, dict[int, list[float]]] = {}
+    for r in book_rows:
+        by_sub.setdefault(int(r.sub), {})[int(r.cid)] = [float(x) for x in r.cvec]
+    parts = []
+    for s in range(m):
+        cmap = by_sub[s]
+        width = len(next(iter(cmap.values())))
+        table = [cmap.get(cid, [0.0] * width) for cid in range(max(cmap) + 1)]
+        lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in table])
+        parts.append(F.element_at(lit, F.col(f"code_{s}") + 1))
+    # coarse centroid lookup rides the plan too: dense cell_id→cvec table
+    max_cell = cent_rows[-1][0]
+    cent_map = dict(cent_rows)
+    dim_w = len(cent_rows[0][1])
+    cent_lit = F.array(
+        *[
+            F.array(*[F.lit(x) for x in cent_map.get(cid, [0.0] * dim_w)])
+            for cid in range(max_cell + 1)
+        ]
+    )
+    coarse = F.element_at(cent_lit, F.col("cell_id").cast("int") + 1)
+    cand = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cell_id",
+        F.zip_with(coarse, F.concat(*parts), lambda a, b: a + b).alias("fullrec"),
+    )
+    scored = (
+        cand.join(F.broadcast(q_cells.withColumnRenamed("v", "qvec")), "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("fullrec")), 4).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    first_n = rerank_n if rerank_n > 0 else k
+    out = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= first_n)
+        .select("query_id", "neighbor_id", "cosine", "__rn")
+    )
+    if rerank_n > 0:
+        cv = corpus.select(
+            F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("cvec2")
+        )
+        qq = q.withColumnRenamed("v", "qvec")
+        out = (
+            out.select("query_id", "neighbor_id")
+            .join(cv, "neighbor_id")
+            .join(F.broadcast(qq), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine(F.col("qvec"), F.col("cvec2")), 4).alias("cosine"),
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+        )
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("__rn").cast("long").alias("rank")
+    )
+
+
 def mmr_topk(
     corpus: DataFrame,
     query_id: int = 0,

@@ -3185,6 +3185,37 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivfpq_index_topk",
+    _ivfpq_sql(
+        num_cells=8, nprobe=3, m=8, ks=16, iters=1, dim=64, topk=5, rerank_n=200
+    ),
+    tags=["similarity", "ml", "maintenance", "scale"],
+)
+def ann_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVF-PQ read path — the FAISS on-disk layout in
+    full: centroids + residual codebooks + m-byte codes PARTITIONED BY
+    cell_id written once (write_ivfpq_index); the probe partition-prunes
+    to the queries' nprobe cell directories, reconstructs with BOTH
+    models as plan literals (KBs each), ADC-shortlists and exact-reranks
+    only the shortlist. Train-inline ann_ivfpq_topk audits at 127 scans;
+    this probe is single-digit. Parquet round-trips the doubles
+    bit-identically, so the SAME oracle gates both forms."""
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = f"{tempfile.gettempdir()}/spark_graft_ivfpq_index_{abs(hash(sf_dir))}"
+    shutil.rmtree(path, ignore_errors=True)
+    similarity.write_ivfpq_index(
+        emb, path, num_cells=8, m=8, ks=16, train_iters=1, dim=64
+    )
+    return similarity.ivfpq_index_topk(
+        spark, path, emb.filter(F.col("vec_id") < 20), corpus=emb,
+        k=5, nprobe=3, rerank_n=200,
+    )
+
+
 def _pca_sql(dim: int, iters: int) -> str:
     rng = f"range(1, {dim + 1})"
     zeros = f"list_transform({rng}, i -> 0.0)"

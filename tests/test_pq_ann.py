@@ -259,3 +259,50 @@ def test_ivfpq_recall_and_reconstruction(spark):
     for r in out.collect():
         if (r.query_id, r.neighbor_id) in erow:
             assert r.cosine == erow[(r.query_id, r.neighbor_id)]
+
+
+def test_ivfpq_index_probe_matches_in_memory(spark, tmp_path):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    path = str(tmp_path / "ivfpq_index")
+    similarity.write_ivfpq_index(emb, path, num_cells=8, m=8, ks=16,
+                                 train_iters=1, dim=64)
+    expect = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in similarity.ivfpq_topk(
+            emb, queries, k=5, num_cells=8, nprobe=3, m=8, ks=16,
+            train_iters=1, dim=64, rerank_n=200,
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in similarity.ivfpq_index_topk(
+            spark, path, queries, corpus=emb, k=5, nprobe=3, rerank_n=200
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_ivfpq_index_probe_prunes_and_is_scan_light(spark, tmp_path):
+    import os
+    import re
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivfpq_index")
+    similarity.write_ivfpq_index(emb, path, num_cells=8, m=4, ks=8,
+                                 train_iters=1, dim=64)
+    # codes live under cell_id= dirs — the physical pruning surface
+    dirs = [d for d in os.listdir(f"{path}/codes") if d.startswith("cell_id=")]
+    assert len(dirs) >= 4
+    probe = similarity.ivfpq_index_topk(
+        spark, path, emb.filter(F.col("vec_id") < 4), corpus=emb,
+        k=3, nprobe=2, rerank_n=20,
+    )
+    plan = probe._sc._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    # cents + queries (assign + rerank sides) + pruned codes + corpus:
+    # single-digit, vs the train-inline form's 127 (PLANS.md)
+    assert n_scans <= 8, f"{n_scans} scans:\n{plan}"
+    assert "PartitionFilters" in plan and "cell_id" in plan, plan
