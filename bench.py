@@ -144,6 +144,7 @@ ADDED_R9 = [
     "ivf_index_append_probe",
     "ann_ivfpq_topk",
     "ann_ivfpq_index_topk",
+    "ann_ivfpq_index_append",
 ]
 LEGACY = list(HEADLINE)
 HEADLINE = HEADLINE + ADDED_R7 + ADDED_R7B + ADDED_R8 + ADDED_R9

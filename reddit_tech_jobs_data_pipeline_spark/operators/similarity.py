@@ -978,6 +978,8 @@ def pq_index_topk(
     # bounded collect: the model, never data (m×ks rows)
     book_rows = spark.read.parquet(f"{index_path}/books").collect()
     m = sum(1 for col in codes.columns if col.startswith("code_"))
+    if m == 0 or not book_rows:
+        raise ValueError(f"pq_index_topk: empty/corrupt index at {index_path}")
     if rerank_n > 0 and corpus is None:
         raise ValueError("pq_index_topk: rerank_n > 0 requires the raw corpus")
     by_sub: dict[int, dict[int, list[float]]] = {}
@@ -1123,6 +1125,7 @@ def write_ivfpq_index(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> None:
     """Materialize the IVF-PQ index ONCE: coarse centroids at
     ``path/cents`` (num_cells rows), residual codebooks at
@@ -1131,8 +1134,17 @@ def write_ivfpq_index(
     on-disk layout: a probe partition-prunes to nprobe cell dirs and
     reads m bytes/vector inside them. Train-inline ann_ivfpq_topk
     audits at 127 scans; this split is the production path (the
-    write_pq_index / write_ivf_index precedent, composed)."""
-    cents = seeded_centroids(corpus, num_cells, id_col, vec_col)
+    write_pq_index / write_ivf_index precedent, composed).
+
+    Pass ``centroids`` to build against an externally-trained (or
+    historical) coarse quantizer instead of seeding from this corpus —
+    the incremental-append scenario, where the quantizer must stay
+    FROZEN across index generations."""
+    cents = (
+        centroids
+        if centroids is not None
+        else seeded_centroids(corpus, num_cells, id_col, vec_col)
+    )
     c = corpus.select(F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("v"))
     assigned = ivf_assign_cells(c, cents, nprobe=1, id_col="vec_id")
     resid = assigned.join(F.broadcast(cents), "cell_id").select(
@@ -1147,6 +1159,51 @@ def write_ivfpq_index(
     codes.join(resid.select("vec_id", "cell_id"), "vec_id").write.mode(
         "overwrite"
     ).partitionBy("cell_id").parquet(f"{path}/codes")
+
+
+def append_ivfpq_index(
+    spark,
+    corpus_delta: DataFrame,
+    path: str,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF-PQ maintenance — both models FROZEN: assign the
+    new batch with the persisted coarse centroids, form residuals,
+    encode them with the persisted residual codebooks, and append the
+    m-byte codes into the cell_id= directories. Nothing already on disk
+    is retouched. Assignment and per-subspace nearest-centroid encoding
+    are deterministic given the models, so append ≡ one-shot encode of
+    the union with the same models (ann_ivfpq_index_append's oracle
+    proves it value-exactly). One broadcast-assignment + m broadcast-
+    argmin passes over the DELTA only — the daily-ingest cost at
+    100 TB; hot-cell fragment buildup is compact_append_store's job."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.kmeans import assign_clusters
+
+    cents = spark.read.parquet(f"{path}/cents")
+    books = spark.read.parquet(f"{path}/books")
+    subs = sorted(r.sub for r in books.select("sub").distinct().collect())
+    if not subs:
+        raise ValueError("append_ivfpq_index: empty codebooks at " + path)
+    m = len(subs)
+    sub_w = dim // m
+    c = corpus_delta.select(
+        F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("v")
+    )
+    assigned = ivf_assign_cells(c, cents, nprobe=1, id_col="vec_id")
+    resid = assigned.join(F.broadcast(cents), "cell_id").select(
+        "vec_id", "cell_id", F.zip_with("v", "cvec", lambda a, b: a - b).alias("r")
+    )
+    codes = resid.select("vec_id", "cell_id")
+    for s in range(m):
+        sv = resid.select("vec_id", F.slice("r", s * sub_w + 1, sub_w).alias("v"))
+        cents_s = books.filter(F.col("sub") == s).select("cid", "cvec")
+        assigned_s = assign_clusters(sv, cents_s).select(
+            "vec_id", F.col("cid").alias(f"code_{s}")
+        )
+        codes = codes.join(assigned_s, "vec_id")
+    codes.write.mode("append").partitionBy("cell_id").parquet(f"{path}/codes")
 
 
 def ivfpq_index_topk(
@@ -1174,6 +1231,8 @@ def ivfpq_index_topk(
     cent_rows = sorted(
         ((int(r.cell_id), [float(x) for x in r.cvec]) for r in cents.collect())
     )
+    if not cent_rows or not book_rows:
+        raise ValueError(f"ivfpq_index_topk: empty/corrupt index at {index_path}")
     if rerank_n > 0 and corpus is None:
         raise ValueError("ivfpq_index_topk: rerank_n > 0 requires the raw corpus")
     q = queries.select(

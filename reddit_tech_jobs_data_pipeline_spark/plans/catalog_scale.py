@@ -3055,11 +3055,15 @@ def _ivfpq_sql(
     dim: int,
     topk: int,
     rerank_n: int,
+    train_where: str | None = None,
 ) -> str:
     """Unrolled IVF-PQ twin: seeded-cell assignment (cosine round-6,
     cell tiebreak) → residuals → per-subspace k-means/encode on the
     RESIDUALS (_pq_sub_parts with src_fmt) → ADC over probed cells
-    against coarse + reconstructed residual → exact rerank."""
+    against coarse + reconstructed residual → exact rerank.
+    ``train_where`` restricts the residual k-means TRAINING rows
+    (frozen-codebook incremental-append scenarios); assignment and
+    encoding always cover the full corpus."""
     sub = dim // m
     cos = (
         "round(list_dot_product({a}, {b}) / "
@@ -3091,7 +3095,11 @@ def _ivfpq_sql(
     ]
     src_fmt = "SELECT vec_id, r[{lo}:{hi}] AS v FROM resid"
     for s in range(m):
-        parts.extend(_pq_sub_parts(s, ks, sub, iters, src_fmt=src_fmt))
+        parts.extend(
+            _pq_sub_parts(
+                s, ks, sub, iters, train_where=train_where, src_fmt=src_fmt
+            )
+        )
     recon_join = " JOIN ".join(
         [f"code_{s}" + (" USING (vec_id)" if s else "") for s in range(m)]
     )
@@ -3210,6 +3218,48 @@ def ann_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.write_ivfpq_index(
         emb, path, num_cells=8, m=8, ks=16, train_iters=1, dim=64
     )
+    return similarity.ivfpq_index_topk(
+        spark, path, emb.filter(F.col("vec_id") < 20), corpus=emb,
+        k=5, nprobe=3, rerank_n=200,
+    )
+
+
+@register(
+    "ann_ivfpq_index_append",
+    _ivfpq_sql(
+        num_cells=8, nprobe=3, m=8, ks=16, iters=1, dim=64, topk=5,
+        rerank_n=200, train_where="vec_id % 2 = 0",
+    ),
+    tags=["similarity", "ml", "maintenance", "scale"],
+)
+def ann_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-PQ maintenance — the full production loop with
+    BOTH models frozen: the coarse quantizer comes from history (here
+    the seeded first-8 — frozen across generations), the residual
+    codebooks are trained ONCE on day 1 (even vec_ids), and day 2 (odd
+    vec_ids) is assigned + residual-encoded with the persisted models
+    and appended into the cell_id= directories — nothing on disk is
+    retouched. Assignment and per-subspace encoding are deterministic
+    given the models, so append ≡ one-shot encode of the union: the
+    oracle replays the same scenario (residual k-means CTEs restricted
+    to day-1 rows; assignment/encoding over everything). Per ingest
+    day: one broadcast assignment + m broadcast argmins over the DELTA
+    only. Completes the maintenance matrix (IVF, PQ, IVF-PQ × build /
+    probe / append)."""
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    day1 = emb.filter(F.col("vec_id") % 2 == 0)
+    day2 = emb.filter(F.col("vec_id") % 2 == 1)
+    cents = similarity.seeded_centroids(emb, 8)
+    path = f"{tempfile.gettempdir()}/spark_graft_ivfpq_append_{abs(hash(sf_dir))}"
+    shutil.rmtree(path, ignore_errors=True)
+    similarity.write_ivfpq_index(
+        day1, path, num_cells=8, m=8, ks=16, train_iters=1, dim=64,
+        centroids=cents,
+    )
+    similarity.append_ivfpq_index(spark, day2, path, dim=64)
     return similarity.ivfpq_index_topk(
         spark, path, emb.filter(F.col("vec_id") < 20), corpus=emb,
         k=5, nprobe=3, rerank_n=200,

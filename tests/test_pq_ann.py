@@ -306,3 +306,44 @@ def test_ivfpq_index_probe_prunes_and_is_scan_light(spark, tmp_path):
     # single-digit, vs the train-inline form's 127 (PLANS.md)
     assert n_scans <= 8, f"{n_scans} scans:\n{plan}"
     assert "PartitionFilters" in plan and "cell_id" in plan, plan
+
+
+def test_ivfpq_append_equals_one_shot(spark, tmp_path):
+    # frozen quantizer + frozen residual codebooks: building on day 1
+    # and appending day 2 must probe identically to a one-shot encode of
+    # the union with the same models
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    cents = similarity.seeded_centroids(emb, 8)
+    day1 = emb.filter(F.col("vec_id") % 2 == 0)
+    day2 = emb.filter(F.col("vec_id") % 2 == 1)
+
+    inc = str(tmp_path / "ivfpq_inc")
+    similarity.write_ivfpq_index(
+        day1, inc, num_cells=8, m=4, ks=8, train_iters=1, dim=64, centroids=cents
+    )
+    similarity.append_ivfpq_index(spark, day2, inc, dim=64)
+
+    one = str(tmp_path / "ivfpq_one")
+    similarity.write_ivfpq_index(
+        day1, one, num_cells=8, m=4, ks=8, train_iters=1, dim=64, centroids=cents
+    )
+    # wipe the one-shot codes and re-encode the UNION with the frozen models
+    import shutil
+
+    shutil.rmtree(f"{one}/codes")
+    similarity.append_ivfpq_index(spark, emb, one, dim=64)
+
+    a = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in similarity.ivfpq_index_topk(
+            spark, inc, queries, corpus=emb, k=5, nprobe=3, rerank_n=50
+        ).collect()
+    }
+    b = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in similarity.ivfpq_index_topk(
+            spark, one, queries, corpus=emb, k=5, nprobe=3, rerank_n=50
+        ).collect()
+    }
+    assert a == b
