@@ -42,6 +42,27 @@ def table_file_sizes(spark: SparkSession, path: str) -> list[int]:
     return sizes
 
 
+def partition_dirs(spark: SparkSession, path: str) -> list[str]:
+    """Names of the Hive-style partition columns (``col=value`` top-level
+    subdirectories) under ``path``; empty for a flat table. Uses the JVM
+    FileSystem API so it answers for any Hadoop-supported store. Layout
+    guards (compact_append_store, compact_ivf_index) key off this: a
+    partitioned table must be rewritten WITH partitionBy or its
+    directory-level pruning is silently destroyed."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return []
+    cols: set[str] = set()
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and "=" in name and not name.startswith(("_", ".")):
+            cols.add(name.split("=", 1)[0])
+    return sorted(cols)
+
+
 def compact(
     spark: SparkSession,
     path: str,
@@ -103,8 +124,54 @@ def compact_append_store(
     after compaction). Run it only while no writer is active — the
     staging+overwrite swap would drop a concurrent append (under
     Delta/Iceberg the same rewrite runs as a transactional OPTIMIZE).
-    Returns the new file count."""
+
+    FLAT STORES ONLY: this rewrite does not partitionBy, so running it
+    on a Hive-partitioned directory (e.g. an IVF index's ``cell_id=``
+    layout) would flatten it — a later partitioned append would then mix
+    root-level files with ``col=`` subdirs, which Spark's partition
+    discovery rejects, and directory-level pruning would be silently
+    lost even without one. It refuses such paths; use compact_ivf_index
+    (or ``compact(..., partition_col=...)``) for those. Returns the new
+    file count."""
+    parts = partition_dirs(spark, store_path)
+    if parts:
+        raise ValueError(
+            f"compact_append_store: {store_path} is partitioned by "
+            f"{parts}; a flat rewrite would destroy the col= layout. "
+            "Use compact_ivf_index / compact(..., partition_col=...)."
+        )
     return compact(spark, store_path, target_bytes=target_bytes)
+
+
+def compact_ivf_index(
+    spark: SparkSession,
+    index_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compact the hot-cell fragments an append_ivf_index /
+    append_ivfpq_index ingest loop leaves behind, PRESERVING the
+    ``cell_id=`` directory layout that directory-level probe pruning
+    (ivf_index_topk / ivfpq_index_topk's ``isin`` filter) depends on.
+    Accepts either index root: write_ivf_index puts the cell dirs at
+    ``index_path`` itself; write_ivfpq_index nests them at
+    ``index_path/codes`` beside the frozen ``books``/``cents`` model
+    tables (which hold no fragments and are never touched). Probe
+    results are invariant — the rewrite is row-preserving and cell
+    membership rides on the directory key (test_store_compaction.py
+    value-checks probes before/after). Same single-writer caveat as
+    compact_append_store. Returns the new data-file count."""
+    if partition_dirs(spark, index_path) == ["cell_id"]:
+        root = index_path
+    else:
+        codes = index_path.rstrip("/") + "/codes"
+        if partition_dirs(spark, codes) != ["cell_id"]:
+            raise ValueError(
+                f"compact_ivf_index: neither {index_path} nor {codes} has a "
+                "cell_id= partition layout — for flat stores use "
+                "compact_append_store."
+            )
+        root = codes
+    return compact(spark, root, target_bytes=target_bytes, partition_col="cell_id")
 
 
 def morton_code(a: Column, b: Column, bits: int = 16) -> Column:

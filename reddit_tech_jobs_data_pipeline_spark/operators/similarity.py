@@ -495,12 +495,54 @@ def append_ivf_index(
     full-corpus oracle). This is the daily-ingest path at 100 TB — one
     broadcast-assignment pass over the DELTA only; retraining/rewriting
     the whole index per ingest day is the anti-pattern. Fragment buildup
-    in hot cells is the maintenance.compact_append_store job."""
+    in hot cells is maintenance.compact_ivf_index's job (layout-
+    preserving; compact_append_store refuses cell_id= layouts)."""
     c = corpus_delta.select(
         F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("v")
     )
     assigned = ivf_assign_cells(c, centroids, nprobe=1, id_col="neighbor_id")
     assigned.write.mode("append").partitionBy("cell_id").parquet(path)
+
+
+def _pq_books_geometry(books: DataFrame, dim: int, who: str) -> tuple[int, int]:
+    """(m, sub_w) of a persisted codebook table, DERIVED from the books
+    themselves — never trusted from the caller: a wrong ``dim`` would
+    slice wrong subvectors and silently append garbage codes into a
+    healthy index. ``dim`` is cross-checked against m×sub_w and the call
+    refuses on mismatch. Books are KB-scale (m×ks rows), so the probe is
+    a bounded collect."""
+    rows = books.select(
+        "sub", F.size("cvec").alias("w")
+    ).distinct().collect()
+    if not rows:
+        raise ValueError(f"{who}: empty codebooks")
+    widths = sorted({r.w for r in rows})
+    if len(widths) != 1:
+        raise ValueError(f"{who}: codebooks have mixed subvector widths {widths}")
+    m = len({r.sub for r in rows})
+    sub_w = widths[0]
+    if dim != m * sub_w:
+        raise ValueError(
+            f"{who}: dim={dim} inconsistent with persisted books "
+            f"(m={m} subspaces × sub_w={sub_w} = {m * sub_w})"
+        )
+    return m, sub_w
+
+
+def _validate_vec_width(df: DataFrame, vec_col: str, dim: int, who: str) -> None:
+    """Refuse delta vectors whose length doesn't match the index
+    geometry — a short vector would slice to truncated subvectors and
+    encode to wrong-but-plausible codes. One column-pruned min/max
+    aggregate over the delta (the daily batch, not the corpus)."""
+    row = df.agg(
+        F.min(F.size(vec_col)).alias("lo"), F.max(F.size(vec_col)).alias("hi")
+    ).collect()[0]
+    if row.lo is None:
+        return  # empty delta: the append is a no-op
+    if row.lo != dim or row.hi != dim:
+        raise ValueError(
+            f"{who}: delta vector lengths [{row.lo}, {row.hi}] != index dim {dim}"
+        )
 
 
 def append_pq_index(
@@ -518,16 +560,16 @@ def append_pq_index(
     of the union: probes over the appended index match a from-scratch
     encode with the same books (value-checked by ann_pq_index_append
     against the full-corpus oracle). One broadcast-argmin pass per
-    subspace over the DELTA only."""
+    subspace over the DELTA only (plus one column-pruned validation scan
+    — see _pq_books_geometry)."""
     from reddit_tech_jobs_data_pipeline_spark.operators.kmeans import assign_clusters
 
     books = spark.read.parquet(f"{path}/books")
-    subs = sorted(r.sub for r in books.select("sub").distinct().collect())
-    m = len(subs)
-    sub_w = dim // m
+    m, sub_w = _pq_books_geometry(books, dim, "append_pq_index")
     base = corpus_delta.select(
         F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("__v")
     )
+    _validate_vec_width(base, "__v", m * sub_w, "append_pq_index")
     codes = None
     for s in range(m):
         sv = base.select("vec_id", F.slice("__v", s * sub_w + 1, sub_w).alias("v"))
@@ -1178,19 +1220,17 @@ def append_ivfpq_index(
     the union with the same models (ann_ivfpq_index_append's oracle
     proves it value-exactly). One broadcast-assignment + m broadcast-
     argmin passes over the DELTA only — the daily-ingest cost at
-    100 TB; hot-cell fragment buildup is compact_append_store's job."""
+    100 TB; hot-cell fragment buildup is maintenance.compact_ivf_index's
+    job (layout-preserving; compact_append_store refuses cell_id= dirs)."""
     from reddit_tech_jobs_data_pipeline_spark.operators.kmeans import assign_clusters
 
     cents = spark.read.parquet(f"{path}/cents")
     books = spark.read.parquet(f"{path}/books")
-    subs = sorted(r.sub for r in books.select("sub").distinct().collect())
-    if not subs:
-        raise ValueError("append_ivfpq_index: empty codebooks at " + path)
-    m = len(subs)
-    sub_w = dim // m
+    m, sub_w = _pq_books_geometry(books, dim, "append_ivfpq_index")
     c = corpus_delta.select(
         F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("v")
     )
+    _validate_vec_width(c, "v", m * sub_w, "append_ivfpq_index")
     assigned = ivf_assign_cells(c, cents, nprobe=1, id_col="vec_id")
     resid = assigned.join(F.broadcast(cents), "cell_id").select(
         "vec_id", "cell_id", F.zip_with("v", "cvec", lambda a, b: a - b).alias("r")

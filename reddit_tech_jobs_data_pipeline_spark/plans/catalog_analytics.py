@@ -20,6 +20,7 @@ from reddit_tech_jobs_data_pipeline_spark.streaming.events import (
     run_stream_static_join_batchlike,
     run_windowed_counts_batchlike,
 )
+from reddit_tech_jobs_data_pipeline_spark.workdirs import stable_work_key
 
 # Enriched-posts CTE (dedup + salary + position extraction only — the
 # slices these analytics need), shared by the oracle SQL below.
@@ -289,7 +290,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_tech_jobs_data_pipeline_spark.sources.testdata import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    src = f"{tempfile.gettempdir()}/spark_graft_stream_dedup_{abs(hash(sf_dir))}"
+    src = f"{tempfile.gettempdir()}/spark_graft_stream_dedup_{stable_work_key(sf_dir)}"
     ev.unionAll(ev).coalesce(1).write.mode("overwrite").parquet(src)
     out = run_dedup_stream_batchlike(
         spark, src, spark.read.parquet(src).schema, name="cat_stream_dedup"

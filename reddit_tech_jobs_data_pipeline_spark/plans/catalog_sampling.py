@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from reddit_tech_jobs_data_pipeline_spark.plans.catalog import _t, register
+from reddit_tech_jobs_data_pipeline_spark.workdirs import stable_work_key
 
 
 @register(
@@ -374,7 +375,7 @@ def ivf_materialized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = similarity.seeded_centroids(emb, 8)
-    path = f"{tempfile.gettempdir()}/spark_graft_ivf_index_{abs(hash(sf_dir))}"
+    path = f"{tempfile.gettempdir()}/spark_graft_ivf_index_{stable_work_key(sf_dir)}"
     similarity.write_ivf_index(emb, cents, path)
     return similarity.ivf_index_topk(
         spark, path, emb.filter(F.col("vec_id") < 20), cents, k=5, nprobe=2
@@ -397,7 +398,7 @@ def ivf_index_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full-corpus oracle exactly (same _IVF_ANN_SQL that gates the
     one-shot builds). At 100 TB each ingest day costs one broadcast
     assignment over the DELTA + an append; hot-cell fragment buildup is
-    maintenance.compact_append_store's job."""
+    maintenance.compact_ivf_index's job."""
     import shutil
     import tempfile
 
@@ -405,7 +406,7 @@ def ivf_index_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = similarity.seeded_centroids(emb, 8)
-    path = f"{tempfile.gettempdir()}/spark_graft_ivf_append_{abs(hash(sf_dir))}"
+    path = f"{tempfile.gettempdir()}/spark_graft_ivf_append_{stable_work_key(sf_dir)}"
     shutil.rmtree(path, ignore_errors=True)
     similarity.write_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), cents, path)
     similarity.append_ivf_index(

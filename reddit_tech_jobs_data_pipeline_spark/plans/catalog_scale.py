@@ -27,6 +27,7 @@ from reddit_tech_jobs_data_pipeline_spark.operators import (
     similarity,
 )
 from reddit_tech_jobs_data_pipeline_spark.plans.catalog import register, _t
+from reddit_tech_jobs_data_pipeline_spark.workdirs import stable_work_key
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments
@@ -967,7 +968,7 @@ def incremental_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     store_sig = dedup.minhash_signatures(
         corpus.filter(F.col("id") < 100000), "text", "id", num_hashes=16, n=3
     )
-    path = f"{tempfile.gettempdir()}/spark_graft_sig_store_{abs(hash(sf_dir))}"
+    path = f"{tempfile.gettempdir()}/spark_graft_sig_store_{stable_work_key(sf_dir)}"
     store_sig.write.mode("overwrite").parquet(path)
     batch_sig = dedup.minhash_signatures(
         corpus.filter(F.col("id") >= 100000), "text", "id", num_hashes=16, n=3
@@ -2812,7 +2813,7 @@ def dsir_incremental_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     is_t = F.col("source").isin("src0", "src1")
     h1 = dsir.dsir_histogram(docs.filter(F.col("doc_id") % 2 == 0), is_t)
-    path = f"{tempfile.gettempdir()}/spark_graft_dsir_hist_{abs(hash(sf_dir))}"
+    path = f"{tempfile.gettempdir()}/spark_graft_dsir_hist_{stable_work_key(sf_dir)}"
     h1.write.mode("overwrite").parquet(path)
     h2 = dsir.dsir_histogram(docs.filter(F.col("doc_id") % 2 == 1), is_t)
     merged = dsir.merge_dsir_histograms(
@@ -3001,7 +3002,7 @@ def ann_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     emb = _t(spark, sf_dir, "embeddings")
-    path = f"{tempfile.gettempdir()}/spark_graft_pq_index_{abs(hash(sf_dir))}"
+    path = f"{tempfile.gettempdir()}/spark_graft_pq_index_{stable_work_key(sf_dir)}"
     similarity.write_pq_index(emb, path, m=8, ks=16, train_iters=1, dim=64)
     return similarity.pq_index_topk(
         spark, path, emb.filter(F.col("vec_id") < 20), corpus=emb, k=5, rerank_n=50
@@ -3035,7 +3036,7 @@ def ann_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     day1 = emb.filter(F.col("vec_id") % 2 == 0)
     day2 = emb.filter(F.col("vec_id") % 2 == 1)
-    path = f"{tempfile.gettempdir()}/spark_graft_pq_append_{abs(hash(sf_dir))}"
+    path = f"{tempfile.gettempdir()}/spark_graft_pq_append_{stable_work_key(sf_dir)}"
     shutil.rmtree(path, ignore_errors=True)
     codes1, books = similarity.pq_encode(day1, m=8, ks=16, train_iters=1, dim=64)
     books.coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
@@ -3213,7 +3214,7 @@ def ann_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     emb = _t(spark, sf_dir, "embeddings")
-    path = f"{tempfile.gettempdir()}/spark_graft_ivfpq_index_{abs(hash(sf_dir))}"
+    path = f"{tempfile.gettempdir()}/spark_graft_ivfpq_index_{stable_work_key(sf_dir)}"
     shutil.rmtree(path, ignore_errors=True)
     similarity.write_ivfpq_index(
         emb, path, num_cells=8, m=8, ks=16, train_iters=1, dim=64
@@ -3253,7 +3254,7 @@ def ann_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     day1 = emb.filter(F.col("vec_id") % 2 == 0)
     day2 = emb.filter(F.col("vec_id") % 2 == 1)
     cents = similarity.seeded_centroids(emb, 8)
-    path = f"{tempfile.gettempdir()}/spark_graft_ivfpq_append_{abs(hash(sf_dir))}"
+    path = f"{tempfile.gettempdir()}/spark_graft_ivfpq_append_{stable_work_key(sf_dir)}"
     shutil.rmtree(path, ignore_errors=True)
     similarity.write_ivfpq_index(
         day1, path, num_cells=8, m=8, ks=16, train_iters=1, dim=64,

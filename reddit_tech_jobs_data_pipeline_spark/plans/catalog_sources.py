@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from reddit_tech_jobs_data_pipeline_spark.plans.catalog import _t, register
 from reddit_tech_jobs_data_pipeline_spark.sources.html_parse import drop_pinned, parse_post_records
+from reddit_tech_jobs_data_pipeline_spark.workdirs import stable_work_key
 
 # deterministic HTML synthesis from documents — same construction on both
 # engines; every 25th record is the pinned/stickied one (S5)
@@ -258,7 +259,7 @@ def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_orc_{abs(hash(sf_dir))}"
+        tempfile.gettempdir(), f"spark_graft_orc_{stable_work_key(sf_dir)}"
     )
     ev.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)

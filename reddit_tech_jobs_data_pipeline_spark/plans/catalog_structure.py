@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from reddit_tech_jobs_data_pipeline_spark.operators import classifier, structure
 from reddit_tech_jobs_data_pipeline_spark.plans.catalog import _t, register
+from reddit_tech_jobs_data_pipeline_spark.workdirs import stable_work_key
 
 # ---------------------------------------------------------------------------
 # shared page synthesis (Spark side)
@@ -759,7 +760,7 @@ def jsonl_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = _pages(_t(spark, sf_dir, "documents")).filter(F.col("text").isNotNull())
     path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_jsonl_{abs(hash(sf_dir))}"
+        tempfile.gettempdir(), f"spark_graft_jsonl_{stable_work_key(sf_dir)}"
     )
     pages.write.mode("overwrite").json(path)
     back = spark.read.json(path).select("doc_id", "source", "text")

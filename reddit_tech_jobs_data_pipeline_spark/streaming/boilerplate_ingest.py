@@ -37,6 +37,7 @@ from reddit_tech_jobs_data_pipeline_spark.streaming.events import (
 from reddit_tech_jobs_data_pipeline_spark.streaming.incremental_dedup import (
     _is_missing_path,
 )
+from reddit_tech_jobs_data_pipeline_spark.workdirs import stable_work_key
 
 #: sentinel line-hash carrying each batch's per-domain document count —
 #: real hashes are 32 hex chars, so collision is impossible by format
@@ -148,7 +149,7 @@ def run_boilerplate_ingest_batchlike(
     other's store/checkpoint (the run_hll_ingest_batchlike contract)."""
     work = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_boiler_{abs(hash((ident, n_tags, df_ratio)))}",
+        f"spark_graft_boiler_{stable_work_key(ident, n_tags, df_ratio)}",
     )
     src_dir = os.path.join(work, "src")
     store = os.path.join(work, "store")

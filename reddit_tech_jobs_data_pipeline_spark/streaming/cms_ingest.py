@@ -39,6 +39,7 @@ from reddit_tech_jobs_data_pipeline_spark.streaming.events import (
 from reddit_tech_jobs_data_pipeline_spark.streaming.incremental_dedup import (
     _is_missing_path,
 )
+from reddit_tech_jobs_data_pipeline_spark.workdirs import stable_work_key
 
 _STORE_SCHEMA = T.StructType(
     [
@@ -115,7 +116,7 @@ def run_cms_ingest_batchlike(
     store (token, est_n, rank) — by cell additivity this equals the
     single-pass batch sketch, which is what the oracle asserts."""
     work = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_cms_{abs(hash((sf_dir, n_tags, width)))}"
+        tempfile.gettempdir(), f"spark_graft_cms_{stable_work_key(sf_dir, n_tags, width)}"
     )
     src_dir = os.path.join(work, "src")
     store = os.path.join(work, "store")

@@ -32,6 +32,7 @@ from reddit_tech_jobs_data_pipeline_spark.sources.testdata import load_table
 from reddit_tech_jobs_data_pipeline_spark.streaming.events import (
     _stream_shuffle_partitions,
 )
+from reddit_tech_jobs_data_pipeline_spark.workdirs import stable_work_key
 
 
 def baseline_histogram(
@@ -121,7 +122,7 @@ def run_drift_psi_batchlike(
     persisted-model step); each foreachBatch call aggregates only its
     own rows."""
     work = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_drift_{abs(hash((sf_dir, n_tags)))}"
+        tempfile.gettempdir(), f"spark_graft_drift_{stable_work_key(sf_dir, n_tags)}"
     )
     src_dir = os.path.join(work, "src")
     out_dir = os.path.join(work, "out")

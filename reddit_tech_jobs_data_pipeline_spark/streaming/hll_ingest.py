@@ -40,6 +40,7 @@ from reddit_tech_jobs_data_pipeline_spark.streaming.events import (
 from reddit_tech_jobs_data_pipeline_spark.streaming.incremental_dedup import (
     _is_missing_path,
 )
+from reddit_tech_jobs_data_pipeline_spark.workdirs import stable_work_key
 
 _STORE_SCHEMA = T.StructType(
     [
@@ -105,7 +106,7 @@ def run_hll_ingest_batchlike(
     values, so n_batches_merged is exactly the number of tags in which
     the type occurs — which the oracle recomputes in SQL."""
     work = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_hll_{abs(hash((sf_dir, n_tags)))}"
+        tempfile.gettempdir(), f"spark_graft_hll_{stable_work_key(sf_dir, n_tags)}"
     )
     src_dir = os.path.join(work, "src")
     store = os.path.join(work, "store")

@@ -347,3 +347,52 @@ def test_ivfpq_append_equals_one_shot(spark, tmp_path):
         ).collect()
     }
     assert a == b
+
+
+def test_append_derives_geometry_from_books_and_rejects_mismatch(spark, tmp_path):
+    # the index's geometry lives in the persisted books, NOT the caller's
+    # dim argument: a wrong dim must be refused (not slice wrong
+    # subvectors and append plausible-but-garbage codes), and so must
+    # delta vectors whose length disagrees with the books
+    emb = load_table(spark, SF_DIR, "embeddings")
+    day1 = emb.filter(F.col("vec_id") % 2 == 0)
+    day2 = emb.filter(F.col("vec_id") % 2 == 1)
+
+    path = str(tmp_path / "pq_geo")
+    similarity.write_pq_index(day1, path, m=8, ks=16, dim=64)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="inconsistent with persisted books"):
+        similarity.append_pq_index(spark, day2, path, dim=32)
+
+    # delta vectors shorter than the index dim are refused too
+    short = day2.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
+    with pytest.raises(ValueError, match="delta vector lengths"):
+        similarity.append_pq_index(spark, short, path, dim=64)
+
+    # correct dim still appends fine after the failed attempts
+    similarity.append_pq_index(spark, day2, path, dim=64)
+    n = spark.read.parquet(f"{path}/codes").count()
+    assert n == emb.count()
+
+
+def test_ivfpq_append_rejects_geometry_mismatch(spark, tmp_path):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    day1 = emb.filter(F.col("vec_id") % 2 == 0)
+    day2 = emb.filter(F.col("vec_id") % 2 == 1)
+
+    path = str(tmp_path / "ivfpq_geo")
+    similarity.write_ivfpq_index(day1, path, num_cells=4, m=8, ks=16, dim=64)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="inconsistent with persisted books"):
+        similarity.append_ivfpq_index(spark, day2, path, dim=128)
+
+    short = day2.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    with pytest.raises(ValueError, match="delta vector lengths"):
+        similarity.append_ivfpq_index(spark, short, path, dim=64)
+
+    similarity.append_ivfpq_index(spark, day2, path, dim=64)
+    assert spark.read.parquet(f"{path}/codes").count() == emb.count()

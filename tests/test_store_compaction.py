@@ -130,3 +130,128 @@ def test_boilerplate_store_compaction_preserves_decision(spark, tmp_path):
         tuple(r) for r in merged_boilerplate(spark, store).collect()
     )
     assert after == before
+
+
+def _cell_dirs(path: str) -> list[str]:
+    return sorted(
+        os.path.basename(d)
+        for d in glob.glob(os.path.join(path, "cell_id=*"))
+        if os.path.isdir(d)
+    )
+
+
+def test_compact_append_store_refuses_partitioned_layout(spark, tmp_path):
+    # a flat rewrite of a cell_id= partitioned index would destroy the
+    # directory layout probe pruning depends on — it must refuse
+    import pytest
+
+    from reddit_tech_jobs_data_pipeline_spark.operators import similarity
+    from reddit_tech_jobs_data_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = similarity.seeded_centroids(emb, 4)
+    idx = str(tmp_path / "ivf_idx")
+    similarity.write_ivf_index(emb, cents, idx)
+    with pytest.raises(ValueError, match="partitioned by \\['cell_id'\\]"):
+        compact_append_store(spark, idx)
+    # layout untouched by the refusal
+    assert _cell_dirs(idx) and spark.read.parquet(idx).count() == emb.count()
+
+
+def test_compact_ivf_index_preserves_layout_and_probe(spark, tmp_path):
+    from reddit_tech_jobs_data_pipeline_spark.operators import similarity
+    from reddit_tech_jobs_data_pipeline_spark.operators.maintenance import (
+        compact_ivf_index,
+        partition_dirs,
+    )
+    from reddit_tech_jobs_data_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = similarity.seeded_centroids(emb, 4)
+    idx = str(tmp_path / "ivf_idx")
+    # build + 3 appends → hot-cell fragments
+    similarity.write_ivf_index(emb.filter(F.col("vec_id") % 4 == 0), cents, idx)
+    for r in (1, 2, 3):
+        similarity.append_ivf_index(
+            emb.filter(F.col("vec_id") % 4 == r), cents, idx
+        )
+    queries = emb.filter(F.col("vec_id") < 10)
+    before = sorted(
+        tuple(r)
+        for r in similarity.ivf_index_topk(
+            spark, idx, queries, cents, k=5, nprobe=2
+        ).collect()
+    )
+    n_frag_before = len(glob.glob(os.path.join(idx, "cell_id=*", "*.parquet")))
+
+    compact_ivf_index(spark, idx)
+
+    assert partition_dirs(spark, idx) == ["cell_id"]  # layout preserved
+    n_frag_after = len(glob.glob(os.path.join(idx, "cell_id=*", "*.parquet")))
+    assert n_frag_after < n_frag_before
+    after = sorted(
+        tuple(r)
+        for r in similarity.ivf_index_topk(
+            spark, idx, queries, cents, k=5, nprobe=2
+        ).collect()
+    )
+    assert after == before  # probe results invariant
+
+
+def test_compact_ivf_index_handles_nested_ivfpq_codes(spark, tmp_path):
+    # write_ivfpq_index nests cell_id= dirs at path/codes beside the
+    # frozen books/cents model tables — the wrapper must find and
+    # compact codes/ only, leaving the model tables untouched
+    from reddit_tech_jobs_data_pipeline_spark.operators import similarity
+    from reddit_tech_jobs_data_pipeline_spark.operators.maintenance import (
+        compact_ivf_index,
+        partition_dirs,
+    )
+    from reddit_tech_jobs_data_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    idx = str(tmp_path / "ivfpq_idx")
+    similarity.write_ivfpq_index(
+        emb.filter(F.col("vec_id") % 2 == 0), idx, num_cells=4, m=8, ks=16, dim=64
+    )
+    similarity.append_ivfpq_index(
+        spark, emb.filter(F.col("vec_id") % 2 == 1), idx, dim=64
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    before = sorted(
+        tuple(r)
+        for r in similarity.ivfpq_index_topk(
+            spark, idx, queries, corpus=emb, k=5, nprobe=2, rerank_n=50
+        ).collect()
+    )
+    books_before = sorted(
+        os.path.basename(f) for f in glob.glob(os.path.join(idx, "books", "*"))
+    )
+
+    compact_ivf_index(spark, idx)
+
+    assert partition_dirs(spark, os.path.join(idx, "codes")) == ["cell_id"]
+    books_after = sorted(
+        os.path.basename(f) for f in glob.glob(os.path.join(idx, "books", "*"))
+    )
+    assert books_after == books_before  # model tables untouched
+    after = sorted(
+        tuple(r)
+        for r in similarity.ivfpq_index_topk(
+            spark, idx, queries, corpus=emb, k=5, nprobe=2, rerank_n=50
+        ).collect()
+    )
+    assert after == before
+
+
+def test_compact_ivf_index_refuses_flat_store(spark, tmp_path):
+    import pytest
+
+    from reddit_tech_jobs_data_pipeline_spark.operators.maintenance import (
+        compact_ivf_index,
+    )
+
+    flat = str(tmp_path / "flat")
+    _docs(spark).limit(10).write.parquet(flat)
+    with pytest.raises(ValueError, match="cell_id= partition layout"):
+        compact_ivf_index(spark, flat)
