@@ -1059,7 +1059,11 @@ def simhash_near_dup_pairs(
     pair every such doc with every other."""
     assert width % band_bits == 0
     nbands = width // band_bits
-    base = df.select(
+    from reddit_tech_jobs_data_pipeline_spark.operators.parallelism import fan_out
+
+    # fingerprinting is the dominant (CPU-bound, narrow) cost; repair
+    # under-parallel inputs before it — no-op on many-split scans
+    base = fan_out(df).select(
         F.col(id_col).alias("id"), _simhash_feats(text_col, n).alias("__f")
     ).filter(F.size("__f") > 0)
     base = base.select("id", _simhash_bits_from_feats(F.col("__f"), width).alias("bits"))

@@ -421,61 +421,125 @@ def sssp_min_dist(
     dst: str = "dst",
     weight: str = "w",
     broadcast: bool = True,
+    n_buckets: int = 8,
 ) -> DataFrame:
-    """Weighted single-source shortest paths (Bellman-Ford relaxation):
-    (node, dist) with dist = min total edge weight from ``seed``;
-    unreachable nodes absent. Integer weights ⇒ bit-exact on any engine.
+    """Weighted single-source shortest paths: (node, dist) with dist =
+    min total edge weight from ``seed``; unreachable nodes absent.
+    Integer weights ⇒ bit-exact on any engine.
 
-    Each round relaxes EVERY current distance through the edge list and
-    folds with ``min`` (union + groupBy — map-side combined), converging
-    in ≤ longest-shortest-path-hops rounds with an early stop as soon as
-    a round improves nothing. Same scale template as bfs_min_hops: the
-    distance table is localCheckpointed per round (O(1) plan depth), the
-    edge list is cached once and released in ``finally``, and
-    ``broadcast=False`` hash-partitions the relax join for distance
-    tables too big to ship — nothing need fit on one machine.
-    """
+    Algorithm: BUCKETED GAUSS-SEIDEL relaxation. Edges are ranged into
+    ``n_buckets`` by src id; each global round cogroups the current
+    distance table with its bucket's edge block and runs vectorized
+    Bellman-Ford to LOCAL FIXPOINT inside the task (pandas merge/groupby
+    per local sweep — C speed, no per-row Python), emitting only
+    improved/new distances; a global min-fold + checkpoint closes the
+    round. Because every round fully relaxes each bucket's subgraph,
+    distances cross an entire bucket per round instead of one edge: a
+    high-diameter graph (chain, road, supply ladder — where node ids
+    correlate with topology) converges in ~n_buckets rounds instead of
+    ~diameter rounds. Measured at sf0.1 on the 300-hop chain+skip DAG:
+    one-hop-per-job Bellman-Ford took 46 s (310 jobs, pure scheduling
+    overhead); this runs the same query in a handful of rounds. On
+    id-scrambled graphs each round still performs ≥1 textbook relaxation
+    sweep, so convergence never needs more rounds than classic
+    Bellman-Ford — ``max_iters`` keeps its meaning as a safe upper
+    bound. Scale dials: per-round cost is one (dist+delta)-sized shuffle
+    regardless of n_buckets; raise n_buckets so a bucket's edge block
+    fits one task's memory (the applyInPandas contract shared with
+    operators/sequential.py), which trades rounds for memory only on
+    id-local graphs. Convergence is detected by a (count, sum(dist))
+    checksum on the materialized table — distances only ever decrease
+    and rows are only added, so an unchanged checksum ⟺ a fixpoint; no
+    join-and-isEmpty job. ``broadcast`` is retained for API
+    compatibility and ignored: the cogroup route has no broadcastable
+    side (both former modes run the identical plan)."""
     spark = edges.sparkSession
-    e = (
-        edges.select(
-            F.col(src).alias("src"),
-            F.col(dst).alias("dst"),
-            F.col(weight).cast("long").alias("w"),
-        )
-        .distinct()
-        .cache()
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).cast("long").alias("w"),
+    ).distinct()
+    bounds = e.agg(F.min("src").alias("lo"), F.max("src").alias("hi")).first()
+    seed_df = spark.range(1).select(
+        F.lit(seed).cast("long").alias("node"), F.lit(0).cast("long").alias("d")
     )
-    # scale mode (broadcast=False) sizes the loop's pin from the edge
-    # count; the broadcast test-SF mode keeps the fixed pin and lazy fill
-    n_edges = None if broadcast else e.count()
-    with iterative_shuffle_partitions(spark, rows=n_edges):
-        try:
-            hint = F.broadcast if broadcast else (lambda df: df)
-            dist = (
-                spark.range(1)
-                .select(F.lit(seed).cast("long").alias("node"), F.lit(0).cast("long").alias("d"))
-                .localCheckpoint()
+    if bounds.lo is None:
+        return seed_df.select("node", F.col("d").alias("dist"))
+    lo, span = int(bounds.lo), max(int(bounds.hi) - int(bounds.lo) + 1, 1)
+    p = max(1, int(n_buckets))
+
+    def _bucket(c):
+        # same function routes edges (by src) and distances (by node),
+        # so a node's row always meets its out-edges; ids outside
+        # [lo, hi] (dst-only sinks) clamp to the edge buckets' range
+        raw = F.floor(((c - F.lit(lo)) * p) / F.lit(span))
+        return F.greatest(F.lit(0), F.least(F.lit(p - 1), raw)).cast("int")
+
+    eb = e.withColumn("b", _bucket(F.col("src"))).cache()
+
+    def _local_relax(_key, e_pdf, d_pdf):
+        import pandas as pd
+
+        if d_pdf.empty or e_pdf.empty:
+            return pd.DataFrame({"node": [], "d": []}).astype(
+                {"node": "int64", "d": "int64"}
             )
+        incoming = d_pdf.groupby("node", as_index=False)["d"].min()
+        best = incoming.copy()
+        # vectorized local sweeps to fixpoint; non-negative-cycle safety
+        # cap: a shortest path inside the bucket uses < |local nodes| edges
+        cap = len(set(e_pdf["src"]) | set(e_pdf["dst"])) + 1
+        for _ in range(cap):
+            cand = e_pdf.merge(best, left_on="src", right_on="node")
+            if cand.empty:
+                break
+            cand = (
+                (cand["d"] + cand["w"])
+                .to_frame("d")
+                .assign(node=cand["dst"].values)
+                .groupby("node", as_index=False)["d"]
+                .min()
+            )
+            merged = (
+                pd.concat([best, cand], ignore_index=True)
+                .groupby("node", as_index=False)["d"]
+                .min()
+            )
+            if merged.equals(best):
+                break
+            best = merged
+        # emit only improvements/news — the global fold retains the rest
+        out = best.merge(incoming, on="node", how="left", suffixes=("", "_in"))
+        out = out[out["d_in"].isna() | (out["d"] < out["d_in"])]
+        return out[["node", "d"]].astype({"node": "int64", "d": "int64"})
+
+    with iterative_shuffle_partitions(spark):
+        try:
+            dist = seed_df.localCheckpoint()
+            checksum = (1, 0)
             for _ in range(max_iters):
-                cand = e.join(hint(dist), e.src == dist.node).select(
-                    F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d")
+                db = dist.withColumn("b", _bucket(F.col("node")))
+                delta = (
+                    eb.groupBy("b")
+                    .cogroup(db.groupBy("b"))
+                    .applyInPandas(_local_relax, "node long, d long")
                 )
-                relaxed = (
-                    dist.unionByName(cand)
+                dist = (
+                    dist.unionByName(delta)
                     .groupBy("node")
                     .agg(F.min("d").alias("d"))
                     .localCheckpoint()
                 )
-                improved = relaxed.join(
-                    hint(dist.withColumnRenamed("d", "d_old")), "node", "left"
-                ).filter(F.col("d_old").isNull() | (F.col("d") < F.col("d_old")))
-                done = improved.isEmpty()
-                dist = relaxed
-                if done:
+                row = dist.agg(
+                    F.count("*").alias("n"), F.sum("d").alias("s")
+                ).first()
+                new_checksum = (int(row.n), int(row.s))
+                if new_checksum == checksum:
                     break
+                checksum = new_checksum
             return dist.select("node", F.col("d").alias("dist"))
         finally:
-            e.unpersist()
+            eb.unpersist()
 
 
 def hits(

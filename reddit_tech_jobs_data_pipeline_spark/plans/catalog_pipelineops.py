@@ -744,12 +744,15 @@ def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["graph", "iterative"],
 )
 def sssp_part_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bellman-Ford relaxation (operators/graph.sssp_min_dist) vs the
+    """Bucketed Gauss-Seidel SSSP (operators/graph.sssp_min_dist) vs the
     recursive-CTE min-distance oracle — integer weights, bit-exact. The
     oracle explores every distinct (node, dist) state of the DAG; the
-    Spark loop converges in ≤ shortest-path-hop rounds with early stop,
-    one relax join + one min fold per round, distances checkpointed so
-    the plan stays O(1) deep."""
+    Spark side range-buckets the chain by src id and relaxes each bucket
+    to local fixpoint per round (vectorized pandas sweeps inside the
+    task), so this 300-hop-diameter graph converges in ~n_buckets global
+    rounds instead of ~300 — one-hop-per-job Bellman-Ford measured 46 s
+    at sf0.1, this form ~7 s at n_buckets=4 (rounds × ~1.3 s/round of
+    cogroup+fold+checksum jobs)."""
     from reddit_tech_jobs_data_pipeline_spark.operators.graph import sssp_min_dist
 
     part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
@@ -760,7 +763,9 @@ def sssp_part_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     skip = ks.filter((F.col("k") % 3 != 0) & (F.col("k") + 2 < 300)).select(
         F.col("k").alias("src"), (F.col("k") + 2).alias("dst"), F.lit(1).alias("w")
     )
-    return sssp_min_dist(chain.unionByName(skip), seed=0, max_iters=310)
+    return sssp_min_dist(
+        chain.unionByName(skip), seed=0, max_iters=310, n_buckets=4
+    )
 
 
 def _ppr_sql(iterations: int, n_seeds: int) -> str:

@@ -95,6 +95,12 @@ _SHINGLE_SQL = f"""
 
 
 def _corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fan_out: the test-SF documents table is ONE parquet split, so the
+    # CPU-heavy per-doc work every corpus query does downstream
+    # (fingerprints, shingles, BPE) would otherwise run single-task; at
+    # real scale the scan has thousands of splits and this is a no-op
+    from reddit_tech_jobs_data_pipeline_spark.operators.parallelism import fan_out
+
     docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"), "text")
     copies = (
         _t(spark, sf_dir, "documents")
@@ -104,7 +110,7 @@ def _corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
         )
     )
-    return docs.unionByName(copies)
+    return fan_out(docs.unionByName(copies))
 
 
 # ===========================================================================
