@@ -1434,3 +1434,43 @@ def duplicate_span_clip(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    n_buckets: int = 10,
+    train_buckets: int = 8,
+    val_buckets: int = 1,
+) -> DataFrame:
+    """Dedup-cluster-aware train/val/test assignment — the leakage guard
+    every LLM data pipeline needs between dedup and training: a naive
+    per-document hash split puts near-duplicates on BOTH sides of the
+    train/eval boundary, and the eval set silently scores memorization.
+    Here the split unit is the near-dup CLUSTER: components of the
+    ``pairs`` graph (star contraction, O(log n) rounds) give every doc a
+    ``group_id`` (component min id; singletons group as themselves), and
+    the split is a deterministic hash of the GROUP — md5(group_id)'s
+    first 16 bits mod ``n_buckets``, engine-portable and stable across
+    runs/backfills (no RNG, no seed drift) — so an entire cluster lands
+    on one side by construction. Buckets [0, train) → 'train',
+    [train, train+val) → 'val', rest → 'test'. Returns
+    (id, group_id, split). One CC pass + one broadcast-free left join;
+    the hash adds no shuffle."""
+    clusters = cluster_near_dups_star(pairs)
+    base = docs.select(F.col(id_col).alias("id"))
+    grouped = base.join(clusters, "id", "left").select(
+        "id", F.coalesce("cluster_id", F.col("id")).alias("group_id")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("group_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % n_buckets
+    )
+    split = (
+        F.when(bucket < train_buckets, "train")
+        .when(bucket < train_buckets + val_buckets, "val")
+        .otherwise("test")
+    )
+    return grouped.withColumn("split", split)

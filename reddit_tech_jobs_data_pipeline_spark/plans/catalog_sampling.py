@@ -554,3 +554,34 @@ def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     return shuffling.epoch_shuffle(docs, "doc_id", seed="s0", epoch=1, num_shards=8)
+
+
+@register(
+    "group_kfold_assignment",
+    """
+    SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 5
+             AS fold,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+    tags=["sampling", "split"],
+)
+def group_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware k-fold assignment (sklearn's GroupKFold contract,
+    hash-deterministic): fold = md5(user_id) mod k, so EVERY event of a
+    user lands in one fold — the per-event random fold would leak a
+    user's behavior across train/eval exactly like a per-doc dedup split
+    leaks near-dups (see leakage_safe_split). Deterministic hash ⇒
+    stable across reruns and engines, no stored fold table needed; one
+    map-side expression, fold summary is a single groupBy."""
+    ev = _t(spark, sf_dir, "events")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 5
+    )
+    return ev.withColumn("fold", fold).groupBy("fold").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -3422,3 +3422,135 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     See operators/similarity.mmr_topk."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.mmr_topk(emb, query_id=0, k=4, lam=0.7)
+
+
+# ===========================================================================
+# Leakage-safe train/val/test split (operators/dedup.leakage_safe_split):
+# the guard between dedup and training — split by near-dup CLUSTER, not by
+# document, so no pair of near-duplicates ever straddles the train/eval
+# boundary. The audit query measures what the naive per-doc split would
+# have leaked on the same corpus.
+# ===========================================================================
+
+_CC_SPLIT_SQL = f"""
+    {_minhash_sql(16, 4)},
+    {_JACCARD_VERIFY_SQL.format(candidate_filter="JOIN cand ON cand.id_a = a.id AND cand.id_b = b.id")},
+    pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard_raw >= 0.7),
+    cedges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT src, src FROM cedges
+      UNION
+      SELECT e.src, r.label FROM cedges e JOIN reach r ON e.dst = r.id
+    ),
+    cc AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+    grouped AS (
+      SELECT c.id, coalesce(cc.cluster_id, c.id) AS group_id
+      FROM corpus c LEFT JOIN cc ON cc.id = c.id
+    ),
+    assigned AS (
+      SELECT id, group_id,
+             ('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 4))::BIGINT % 10
+               AS bucket
+      FROM grouped
+    ),
+    splits AS (
+      SELECT id, group_id,
+             CASE WHEN bucket < 8 THEN 'train'
+                  WHEN bucket < 9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM assigned
+    )
+"""
+
+
+@register(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE {_CORPUS_SQL}, {_SHINGLE_SQL},
+    {_CC_SPLIT_SQL}
+    SELECT id, group_id, split FROM splits
+    """,
+    tags=["dedup", "split", "iterative", "scale"],
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware split assignment: MinHash-LSH pairs → star-contraction
+    CC → md5(group) bucket split (80/10/10). Every near-dup cluster lands
+    wholly in one split; the oracle replays CC via recursive CTE and the
+    identical md5-bucket arithmetic (hex-parse parity pinned by the
+    minhash family oracles)."""
+    corpus = _corpus_df(spark, sf_dir)
+    pairs = dedup.minhash_lsh_dedup_pairs(
+        corpus, "text", "id", num_hashes=16, bands=4, n=3, threshold=0.7
+    )
+    return dedup.leakage_safe_split(corpus, pairs)
+
+
+@register(
+    "split_leakage_audit",
+    f"""
+    WITH RECURSIVE {_CORPUS_SQL}, {_SHINGLE_SQL},
+    {_CC_SPLIT_SQL},
+    naive AS (
+      SELECT id,
+             CASE WHEN ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 4))::BIGINT % 10 < 8
+                  THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 4))::BIGINT % 10 < 9
+                  THEN 'val'
+                  ELSE 'test' END AS split
+      FROM corpus
+    ),
+    audits AS (
+      SELECT 'doc_hash' AS scheme, count(*) AS crossing_pairs
+      FROM pairs p JOIN naive a ON a.id = p.id_a JOIN naive b ON b.id = p.id_b
+      WHERE a.split <> b.split
+      UNION ALL
+      SELECT 'cluster_hash' AS scheme, count(*) AS crossing_pairs
+      FROM pairs p JOIN splits a ON a.id = p.id_a JOIN splits b ON b.id = p.id_b
+      WHERE a.split <> b.split
+    )
+    SELECT scheme, crossing_pairs FROM audits
+    """,
+    tags=["dedup", "split", "iterative", "scale"],
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts verified near-dup pairs whose endpoints land in DIFFERENT
+    splits under (a) the naive per-document hash split and (b) the
+    cluster-aware split — the measured property the operator exists for:
+    (b) is 0 by construction (both endpoints of every pair share a
+    component, hence a group_id, hence a split), while (a) leaks ~2·P/10·
+    (n_buckets-1)/n_buckets of pairs across the boundary. Same pair set,
+    same hash family on both engines."""
+    corpus = _corpus_df(spark, sf_dir)
+    pairs = dedup.minhash_lsh_dedup_pairs(
+        corpus, "text", "id", num_hashes=16, bands=4, n=3, threshold=0.7
+    ).localCheckpoint()
+    aware = dedup.leakage_safe_split(corpus, pairs)
+
+    def _bucket_split(col):
+        bucket = (
+            F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast("long")
+            % 10
+        )
+        return (
+            F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
+        )
+
+    naive = corpus.select("id", _bucket_split(F.col("id")).alias("split"))
+
+    def _crossings(splits: DataFrame, scheme: str) -> DataFrame:
+        a = splits.select(F.col("id").alias("id_a"), F.col("split").alias("sa"))
+        b = splits.select(F.col("id").alias("id_b"), F.col("split").alias("sb"))
+        return (
+            pairs.join(a, "id_a")
+            .join(b, "id_b")
+            .filter(F.col("sa") != F.col("sb"))
+            .agg(F.count(F.lit(1)).alias("crossing_pairs"))
+            .select(F.lit(scheme).alias("scheme"), "crossing_pairs")
+        )
+
+    return _crossings(naive, "doc_hash").unionByName(
+        _crossings(aware.select("id", "split"), "cluster_hash")
+    )

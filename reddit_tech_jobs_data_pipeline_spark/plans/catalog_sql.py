@@ -478,3 +478,47 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(F.broadcast(b), a.lang_key.eqNullSafe(b.lang_key)).select(
         "doc_id", F.coalesce("lang_raw", F.lit("?")).alias("matched_lang"), "n_docs"
     )
+
+
+@register(
+    "recursive_cte_part_ancestry",
+    """
+    WITH RECURSIVE anc(k, node, depth, cost) AS (
+      SELECT p_partkey, p_partkey, 0, CAST(0 AS BIGINT)
+      FROM part WHERE p_partkey BETWEEN 1 AND 511
+      UNION ALL
+      SELECT a.k, a.node // 2, a.depth + 1, a.cost + a.node % 7 + 1
+      FROM anc a WHERE a.node >= 2
+    )
+    SELECT k, max(depth) AS depth, max(cost) AS root_cost
+    FROM anc GROUP BY k
+    """,
+    tags=["sql", "recursive-cte", "iterative"],
+)
+def recursive_cte_part_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1's native WITH RECURSIVE (UnionLoop in the plan) run on
+    the ENGINE side, not just the oracle: binary-heap ancestry
+    (node -> node div 2, edge weight node%7+1) gives every part a unique
+    root path, so UNION ALL recursion terminates in ~log2(512) = 9 steps
+    with O(n log n) total rows and no path explosion (the shape to avoid:
+    recursing over a multi-path DAG under UNION ALL enumerates every
+    path). The iterative SSSP/BFS operators remain the right tool for
+    shared-path graphs; this covers the genuinely-hierarchical cases
+    (BOM explosion, org charts, category trees) where the declarative
+    recursion IS the natural plan. Only dialect difference vs the DuckDB
+    oracle: integer division spells DIV in Spark, // in DuckDB —
+    identical floor-toward-zero on the non-negative keys used here."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(k, node, depth, cost) AS (
+          SELECT p_partkey, p_partkey, 0, CAST(0 AS BIGINT)
+          FROM part WHERE p_partkey BETWEEN 1 AND 511
+          UNION ALL
+          SELECT a.k, a.node DIV 2, a.depth + 1, a.cost + a.node % 7 + 1
+          FROM anc a WHERE a.node >= 2
+        )
+        SELECT k, max(depth) AS depth, max(cost) AS root_cost
+        FROM anc GROUP BY k
+        """
+    )
