@@ -846,6 +846,10 @@ def pq_encode(
     )
 
     sub = dim // m
+    # no fan_out here, deliberately: the encode plan re-references the
+    # corpus from many branches (m trainings + m assigns), and an A/B at
+    # sf0.1 measured the extra repartition exchanges costing ~1.8× (3.6 s
+    # -> 5.7-7 s) — the subspace sweeps are exchange-bound, not scan-bound
     base = corpus.select(F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("__v"))
     codes = None
     books = None
@@ -896,8 +900,13 @@ def pq_topk(
     pipeline in SQL (recall pinned in tests/test_pq_ann.py).
 
     Output: (query_id, neighbor_id, cosine, rank) — brute_force_topk's
-    contract; with rerank the cosine is the EXACT one."""
+    contract; with rerank the cosine is the EXACT one. Codes/books are
+    localCheckpointed at the train/score boundary (the ivfpq_topk
+    rationale: lazy, they are re-derived per consuming branch — the
+    persisted write_pq_index path is the production form)."""
     codes, books = pq_encode(corpus, m, ks, train_iters, dim, id_col, vec_col)
+    codes = codes.localCheckpoint()
+    books = books.localCheckpoint()
     c = _pq_reconstruct(codes, books, m)
     q = queries.select(
         F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qvec")
@@ -1085,8 +1094,17 @@ def ivfpq_topk(
     a sample + one encode pass; persist codes partitioned by cell_id
     (write_ivf_index's layout with m-byte payloads) and the probe reads
     nprobe cells × m bytes/vector. Output: (query_id, neighbor_id,
-    cosine, rank) — brute_force_topk's contract."""
-    cents = seeded_centroids(corpus, num_cells, id_col, vec_col)
+    cosine, rank) — brute_force_topk's contract.
+
+    The train-inline pipeline MATERIALIZES its stage boundaries
+    (centroids, residuals, codes/books — localCheckpoint): downstream
+    consumers reference each of them from several branches, and leaving
+    the whole thing lazy re-derived assignment+residual per branch —
+    measured ~2× at sf0.1 (11-13 s → 6.2 s, bit-identical). The
+    materialized bytes are corpus-sized — exactly what the persisted
+    write_ivfpq_index path writes to parquet once; that remains the
+    production form (this form re-trains per call by design)."""
+    cents = seeded_centroids(corpus, num_cells, id_col, vec_col).localCheckpoint()
     c = corpus.select(F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("v"))
     assigned = ivf_assign_cells(c, cents, nprobe=1, id_col="vec_id")
     resid = assigned.join(F.broadcast(cents), "cell_id").select(
@@ -1094,11 +1112,13 @@ def ivfpq_topk(
         "cell_id",
         F.col("cvec").alias("coarse"),
         F.zip_with("v", "cvec", lambda a, b: a - b).alias("r"),
-    )
+    ).localCheckpoint()
     codes, books = pq_encode(
         resid.select("vec_id", F.col("r").alias("embedding")),
         m, ks, train_iters, dim,
     )
+    codes = codes.localCheckpoint()
+    books = books.localCheckpoint()
     rrec = _pq_reconstruct(codes, books, m).withColumnRenamed("cvec", "rrec")
     cand = rrec.join(
         resid.select(
@@ -1186,12 +1206,14 @@ def write_ivfpq_index(
         centroids
         if centroids is not None
         else seeded_centroids(corpus, num_cells, id_col, vec_col)
-    )
+    ).localCheckpoint()
     c = corpus.select(F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("v"))
     assigned = ivf_assign_cells(c, cents, nprobe=1, id_col="vec_id")
+    # checkpoint: referenced by both the encode below and the final
+    # cell_id join — lazy, the assignment pass would run twice
     resid = assigned.join(F.broadcast(cents), "cell_id").select(
         "vec_id", "cell_id", F.zip_with("v", "cvec", lambda a, b: a - b).alias("r")
-    )
+    ).localCheckpoint()
     codes, books = pq_encode(
         resid.select("vec_id", F.col("r").alias("embedding")),
         m, ks, train_iters, dim,
