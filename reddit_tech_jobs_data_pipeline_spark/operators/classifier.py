@@ -143,6 +143,55 @@ def logreg_train(
     return w, b
 
 
+def logreg_train_collected(
+    rows: list,
+    label_idx: int,
+    lr: float = 1.0,
+    iters: int = 30,
+    l2: float = 0.0,
+) -> tuple[list[float], float]:
+    """Full-batch GD on an ALREADY-COLLECTED bounded training sample —
+    the production shape for corpus-quality classifiers (FastText/CCNet
+    style): the model trains on a labeled sample that fits one machine,
+    and only the SCORING pass is corpus-sized. Versus logreg_train's
+    one-Spark-job-per-iteration loop, this removes ``iters``
+    driver-synchronized jobs from the critical path (measured: the 60
+    synchronized aggregates alone cost ~9 s at sf0.1 regardless of data
+    size — pure scheduling) at the price of a bounded collect.
+
+    ``rows`` are (x_0..x_{d-1}, label) tuples with ``label`` at
+    ``label_idx``; arithmetic replicates logreg_train EXACTLY, including
+    SQL aggregate NULL semantics (a row with any NULL/None term is
+    skipped by the sums but still counted in n — F.sum vs F.count) and
+    Python's associativity in the updates (w − lr·(g/n), b − (lr·g)/n),
+    so the unrolled-SQL oracle contract carries over unchanged."""
+    import math
+
+    if not rows:
+        return [0.0] * max(label_idx, 0), 0.0
+    d = label_idx
+    w = [0.0] * d
+    b = 0.0
+    n_row = float(len(rows))
+    clean = [
+        r for r in rows if all(r[j] is not None for j in range(d + 1))
+    ]
+    for _ in range(iters):
+        g = [0.0] * d
+        gb = 0.0
+        for r in clean:
+            z = b
+            for j in range(d):
+                z = z + w[j] * r[j]
+            e = 1.0 / (1.0 + math.exp(-z)) - r[label_idx]
+            for j in range(d):
+                g[j] += e * r[j]
+            gb += e
+        w = [wi - lr * (gi / n_row + l2 * wi) for wi, gi in zip(w, g)]
+        b -= lr * gb / n_row
+    return w, b
+
+
 def log_loss(
     df: DataFrame,
     label_col: str,

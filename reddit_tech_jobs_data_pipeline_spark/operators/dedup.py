@@ -950,12 +950,15 @@ def edit_distance_near_dup_pairs(
     )
     sa = all_strs.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
     sb = all_strs.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
+    # threshold form: banded DP, O(max_dist·len) per verify instead of
+    # O(len²), -1 when the bound is exceeded — exact on kept pairs, so
+    # the result set is identical to the unbounded filter
     return (
         cand.unionByName(cand_short)
         .join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("dist", F.levenshtein("sa", "sb"))
-        .filter(F.col("dist") <= max_dist)
+        .withColumn("dist", F.levenshtein("sa", "sb", max_dist))
+        .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
     )
 

@@ -277,7 +277,12 @@ def _gd_train_sql(iters: int = 60, lr: float = 5.0) -> str:
              (f3 - m3) / (CASE WHEN s3 IS NULL OR s3 = 0 THEN 1.0 ELSE s3 END) AS x3
       FROM lab CROSS JOIN st
     )""",
-        "nn AS (SELECT count(*) * 1.0 AS n FROM z)",
+        # bounded deterministic training sample (doc_id % 5): the model
+        # trains on the sample, the gate scores EVERY doc — the
+        # train-small/score-everywhere production shape the Spark side
+        # implements with a collected-sample GD
+        "z_tr AS MATERIALIZED (SELECT * FROM z WHERE doc_id % 5 = 0)",
+        "nn AS (SELECT count(*) * 1.0 AS n FROM z_tr)",
         "w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS b)",
     ]
     sig = "1.0 / (1.0 + exp(-(b + w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3)))"
@@ -290,7 +295,7 @@ def _gd_train_sql(iters: int = 60, lr: float = 5.0) -> str:
       SELECT sum(e * x0) AS g0, sum(e * x1) AS g1,
              sum(e * x2) AS g2, sum(e * x3) AS g3, sum(e) AS gb
       FROM (SELECT {sig} - label AS e, x0, x1, x2, x3
-            FROM z CROSS JOIN w{i - 1})
+            FROM z_tr CROSS JOIN w{i - 1})
     ),
     w{i} AS MATERIALIZED (
       SELECT w0 - {lr} * (g0 / n) AS w0, w1 - {lr} * (g1 / n) AS w1,
@@ -323,16 +328,21 @@ def _gd_train_sql(iters: int = 60, lr: float = 5.0) -> str:
     tags=["corpus", "quality", "classifier", "iterative"],
 )
 def quality_classifier_train_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train-then-gate e2e: labels from a teacher rule (the pretrained
-    scorer's verdict), features z-scored in one extra aggregate pass
-    (unscaled GD sat at the base-rate predictor — see
-    classifier.standardize_features), 60 GD iterations — each ONE
-    aggregate pass over the cached feature frame — then the corpus is
-    filtered by the TRAINED model (measured 96.8% train accuracy vs the
-    teacher at sf0.01). Weights are rounded to 3 dp before the final
-    scoring so the keep-set is stable against float summation-order
-    drift between runs AND engines — which is what lets the oracle
-    replay the full 60-iteration GD unrolled in SQL (_gd_train_sql;
+    """Train-then-gate e2e, train-small/score-everywhere (the
+    FastText/CCNet production shape): labels from a teacher rule (the
+    pretrained scorer's verdict), features z-scored in one aggregate
+    pass over the FULL corpus (unscaled GD sat at the base-rate
+    predictor — see classifier.standardize_features), then 60 GD
+    iterations on a BOUNDED deterministic sample (doc_id % 5) collected
+    to the driver (classifier.logreg_train_collected — the previous
+    one-Spark-job-per-iteration loop cost ~9 s of pure scheduling at any
+    data size; the sample is the thing that's supposed to fit one
+    machine), and finally the WHOLE corpus is filtered by the trained
+    model as literal weights (96.8% train accuracy vs the teacher at
+    sf0.01). Weights round to 3 dp before the final scoring so the
+    keep-set is stable against float summation-order drift between runs
+    AND engines — which is what lets the oracle replay the full
+    60-iteration GD unrolled in SQL over the same sample (_gd_train_sql;
     value-hash-checked at sf0.001/0.01/0.1). Convergence vs a
     pure-python GD is additionally pinned in tests/test_classifier.py.
     Returns the kept docs' count per source."""
@@ -342,19 +352,24 @@ def quality_classifier_train_filter(spark: SparkSession, sf_dir: str) -> DataFra
     labeled = teacher.withColumn("label", (F.col("__t") >= 0.5).cast("double")).drop(
         "__t"
     )
-    std = classifier.standardize_features(labeled).cache()
-    try:
-        w, b = classifier.logreg_train(std, "label", lr=5.0, iters=60)
-        w = [round(x, 3) for x in w]
-        b = round(b, 3)
-        kept = classifier.logreg_score(std, w, b).filter(F.col("score") >= 0.5)
-        return (
-            kept.groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_kept"))
-            .orderBy("source")
-        )
-    finally:
-        std.unpersist()
+    std = classifier.standardize_features(labeled).localCheckpoint()
+    sample_rows = [
+        tuple(r)
+        for r in std.filter(F.col("doc_id") % 5 == 0)
+        .select(*classifier.FEATURE_COLS, "label")
+        .collect()
+    ]
+    w, b = classifier.logreg_train_collected(
+        sample_rows, label_idx=len(classifier.FEATURE_COLS), lr=5.0, iters=60
+    )
+    w = [round(x, 3) for x in w]
+    b = round(b, 3)
+    kept = classifier.logreg_score(std, w, b).filter(F.col("score") >= 0.5)
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
+    )
 
 
 # ---------------------------------------------------------------------------
