@@ -239,9 +239,18 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 where it prunes ~70% of in-block pairs). At 100 TB promote the
     band to a second blocking KEY (floor(len/3) with neighbor bands) so
     pruned pairs never materialize, and bound levenshtein's DP with its
-    threshold form."""
+    threshold form.
+
+    fan_out on the probe side: ``part`` arrives as ONE parquet split at
+    test SFs, and with the build side auto-broadcast the join's
+    parallelism equals the probe side's split count — one task was left
+    grinding the entire quadratic levenshtein load at sf1.0 (observed
+    stuck >10 min; 32-way it finishes in minutes). No-op on many-split
+    scans."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.parallelism import fan_out
+
     part = _t(spark, sf_dir, "part")
-    a = part.select(
+    a = fan_out(part).select(
         F.col("p_partkey").alias("p1"),
         F.col("p_brand").alias("brand"),
         F.col("p_name").alias("name1"),
