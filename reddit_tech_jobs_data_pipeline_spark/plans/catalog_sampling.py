@@ -585,3 +585,70 @@ def group_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "weighted_reservoir_sample",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             length(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                x -> x <> '')) + 1 AS w
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, source, CAST(w AS BIGINT) AS w,
+             round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        + 1) / 4294967297.0) / w, 6) AS es_key
+      FROM toks
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY es_key DESC, doc_id) AS rnk
+      FROM keyed
+    )
+    SELECT source, doc_id, w, es_key, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 4
+    """,
+    tags=["sampling", "scale", "float-tol"],
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group weighted reservoir (Efraimidis–Spirakis A-ES): keep the
+    k=4 docs per source with the largest key u^(1/w) — equivalently
+    ln(u)/w, monotone — giving each doc inclusion probability ∝ weight
+    (token count) WITHOUT a global pass over the group: at scale the
+    top-k-by-key is a map-side heap per partition + one k-row-per-group
+    merge, the streaming-friendly shape the systematic sampler
+    (weighted_systematic_sample, which needs the cumulative-weight axis)
+    can't give you. Randomness is the md5 hash of the doc id — the
+    repo's derandomization: identical across engines, runs, and
+    partitionings. Float discipline per the systematic sampler's
+    caveat: the exponential key is ROUNDED to 6 dp with a doc_id
+    tie-break before ranking, so a 1-ulp ln() divergence between
+    engines can't flip an order (float-tol tag covers the emitted key;
+    the rank itself is integer)."""
+    from pyspark.sql import Window
+
+    from reddit_tech_jobs_data_pipeline_spark.functions import text as textfn
+
+    docs = _t(spark, sf_dir, "documents")
+    w = (textfn.token_count(F.col("text")) + 1).cast("long")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / 4294967297.0
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        w.alias("w"),
+        F.round(F.log(u) / w, 6).alias("es_key"),
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.col("es_key").desc(), F.col("doc_id")
+    )
+    return (
+        keyed.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= 4)
+        .select("source", "doc_id", "w", "es_key", F.col("rnk").cast("long").alias("rnk"))
+    )
