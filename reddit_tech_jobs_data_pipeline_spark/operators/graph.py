@@ -648,3 +648,69 @@ def _hits(edges: DataFrame, iterations: int, commutative: bool) -> DataFrame:
     finally:
         edges.unpersist()
         nodes.unpersist()
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 30,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Matula & Beck 1983):
+    repeatedly drop every node whose degree within the surviving induced
+    subgraph is < k, until a fixpoint. Returns (node, deg) for the
+    surviving nodes with their in-core degree.
+
+    ``edges`` is an undirected edge list given in ONE direction; it is
+    symmetrized and de-duplicated here. Peeling is the textbook
+    distributed formulation: each round is one join of the edge list
+    against the alive set on BOTH endpoints plus one map-side-combined
+    groupBy — no per-node adjacency state, nothing driver-side but the
+    scalar alive-count convergence check. Rounds are bounded by the
+    graph's degeneracy ordering depth, NOT diameter; the catalog fixture
+    is constructed so the fixpoint is a constant 3 rounds at every SF
+    (long chains would peel O(n) rounds — a real k-core deployment
+    buckets by degree, cf. the SSSP bucketing in sssp_min_dist).
+
+    100 TB: alive shrinks monotonically; every join hash-partitions on
+    the node key (no broadcast requirement), each frontier is
+    localCheckpointed so the plan stays O(1) deep."""
+    spark = edges.sparkSession
+    sym = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .unionByName(
+            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .cache()
+    )
+    try:
+        with iterative_shuffle_partitions(spark):
+            alive = sym.select(F.col("src").alias("node")).distinct().localCheckpoint()
+            n_alive = alive.count()
+            for _ in range(max_rounds):
+                deg = (
+                    sym.join(alive.withColumnRenamed("node", "src"), "src")
+                    .join(
+                        alive.select(F.col("node").alias("dst")), "dst"
+                    )
+                    .groupBy("src")
+                    .agg(F.count(F.lit(1)).alias("deg"))
+                )
+                nxt = (
+                    deg.filter(F.col("deg") >= k)
+                    .select(F.col("src").alias("node"), "deg")
+                    .localCheckpoint()
+                )
+                n_next = nxt.count()
+                alive = nxt.select("node")
+                if n_next == n_alive:
+                    return nxt.select("node", F.col("deg").cast("long").alias("deg"))
+                n_alive = n_next
+                if n_next == 0:
+                    break
+            return nxt.select("node", F.col("deg").cast("long").alias("deg"))
+    finally:
+        sym.unpersist()

@@ -65,3 +65,55 @@ def capped_running_balance(
     return events.select("user_id", "event_id", "ts", "value").groupBy(
         "user_id"
     ).applyInPandas(_scan, schema=BALANCE_SCHEMA)
+
+
+CUSUM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("cusum", T.DoubleType(), True),
+        T.StructField("alarm", T.BooleanType(), False),
+    ]
+)
+
+
+def cusum_scan(
+    events: DataFrame,
+    target: float = 55.0,
+    threshold: float = 150.0,
+) -> DataFrame:
+    """One-sided CUSUM changepoint scan per user (Page 1954):
+    ``s_t = max(0, s_{t-1} + value_t - target)``, alarm when
+    ``s_t > threshold``, state resets to 0 after an alarm. Emits the
+    post-update pre-reset statistic and the alarm flag per event.
+
+    The reset makes this a clamped recurrence (like the capped balance
+    above): the state after each row depends on every intermediate
+    clamp/reset, so no window frame expresses it — this is the designed
+    applyInPandas escape hatch, one Arrow batch per user, and the oracle
+    is the identical recursive CTE. Same 100 TB shape as
+    capped_running_balance: parallelism = #users, one shuffle."""
+
+    def _scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        s = 0.0
+        vals, alarms = [], []
+        for v in pdf["value"]:
+            s = max(0.0, s + v - target)
+            fired = s > threshold
+            vals.append(s)
+            alarms.append(fired)
+            if fired:
+                s = 0.0
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].to_numpy(),
+                "user_id": pdf["user_id"].to_numpy(),
+                "cusum": vals,
+                "alarm": alarms,
+            }
+        )
+
+    return events.select("user_id", "event_id", "ts", "value").groupBy(
+        "user_id"
+    ).applyInPandas(_scan, schema=CUSUM_SCHEMA)

@@ -971,3 +971,105 @@ def hits_part_chain_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
     )
+
+
+# ===========================================================================
+# k-core decomposition — iterative peeling to a fixpoint on a block-local
+# clique+tail graph over part keys. The graph is CONSTRUCTED for bounded
+# peeling depth: each 12-node block carries a leading clique of size
+# 4 + (block % 3) and a chain tail; tails peel in <=2 rounds and cliques
+# of size >=5 survive k=4 (size-4 cliques have internal degree 3 and
+# dissolve), so the fixpoint is a constant 3 rounds at EVERY SF —
+# unlike the chain+skip graph, whose k-core would peel O(n) rounds.
+# ===========================================================================
+
+_KCORE_EDGES_SQL = """
+    cs AS (
+      SELECT p_partkey AS m,
+             p_partkey // 12      AS blk,
+             p_partkey % 12       AS pos,
+             4 + (p_partkey // 12) % 3 AS c
+      FROM part
+    ),
+    clique AS (
+      SELECT a.m AS src, b.m AS dst
+      FROM cs a JOIN cs b
+        ON a.blk = b.blk AND a.pos < b.pos
+       AND a.pos <= a.c - 1 AND b.pos <= a.c - 1
+    ),
+    chain AS (
+      SELECT a.m AS src, b.m AS dst
+      FROM cs a JOIN cs b ON b.m = a.m + 1 AND b.blk = a.blk
+      WHERE a.pos >= a.c - 1
+    ),
+    raw AS (SELECT src, dst FROM clique UNION ALL SELECT src, dst FROM chain),
+    sym AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM raw UNION ALL SELECT dst AS src, src AS dst FROM raw
+      ) WHERE src <> dst
+    )
+"""
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    parts = ["a0 AS (SELECT DISTINCT src AS node FROM sym)"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""a{i} AS (
+      SELECT e.src AS node, count(*) AS deg
+      FROM sym e
+      JOIN a{i - 1} u ON u.node = e.src
+      JOIN a{i - 1} v ON v.node = e.dst
+      GROUP BY e.src HAVING count(*) >= {k}
+    )"""
+        )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {_KCORE_EDGES_SQL},
+    {body}
+    SELECT node, CAST(deg AS BIGINT) AS deg FROM a{rounds}
+    """
+
+
+@register(
+    "kcore_parts",
+    _kcore_sql(k=4, rounds=6),
+    tags=["graph", "iterative"],
+)
+def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of the block-local clique+tail part graph: surviving nodes
+    with their in-core degree. Spark peels to the true fixpoint
+    (operators/graph.kcore); the oracle unrolls 6 peel rounds — the
+    fixture reaches its fixpoint in 3 at every SF (simulated to 200k
+    nodes; extra rounds are no-ops once stable), and
+    tests/test_graph_properties.py pins fixpoint-before-cap."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.graph import kcore
+
+    part = _t(spark, sf_dir, "part")
+    m = F.col("p_partkey")
+    blk = F.floor(m / 12)
+    pos = m % 12
+    cs = part.select(
+        m.alias("m"),
+        blk.alias("blk"),
+        pos.alias("pos"),
+        (F.lit(4) + blk % 3).alias("c"),
+    )
+    a = cs.select(
+        F.col("m").alias("m_a"),
+        F.col("blk").alias("blk_a"),
+        F.col("pos").alias("pos_a"),
+        F.col("c").alias("c_a"),
+    )
+    clique = a.join(
+        cs,
+        (F.col("blk") == F.col("blk_a"))
+        & (F.col("pos_a") < F.col("pos"))
+        & (F.col("pos_a") <= F.col("c_a") - 1)
+        & (F.col("pos") <= F.col("c_a") - 1),
+    ).select(F.col("m_a").alias("src"), F.col("m").alias("dst"))
+    chain = a.filter(F.col("pos_a") >= F.col("c_a") - 1).join(
+        cs,
+        (F.col("m") == F.col("m_a") + 1) & (F.col("blk") == F.col("blk_a")),
+    ).select(F.col("m_a").alias("src"), F.col("m").alias("dst"))
+    return kcore(clique.unionByName(chain), k=4)

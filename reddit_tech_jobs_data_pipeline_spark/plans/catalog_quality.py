@@ -618,3 +618,227 @@ def quasi_suppression_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust, ["c_mktsegment", "c_nationkey"], "__sens", k=10, l=5
     )
     return kept.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_kept"))
+
+# ===========================================================================
+# Gopher-style hard rule battery + per-doc lexical diversity — the two
+# document-quality gates beyond the weighted score (quality_score_filter)
+# and the trained classifier (quality_classifier_*): named pass/fail rules
+# with machine-readable reject reasons, and distribution-shape signals
+# (entropy / type-token ratio) that catch degenerate generator loops the
+# rule battery can't.
+# ===========================================================================
+
+_Q_STOP_SQL = "['the','a','an','and','or','of','to','is','in','it']"
+_Q_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '')"
+
+
+@register(
+    "gopher_rules_filter",
+    f"""
+    WITH toks AS (SELECT doc_id, {_Q_TOKS} AS ws FROM documents),
+    feat AS (
+      SELECT doc_id, length(ws) AS n_words,
+        CASE WHEN length(ws) > 0
+             THEN list_aggregate(list_transform(ws, t -> length(t)), 'sum') * 1.0 / length(ws)
+             ELSE 0.0 END AS mean_wl,
+        length(list_filter(ws, t -> list_contains({_Q_STOP_SQL}, t))) AS n_stop,
+        CASE WHEN length(ws) > 0
+             THEN length(list_filter(ws, t -> regexp_matches(t, '^[a-z]+$'))) * 1.0 / length(ws)
+             ELSE 0.0 END AS alpha_ratio,
+        CASE WHEN length(ws) > 0
+             THEN list_max(list_transform(list_distinct(ws),
+                    w -> length(list_filter(ws, x -> x = w)))) * 1.0 / length(ws)
+             ELSE 0.0 END AS top_freq,
+        CASE WHEN length(ws) > 0
+             THEN length(list_distinct(ws)) * 1.0 / length(ws)
+             ELSE 0.0 END AS uniq_ratio
+      FROM toks
+    ),
+    rules AS (
+      SELECT doc_id, n_words,
+             n_words BETWEEN 20 AND 90            AS r_word_count,
+             mean_wl BETWEEN 3.0 AND 10.0         AS r_mean_word_len,
+             n_stop >= 2                          AS r_stopwords,
+             alpha_ratio >= 0.8                   AS r_alpha_words,
+             top_freq <= 0.125                    AS r_top_word_freq,
+             uniq_ratio >= 0.5                    AS r_unique_ratio
+      FROM feat
+    )
+    SELECT doc_id, n_words,
+           r_word_count, r_mean_word_len, r_stopwords,
+           r_alpha_words, r_top_word_freq, r_unique_ratio,
+           (r_word_count AND r_mean_word_len AND r_stopwords
+            AND r_alpha_words AND r_top_word_freq AND r_unique_ratio) AS keep,
+           coalesce(array_to_string(list_sort(
+             list_filter([
+               CASE WHEN NOT r_word_count    THEN 'word_count'    END,
+               CASE WHEN NOT r_mean_word_len THEN 'mean_word_len' END,
+               CASE WHEN NOT r_stopwords     THEN 'stopwords'     END,
+               CASE WHEN NOT r_alpha_words   THEN 'alpha_words'   END,
+               CASE WHEN NOT r_top_word_freq THEN 'top_word_freq' END,
+               CASE WHEN NOT r_unique_ratio  THEN 'unique_ratio'  END
+             ], x -> x IS NOT NULL)), ','), '') AS reject_reasons
+    FROM rules
+    """,
+    tags=["text", "quality"],
+)
+def gopher_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/Dolma-style HARD rule battery (Rae et al. 2021 §A1.1
+    adapted to this corpus's parameters): each rule is a named boolean,
+    `keep` is their conjunction, and `reject_reasons` is the sorted
+    comma-joined list of failed rule names — the machine-readable audit
+    trail a corpus-curation run ships alongside the filtered corpus
+    (WHY did this doc drop?). Beyond-reference: the reference's only
+    quality gate is the keyword validity filter (dags/dag.py keyword
+    check); rule batteries are the standard LLM-corpus equivalent.
+
+    All six rules are single-pass HOF expressions over the token array —
+    no explode, no shuffle, scan-speed per doc. top-word frequency is
+    O(|distinct| x |tokens|) per doc via a nested HOF (bounded by doc
+    length; cheaper than an explode+groupBy at every scale because it
+    never leaves the row). 100 TB: embarrassingly parallel map."""
+    from reddit_tech_jobs_data_pipeline_spark.functions import text as textfn
+    from reddit_tech_jobs_data_pipeline_spark.functions.extract import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = tokens(F.col("text"))
+    n = F.size(ws)
+    nf = n.cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in textfn.DEFAULT_STOPWORDS])
+    mean_wl = F.when(
+        n > 0,
+        F.aggregate(
+            F.transform(ws, lambda t: F.length(t)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / nf,
+    ).otherwise(F.lit(0.0))
+    n_stop = F.size(F.filter(ws, lambda t: F.array_contains(stop_arr, t)))
+    alpha_ratio = F.when(
+        n > 0,
+        F.size(F.filter(ws, lambda t: t.rlike("^[a-z]+$"))).cast("double") / nf,
+    ).otherwise(F.lit(0.0))
+    top_freq = F.when(
+        n > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(ws),
+                lambda w: F.size(F.filter(ws, lambda x: x == w)),
+            )
+        ).cast("double")
+        / nf,
+    ).otherwise(F.lit(0.0))
+    uniq_ratio = F.when(
+        n > 0, F.size(F.array_distinct(ws)).cast("double") / nf
+    ).otherwise(F.lit(0.0))
+
+    feat = docs.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mean_wl.alias("mean_wl"),
+        n_stop.alias("n_stop"),
+        alpha_ratio.alias("alpha_ratio"),
+        top_freq.alias("top_freq"),
+        uniq_ratio.alias("uniq_ratio"),
+    )
+    rules = feat.select(
+        "doc_id",
+        "n_words",
+        F.col("n_words").between(20, 90).alias("r_word_count"),
+        F.col("mean_wl").between(3.0, 10.0).alias("r_mean_word_len"),
+        (F.col("n_stop") >= 2).alias("r_stopwords"),
+        (F.col("alpha_ratio") >= 0.8).alias("r_alpha_words"),
+        (F.col("top_freq") <= 0.125).alias("r_top_word_freq"),
+        (F.col("uniq_ratio") >= 0.5).alias("r_unique_ratio"),
+    )
+    rule_names = [
+        ("r_word_count", "word_count"),
+        ("r_mean_word_len", "mean_word_len"),
+        ("r_stopwords", "stopwords"),
+        ("r_alpha_words", "alpha_words"),
+        ("r_top_word_freq", "top_word_freq"),
+        ("r_unique_ratio", "unique_ratio"),
+    ]
+    keep = F.lit(True)
+    for col, _ in rule_names:
+        keep = keep & F.col(col)
+    reasons = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.array(
+                    *[
+                        F.when(~F.col(col), F.lit(name))
+                        for col, name in rule_names
+                    ]
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ),
+        ",",
+    )
+    return rules.select(
+        "doc_id",
+        "n_words",
+        *[F.col(c) for c, _ in rule_names],
+        keep.alias("keep"),
+        reasons.alias("reject_reasons"),
+    )
+
+
+@register(
+    "word_entropy_ttr",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    c AS (SELECT doc_id, tok, count(*) AS n FROM w GROUP BY 1, 2),
+    d AS (
+      SELECT doc_id,
+             CAST(sum(n) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             sum(n * ln(n)) AS sum_nlogn
+      FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_types,
+           round(ln(n_tokens) - sum_nlogn / n_tokens, 4) AS entropy,
+           round(n_types * 1.0 / n_tokens, 4) AS ttr,
+           (ln(n_tokens) - sum_nlogn / n_tokens) < 3.3 AS low_diversity
+    FROM d WHERE n_tokens > 0
+    """,
+    tags=["text", "quality", "entropy"],
+)
+def word_entropy_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram entropy + type-token ratio — the lexical-
+    diversity gate that catches degenerate/looping generator output the
+    hard rules can't (a doc can pass every Gopher rule while cycling a
+    tiny vocabulary). Entropy uses the factored identity
+    H = ln(N) - (sum n_i ln n_i) / N so both engines sum the SAME
+    per-type terms (one float sum over <=|vocab| operands per doc;
+    4-dp round per the playbook, precedent: user_event_entropy).
+
+    Scale: one explode + one (doc_id, tok) groupBy + one doc_id groupBy
+    — both aggs map-side-combine and share the doc_id partitioning at
+    100 TB. The explode is the honest cost (corpus token count); there
+    is no per-doc state beyond two longs and a double."""
+    from reddit_tech_jobs_data_pipeline_spark.functions.extract import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    c = w.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n"))
+    d = c.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("n") * F.log(F.col("n"))).alias("sum_nlogn"),
+    )
+    ent = F.log(F.col("n_tokens")) - F.col("sum_nlogn") / F.col("n_tokens")
+    return d.filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(ent, 4).alias("entropy"),
+        F.round(F.col("n_types") * 1.0 / F.col("n_tokens"), 4).alias("ttr"),
+        (ent < 3.3).alias("low_diversity"),
+    )

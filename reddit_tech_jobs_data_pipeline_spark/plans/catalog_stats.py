@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from reddit_tech_jobs_data_pipeline_spark.operators.asof import asof_join
@@ -465,4 +465,92 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "rel_err"
             ),
         )
+    )
+
+
+@register(
+    "mann_whitney_u",
+    """
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_c
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    g AS (SELECT v, count(*) AS t, sum(is_c) AS c FROM s GROUP BY v),
+    w AS (
+      SELECT v, t, c,
+             sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) - t AS below
+      FROM g
+    ),
+    agg AS (
+      SELECT CAST(sum(c) AS BIGINT)                       AS n1,
+             CAST(sum(t - c) AS BIGINT)                   AS n2,
+             sum(c * (below + (t + 1) / 2.0))             AS r1,
+             CAST(sum(t * t * t - t) AS BIGINT)           AS tie3
+      FROM w
+    )
+    SELECT n1, n2,
+           round(r1 - n1 * (n1 + 1) / 2.0, 2) AS u1,
+           round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                 / sqrt(n1 * n2 / 12.0 *
+                        ((n1 + n2 + 1) - tie3 * 1.0
+                         / ((n1 + n2) * (n1 + n2 - 1.0)))), 4) AS z
+    FROM agg
+    """,
+    tags=["stats"],
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) comparing click vs view event
+    values — the distribution-free location test that complements the
+    parametric Welch t (welch_ttest_click_view): it detects shifts the
+    t-test misses under heavy tails. Ties get average ranks with the
+    standard tie-corrected normal variance.
+
+    Determinism: average rank = below + (t+1)/2 is always a multiple of
+    0.5 and `c` is an integer, so every term of the R1 float sum is
+    exactly representable and the sum is order-independent (exact until
+    2^52); tie correction is pure integer arithmetic until one final
+    division — both engines produce bit-identical z before rounding.
+
+    Scale: one groupBy on the value domain, one running-count window
+    over |distinct values| rows (global order — same regime as the KS
+    statistic; at 100 TB bin the value domain into fixed-width buckets
+    first, which preserves ranks up to bin width), one scalar agg."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    s = ev.select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_c"),
+    )
+    g = s.groupBy("v").agg(
+        F.count(F.lit(1)).alias("t"), F.sum("is_c").alias("c")
+    )
+    w_below = (
+        F.sum("t").over(
+            Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        - F.col("t")
+    )
+    w = g.withColumn("below", w_below)
+    agg = w.agg(
+        F.sum("c").cast("long").alias("n1"),
+        F.sum(F.col("t") - F.col("c")).cast("long").alias("n2"),
+        F.sum(F.col("c") * (F.col("below") + (F.col("t") + 1) / 2.0)).alias("r1"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).cast("long").alias("tie3"),
+    )
+    n1, n2, r1, tie3 = F.col("n1"), F.col("n2"), F.col("r1"), F.col("tie3")
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    nn = n1 + n2
+    sigma = F.sqrt(
+        n1 * n2 / 12.0 * ((nn + 1) - tie3 * 1.0 / (nn * (nn - 1.0)))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.round(u1, 2).alias("u1"),
+        F.round((u1 - n1 * n2 / 2.0) / sigma, 4).alias("z"),
     )

@@ -359,3 +359,150 @@ def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+# ===========================================================================
+# CUSUM changepoint scan + finite-window EWMA — the two classic control-
+# chart smoothers over per-user event streams. CUSUM's reset-on-alarm is
+# a clamped recurrence (applyInPandas vs recursive-CTE oracle, precedent:
+# capped_running_balance); EWMA over a FINITE K-lag window is a banded
+# self-join with an ordered fold so both engines sum in lag order.
+# ===========================================================================
+
+
+@register(
+    "cusum_changepoint",
+    """
+    WITH RECURSIVE
+    ev AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    sc(user_id, event_id, rn, s, alarm) AS (
+      SELECT user_id, event_id, rn,
+             greatest(CAST(0.0 AS DOUBLE), value - CAST(55.0 AS DOUBLE)),
+             greatest(CAST(0.0 AS DOUBLE), value - CAST(55.0 AS DOUBLE))
+               > CAST(150.0 AS DOUBLE)
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.event_id, e.rn,
+             greatest(CAST(0.0 AS DOUBLE),
+                      (CASE WHEN b.alarm THEN CAST(0.0 AS DOUBLE) ELSE b.s END)
+                      + e.value - CAST(55.0 AS DOUBLE)),
+             greatest(CAST(0.0 AS DOUBLE),
+                      (CASE WHEN b.alarm THEN CAST(0.0 AS DOUBLE) ELSE b.s END)
+                      + e.value - CAST(55.0 AS DOUBLE)) > CAST(150.0 AS DOUBLE)
+      FROM sc b JOIN ev e ON e.user_id = b.user_id AND e.rn = b.rn + 1
+    )
+    SELECT event_id, user_id, round(s, 4) AS cusum, alarm FROM sc
+    """,
+    tags=["timeseries", "sequential", "drift"],
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM control chart per user (Page 1954): accumulate
+    positive drift of `value` above the in-control mean, alarm when the
+    statistic crosses the decision threshold, reset after alarm — the
+    standard sequential changepoint detector for per-key metric streams
+    (a drift monitor that reacts in O(shift) samples, unlike windowed
+    means). Reset-on-alarm makes the state non-window-expressible
+    (clamped recurrence class, see operators/sequential.py) — Spark runs
+    the designed applyInPandas per-user scan; the oracle replays the
+    identical recurrence as a recursive CTE. Python floats and DuckDB
+    doubles execute the same IEEE-754 sequence, so values are
+    bit-identical before the cosmetic 4-dp round."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.sequential import cusum_scan
+
+    ev = _t(spark, sf_dir, "events")
+    out = cusum_scan(ev, target=55.0, threshold=150.0)
+    return out.select(
+        "event_id", "user_id", F.round("cusum", 4).alias("cusum"), "alarm"
+    )
+
+
+@register(
+    "ewma_window_smoothing",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    pairs AS (
+      SELECT a.user_id, a.event_id, a.rn,
+             a.rn - b.rn AS lag,
+             b.value * power(CAST(0.75 AS DOUBLE), a.rn - b.rn) AS wx,
+             power(CAST(0.75 AS DOUBLE), a.rn - b.rn) AS w
+      FROM ev a JOIN ev b
+        ON b.user_id = a.user_id AND b.rn BETWEEN a.rn - 15 AND a.rn
+    )
+    SELECT user_id, event_id,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                          list(wx ORDER BY lag)),
+                             (acc, x) -> acc + x)
+                 / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                            list(w ORDER BY lag)),
+                               (acc, x) -> acc + x), 4) AS ewma
+    FROM pairs GROUP BY user_id, event_id
+    """,
+    tags=["timeseries", "window"],
+)
+def ewma_window_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-window EWMA (Roberts 1959, truncated at K=16 lags,
+    alpha=0.25): weighted mean of the last K observations with weights
+    (1-alpha)^lag, normalized by the realized weight mass so early rows
+    with short history are proper means. Truncation keeps the recurrence
+    window-expressible AND numerically stable (the closed-form infinite
+    EWMA rewrite overflows (1-a)^-rn past ~700 rows).
+
+    Determinism: both engines fold the <=16 weighted terms in explicit
+    lag order (Spark: array_sort(collect_list(struct(lag, wx))) then an
+    aggregate fold; DuckDB: list(wx ORDER BY lag) then list_reduce), so
+    the float sums are bit-identical — the same ordered-fold idiom as
+    the pagerank oracle.
+
+    Scale: one window for rn, one banded self-join (row growth = K, a
+    constant), one groupBy — all shuffle on user_id and share the
+    partitioning. At 100 TB the banded join is the honest cost of
+    exactness; the streaming form is the infinite-EWMA recurrence via
+    the sequential-scan escape hatch."""
+    ev = _t(spark, sf_dir, "events")
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    base = ev.select("user_id", "event_id", "ts", "value").withColumn(
+        "rn", rn
+    ).drop("ts")
+    a = base.select(
+        "user_id", "event_id", F.col("rn").alias("rn_a")
+    )
+    b = base.select(
+        F.col("user_id").alias("user_id_b"),
+        F.col("value").alias("value_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    lag = F.col("rn_a") - F.col("rn_b")
+    w = F.pow(F.lit(0.75), lag)
+    pairs = a.join(
+        b,
+        (F.col("user_id_b") == F.col("user_id"))
+        & F.col("rn_b").between(F.col("rn_a") - 15, F.col("rn_a")),
+    ).select(
+        "user_id",
+        "event_id",
+        lag.alias("lag"),
+        (F.col("value_b") * w).alias("wx"),
+        w.alias("w"),
+    )
+
+    def _folded(col: str):
+        arr = F.array_sort(F.collect_list(F.struct(F.col("lag"), F.col(col))))
+        return F.aggregate(
+            F.transform(arr, lambda s: s[col]),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return pairs.groupBy("user_id", "event_id").agg(
+        F.round(_folded("wx") / _folded("w"), 4).alias("ewma")
+    )

