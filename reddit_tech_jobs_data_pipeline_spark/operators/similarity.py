@@ -1449,3 +1449,90 @@ def mmr_topk(
     return spark.createDataFrame(
         rows, "rank long, vec_id long, mmr_score double, rel double"
     )
+
+
+def srp_planes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic signed-random-projection hyperplanes (Charikar 2002):
+    weight (p, j) is derived from md5(f"srp:{p}:{j}") mapped to [-1, 1).
+    Both the Spark plan and the DuckDB oracle embed these EXACT literals
+    (Python float repr round-trips to the identical double in both
+    engines), so there is no cross-engine RNG to disagree."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"srp:{p}:{j}".encode()).hexdigest()[:8], 16)
+            / 2147483648.0
+            - 1.0
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """b-bit SRP signature: bit p = sign(<vec, plane_p>), emitted as a
+    '1'/'0' string (cross-engine-stable bucket key). A dot landing
+    EXACTLY on 0 within float reassociation noise could flip a bit
+    between engines; with continuous embeddings the event has measure
+    zero and has never been observed in the gate."""
+    dv = _dvec(vec)
+    bits = [
+        F.when(
+            dot(dv, F.array(*[F.lit(w) for w in plane])) >= 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def srp_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SRP-LSH approximate top-k: candidates share the query's b-bit
+    random-hyperplane signature; exact cosine rerank inside the bucket.
+    Unlike bucketed_ann_topk (sign of the first b RAW coordinates), SRP
+    signatures are data-independent projections — collision probability
+    is 1 - theta/pi per bit for angle theta, the classic LSH guarantee,
+    robust to axis-aligned structure in the embedding space.
+
+    100 TB: corpus signatures are computed once at scan speed (b dot
+    products per row, JVM codegen) and the bucket key is writable as a
+    partition/bucket column; each query probes exactly one bucket."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _dvec(F.col(vec_col)).alias("cvec"),
+        srp_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _dvec(F.col(vec_col)).alias("qvec"),
+        srp_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "sig")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("__rn").cast("long").alias("rank"),
+        )
+    )

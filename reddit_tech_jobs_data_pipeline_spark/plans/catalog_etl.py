@@ -286,3 +286,126 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
         F.col("priority_asof"),
     )
+
+
+# ===========================================================================
+# Z-order (Morton) layout audit — the Delta/Iceberg OPTIMIZE ZORDER
+# story, measured: interleave the bits of two quantized sort keys,
+# chunk rows into files along that order, and compare per-file min/max
+# span + point-slice file pruning against the row-major (x-then-y) sort.
+# Pure integer arithmetic end to end -> hash-exact across engines.
+# ===========================================================================
+
+
+@register(
+    "zorder_layout_audit",
+    """
+    WITH q AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(floor(l_partkey * 16.0 / ((SELECT max(l_partkey) FROM lineitem) + 1)) AS BIGINT) AS qx,
+             CAST(floor(l_suppkey * 16.0 / ((SELECT max(l_suppkey) FROM lineitem) + 1)) AS BIGINT) AS qy
+      FROM lineitem
+    ),
+    m AS (
+      SELECT *,
+             (((qx >> 0) & 1) << 0) + (((qy >> 0) & 1) << 1)
+           + (((qx >> 1) & 1) << 2) + (((qy >> 1) & 1) << 3)
+           + (((qx >> 2) & 1) << 4) + (((qy >> 2) & 1) << 5)
+           + (((qx >> 3) & 1) << 6) + (((qy >> 3) & 1) << 7) AS morton,
+             qx * 16 + qy AS rowmajor
+      FROM q
+    ),
+    files AS (
+      SELECT 'zorder' AS layout, qx, qy,
+             ntile(32) OVER (ORDER BY morton, l_orderkey, l_linenumber) AS file_id
+      FROM m
+      UNION ALL
+      SELECT 'rowmajor' AS layout, qx, qy,
+             ntile(32) OVER (ORDER BY rowmajor, l_orderkey, l_linenumber) AS file_id
+      FROM m
+    ),
+    stats AS (
+      SELECT layout, file_id,
+             max(qx) - min(qx) AS x_span, max(qy) - min(qy) AS y_span,
+             min(qy) AS y_min, max(qy) AS y_max
+      FROM files GROUP BY layout, file_id
+    )
+    SELECT layout,
+           round(avg(x_span), 4) AS avg_x_span,
+           round(avg(y_span), 4) AS avg_y_span,
+           CAST(max(x_span) AS BIGINT) AS max_x_span,
+           CAST(max(y_span) AS BIGINT) AS max_y_span,
+           CAST(sum(CASE WHEN y_min <= 5 AND 5 <= y_max THEN 1 ELSE 0 END) AS BIGINT)
+             AS files_hit_y5
+    FROM stats GROUP BY layout
+    """,
+    tags=["etl", "layout", "scale"],
+)
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering audit: quantize (l_partkey, l_suppkey)
+    to a 16x16 grid, bit-interleave into a Morton code, chunk the sorted
+    order into 32 files, and report per-file min/max spans of BOTH
+    dimensions plus how many files a point-slice on the SECOND dimension
+    (qy = 5) must read. Row-major sorting pins x perfectly but smears y
+    across every file (files_hit_y5 = all files holding the slice's x
+    range); Z-order bounds both spans, so min/max file stats prune
+    multi-dimensional predicates — the measurable payoff of
+    OPTIMIZE ZORDER in Delta/Iceberg, reproduced on plain parquet.
+
+    Integer-exact throughout (bit ops, ntile ranks, integer spans; the
+    one division quantizes via floor to BIGINT), so the oracle
+    hash-matches. The ntile window is a global sort — exactly what a
+    layout-rewrite job does (repartitionByRange(morton) at 100 TB writes
+    the same order without a single-task window; the audit here reads
+    the SAME file boundaries on both engines, which needs the total
+    order pinned by (morton, l_orderkey, l_linenumber))."""
+    li = _t(spark, sf_dir, "lineitem")
+    mx = li.agg(
+        F.max("l_partkey").alias("mxp"), F.max("l_suppkey").alias("mxs")
+    )
+    q = li.join(F.broadcast(mx)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_partkey") * 16.0 / (F.col("mxp") + 1)).alias("qx"),
+        F.floor(F.col("l_suppkey") * 16.0 / (F.col("mxs") + 1)).alias("qy"),
+    )
+    morton = None
+    for i in range(4):
+        for col, off in (("qx", 0), ("qy", 1)):
+            term = F.shiftleft(
+                F.shiftright(F.col(col), i).bitwiseAND(F.lit(1)), 2 * i + off
+            )
+            morton = term if morton is None else morton + term
+    m = q.select(
+        "*",
+        morton.alias("morton"),
+        (F.col("qx") * 16 + F.col("qy")).alias("rowmajor"),
+    )
+    files = None
+    for layout, key in (("zorder", "morton"), ("rowmajor", "rowmajor")):
+        f = m.select(
+            F.lit(layout).alias("layout"),
+            "qx",
+            "qy",
+            F.ntile(32)
+            .over(Window.orderBy(key, "l_orderkey", "l_linenumber"))
+            .alias("file_id"),
+        )
+        files = f if files is None else files.unionByName(f)
+    stats = files.groupBy("layout", "file_id").agg(
+        (F.max("qx") - F.min("qx")).alias("x_span"),
+        (F.max("qy") - F.min("qy")).alias("y_span"),
+        F.min("qy").alias("y_min"),
+        F.max("qy").alias("y_max"),
+    )
+    return stats.groupBy("layout").agg(
+        F.round(F.avg("x_span"), 4).alias("avg_x_span"),
+        F.round(F.avg("y_span"), 4).alias("avg_y_span"),
+        F.max("x_span").cast("long").alias("max_x_span"),
+        F.max("y_span").cast("long").alias("max_y_span"),
+        F.sum(
+            ((F.col("y_min") <= 5) & (F.lit(5) <= F.col("y_max"))).cast("int")
+        )
+        .cast("long")
+        .alias("files_hit_y5"),
+    )

@@ -3554,3 +3554,56 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _crossings(naive, "doc_hash").unionByName(
         _crossings(aware.select("id", "split"), "cluster_hash")
     )
+
+
+# ===========================================================================
+# Signed-random-projection LSH (Charikar 2002) — the data-independent
+# cosine LSH: bit p of the signature is the sign of the dot product with
+# a fixed random hyperplane. The planes are md5-derived literals shared
+# verbatim by the Spark plan and the oracle SQL (no cross-engine RNG).
+# ===========================================================================
+
+_SRP_PLANES = similarity.srp_planes(n_planes=8, dim=64)
+
+
+def _srp_sig_sql(vec: str) -> str:
+    bits = []
+    for plane in _SRP_PLANES:
+        lit = "[" + ", ".join(repr(w) for w in plane) + "]"
+        bits.append(
+            f"(CASE WHEN list_dot_product({vec}, {lit}) >= 0 THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(bits)
+
+
+@register(
+    "srp_lsh_ann_topk",
+    f"""
+    WITH c AS (SELECT vec_id AS neighbor_id, {_DVEC} AS cvec,
+                      {_srp_sig_sql(_DVEC)} AS sig FROM embeddings),
+    q AS (SELECT vec_id AS query_id, {_DVEC} AS qvec,
+                 {_srp_sig_sql(_DVEC)} AS sig FROM embeddings WHERE vec_id < 16),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round({_cosine_sql("qvec", "cvec")}, 4) AS cosine
+      FROM c JOIN q USING (sig) WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    tags=["similarity", "scale"],
+)
+def srp_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit SRP-LSH top-5: random-hyperplane signatures bucket the
+    corpus, candidates equi-join on the signature, exact cosine rerank.
+    Complements ann_bucketed_topk (raw-coordinate signs): SRP's
+    guarantee P[bit collision] = 1 - angle/pi holds for ANY embedding
+    basis, which matters when coordinates are correlated (post-PCA or
+    whitened spaces make coordinate signs near-degenerate)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.srp_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 16), planes=_SRP_PLANES, k=5
+    )

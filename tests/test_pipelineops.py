@@ -226,3 +226,36 @@ def test_fused_checks_single_scan_plan(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ") <= 1  # one pass over the table
+
+
+def test_zorder_morton_interleave_known_values(spark):
+    """morton(qx, qy) interleaves bits x0 y0 x1 y1 ...: (3, 0) -> 0b0101 = 5,
+    (0, 3) -> 0b1010 = 10, (15, 15) -> 255."""
+    from reddit_tech_jobs_data_pipeline_spark.plans.catalog import get_registry
+
+    df = spark.createDataFrame(
+        [(3, 0, 5), (0, 3, 10), (15, 15, 255), (1, 1, 3), (2, 1, 6)],
+        "qx long, qy long, want long",
+    )
+    morton = None
+    for i in range(4):
+        for col, off in (("qx", 0), ("qy", 1)):
+            term = F.shiftleft(
+                F.shiftright(F.col(col), i).bitwiseAND(F.lit(1)), 2 * i + off
+            )
+            morton = term if morton is None else morton + term
+    bad = df.filter(morton != F.col("want")).count()
+    assert bad == 0
+
+
+def test_zorder_layout_prunes_second_dimension(spark):
+    from reddit_tech_jobs_data_pipeline_spark.plans.catalog import get_registry
+
+    spec = get_registry()["zorder_layout_audit"]
+    rows = {r.layout: r for r in spec.spark(spark, "/root/testdata/sf0.001").collect()}
+    z, rm = rows["zorder"], rows["rowmajor"]
+    # the point of z-order: the second dimension prunes files at all
+    assert z.files_hit_y5 < rm.files_hit_y5
+    assert z.avg_y_span < rm.avg_y_span
+    # and the first dimension stays bounded (not a y-major sort in disguise)
+    assert z.max_x_span <= 15 and z.avg_x_span < 16

@@ -97,3 +97,33 @@ def test_arrow_topk_fallback_leaves_broadcast_out_empty(spark):
     )
     assert out.count() > 0
     assert handles == []  # distributed fallback: no driver-side broadcast
+
+
+def test_srp_planes_deterministic_and_bounded():
+    from reddit_tech_jobs_data_pipeline_spark.operators.similarity import srp_planes
+
+    a = srp_planes(4, 16)
+    b = srp_planes(4, 16)
+    assert a == b  # md5-derived, no RNG state
+    assert all(-1.0 <= w < 1.0 for row in a for w in row)
+    # rows differ from each other (not a constant generator)
+    assert len({tuple(r) for r in a}) == 4
+
+
+def test_srp_query_collides_with_itself_and_near_duplicate(spark):
+    from reddit_tech_jobs_data_pipeline_spark.operators.similarity import (
+        srp_ann_topk,
+        srp_planes,
+    )
+
+    planes = srp_planes(8, 4)
+    base = [1.0, 0.5, -0.25, 0.125]
+    near = [v * 1.01 for v in base]  # tiny angle -> same signature
+    far = [-v for v in base]  # opposite -> different signature, never a candidate
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "vec_id long, embedding array<float>"
+    )
+    out = srp_ann_topk(df, df.filter(F.col("vec_id") == 1), planes, k=5)
+    rows = out.collect()
+    assert [r.neighbor_id for r in rows] == [2]
+    assert rows[0].cosine > 0.999
