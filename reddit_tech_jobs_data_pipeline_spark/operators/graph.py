@@ -21,7 +21,7 @@ from __future__ import annotations
 import contextlib
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -712,5 +712,65 @@ def kcore(
                 if n_next == 0:
                     break
             return nxt.select("node", F.col("deg").cast("long").alias("deg"))
+    finally:
+        sym.unpersist()
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007, made
+    deterministic): every node starts labeled with its own id; each
+    round, every node adopts the most frequent label among its
+    neighbors, ties broken by SMALLEST label. Runs a FIXED number of
+    rounds on both engines (fixed-iteration semantics, precedent:
+    pagerank's 3 unrolled iterations) — asynchronous/randomized LPA is
+    not reproducible, this variant is.
+
+    Returns (node, community) after ``rounds`` rounds. Each round is one
+    join of the edge list against the label table plus one count
+    groupBy and one per-node argmax window — all hash-partitioned on the
+    node key, frontier localCheckpointed. 100 TB: cost is
+    rounds x (one edge-sized shuffle); communities denser than the
+    round horizon stay split, the standard LPA tradeoff."""
+    spark = edges.sparkSession
+    sym = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .unionByName(
+            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .cache()
+    )
+    try:
+        with iterative_shuffle_partitions(spark):
+            labels = (
+                sym.select(F.col("src").alias("node"))
+                .distinct()
+                .withColumn("community", F.col("node"))
+                .localCheckpoint()
+            )
+            for _ in range(rounds):
+                votes = (
+                    sym.join(
+                        labels.withColumnRenamed("node", "src"), "src"
+                    )
+                    .groupBy(F.col("dst").alias("node"), "community")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                )
+                w = Window.partitionBy("node").orderBy(
+                    F.col("n").desc(), F.col("community").asc()
+                )
+                labels = (
+                    votes.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .select("node", "community")
+                    .localCheckpoint()
+                )
+            return labels
     finally:
         sym.unpersist()

@@ -1073,3 +1073,76 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("m") == F.col("m_a") + 1) & (F.col("blk") == F.col("blk_a")),
     ).select(F.col("m_a").alias("src"), F.col("m").alias("dst"))
     return kcore(clique.unionByName(chain), k=4)
+
+
+# ===========================================================================
+# Deterministic synchronous label propagation — community detection on a
+# bridged-block graph (dense 10-node blocks chained by single bridge
+# edges). Fixed-round semantics on BOTH engines (like pagerank's 3
+# unrolled iterations): no fixpoint test, no randomized tie-breaks.
+# ===========================================================================
+
+_LPA_EDGES_SQL = """
+    ks AS (SELECT p_partkey AS m, (SELECT max(p_partkey) FROM part) AS mx FROM part),
+    raw AS (
+      SELECT m AS src, m + 1 AS dst FROM ks WHERE m + 1 <= mx
+      UNION ALL
+      SELECT m AS src, m + 2 AS dst FROM ks WHERE m % 10 < 8 AND m + 2 <= mx
+    ),
+    sym AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM raw UNION ALL SELECT dst AS src, src AS dst FROM raw
+      ) WHERE src <> dst
+    )
+"""
+
+
+def _lpa_sql(rounds: int) -> str:
+    parts = ["l0 AS (SELECT DISTINCT src AS node, src AS community FROM sym)"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""l{i} AS (
+      SELECT node, community FROM (
+        SELECT e.dst AS node, s.community, count(*) AS n,
+               row_number() OVER (PARTITION BY e.dst
+                                  ORDER BY count(*) DESC, s.community ASC) AS rn
+        FROM sym e JOIN l{i - 1} s ON s.node = e.src
+        GROUP BY e.dst, s.community
+      ) WHERE rn = 1
+    )"""
+        )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {_LPA_EDGES_SQL},
+    {body}
+    SELECT node, community FROM l{rounds}
+    """
+
+
+@register(
+    "label_propagation_communities",
+    _lpa_sql(rounds=4),
+    tags=["graph", "iterative"],
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4 rounds of deterministic synchronous LPA (most-frequent neighbor
+    label, min-label tie-break) over a bridged-block part graph: chain
+    edges everywhere plus within-block +2 skips, so blocks are denser
+    than the single bridges joining them. Unlike connected components
+    (near_dup_clusters), LPA segments a CONNECTED graph by local edge
+    density; rounds is the resolution knob and both engines run exactly
+    4 (operators/graph.label_propagation; the oracle unrolls the same
+    recurrence). Deliberately partially-converged interiors are part of
+    the contract — fixed rounds, not fixpoint."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.graph import label_propagation
+
+    part = _t(spark, sf_dir, "part")
+    mx = part.agg(F.max("p_partkey").alias("mx"))
+    ks = part.select(F.col("p_partkey").alias("m")).join(F.broadcast(mx))
+    chain = ks.filter(F.col("m") + 1 <= F.col("mx")).select(
+        F.col("m").alias("src"), (F.col("m") + 1).alias("dst")
+    )
+    skip = ks.filter((F.col("m") % 10 < 8) & (F.col("m") + 2 <= F.col("mx"))).select(
+        F.col("m").alias("src"), (F.col("m") + 2).alias("dst")
+    )
+    return label_propagation(chain.unionByName(skip), rounds=4)

@@ -554,3 +554,89 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u1, 2).alias("u1"),
         F.round((u1 - n1 * n2 / 2.0) / sigma, 4).alias("z"),
     )
+
+
+@register(
+    "bootstrap_mean_ci",
+    """
+    WITH x AS (
+      SELECT event_id, value FROM events WHERE event_type = 'purchase'
+    ),
+    rep AS (
+      SELECT b.b, value,
+             -ln(((('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' ||
+                                   CAST(b.b AS VARCHAR)), 1, 8))::BIGINT + 1)
+                  / 4294967296.0) ) AS w
+      FROM x CROSS JOIN (SELECT unnest(generate_series(1, 20)) AS b) b
+    ),
+    means AS (SELECT b, sum(w * value) / sum(w) AS m FROM rep GROUP BY b),
+    ord AS (SELECT m, row_number() OVER (ORDER BY m) AS r FROM means)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM x) AS n,
+           (SELECT round(avg(value), 4) FROM x) AS mean,
+           round(max(CASE WHEN r = 2 THEN m END), 4) AS ci_lo,
+           round(max(CASE WHEN r = 19 THEN m END), 4) AS ci_hi
+    FROM ord
+    """,
+    tags=["stats", "sampling"],
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian bootstrap (Rubin 1981) 90% CI for the mean purchase
+    value: 20 replicates, each weighting every row by an Exponential(1)
+    draw derived from md5(event_id, replicate) — deterministic,
+    engine-independent randomness (the repo's seeded-sampling idiom),
+    so the whole resampling plan is reproducible and oracle-checkable,
+    unlike rand()-based bootstraps. CI bounds are the 2nd/19th order
+    statistics of the replicate means.
+
+    Scale: the corpus streams ONCE through a 20-way explode (constant
+    fan-out) into a 20-group map-side-combined agg — no per-replicate
+    rescan, no driver-side resampling; the classic counting-bootstrap
+    would need a Poisson draw per (row, replicate) and this weighted
+    form is its smooth equivalent at identical cost. Replicate-mean
+    float sums carry ~1e-14 cross-engine reassociation noise, absorbed
+    by the 4-dp round (accepted-noise class, cf. embedding_standardize)."""
+    ev = _t(spark, sf_dir, "events")
+    x = ev.filter(F.col("event_type") == "purchase").select("event_id", "value")
+    rep = x.select(
+        "value",
+        F.explode(F.sequence(F.lit(1), F.lit(20))).alias("b"),
+        "event_id",
+    ).select(
+        "b",
+        "value",
+        (-F.log(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("event_id").cast("string"),
+                                F.lit(":"),
+                                F.col("b").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                + 1
+            )
+            / F.lit(4294967296.0)
+        )).alias("w"),
+    )
+    means = rep.groupBy("b").agg(
+        (F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("m")
+    )
+    ordw = Window.orderBy("m")
+    ordd = means.withColumn("r", F.row_number().over(ordw))
+    stats = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("value"), 4).alias("mean"),
+    )
+    ci = ordd.agg(
+        F.round(F.max(F.when(F.col("r") == 2, F.col("m"))), 4).alias("ci_lo"),
+        F.round(F.max(F.when(F.col("r") == 19, F.col("m"))), 4).alias("ci_hi"),
+    )
+    return stats.join(ci)

@@ -206,3 +206,14 @@ def test_word_entropy_ttr_degenerate_doc(spark):
     assert out[1].entropy == 0.0 and out[1].low_diversity
     assert math.isclose(out[2].entropy, round(math.log(8), 4), abs_tol=1e-9)
     assert out[2].ttr == 1.0
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from reddit_tech_jobs_data_pipeline_spark.plans.catalog import get_registry
+
+    spec = get_registry()["bootstrap_mean_ci"]
+    a = spec.spark(spark, "/root/testdata/sf0.001").collect()[0]
+    b = spec.spark(spark, "/root/testdata/sf0.001").collect()[0]
+    assert a == b  # md5 weights: no RNG state anywhere
+    assert a.ci_lo < a.mean < a.ci_hi
+    assert a.ci_hi - a.ci_lo < a.mean  # not a degenerate/huge interval

@@ -312,3 +312,34 @@ class TestKCore:
         a = {(r.node, r.deg) for r in spec.spark(spark, "/root/testdata/sf0.001").collect()}
         assert len(a) == 60  # simulated ground truth at 200 nodes
         assert {d for _, d in a} == {4, 5}
+
+
+class TestLabelPropagation:
+    def test_two_cliques_one_bridge(self, spark):
+        """Two K4s joined by one bridge: LPA must keep two communities,
+        each labeled by its clique minimum."""
+        from reddit_tech_jobs_data_pipeline_spark.operators.graph import (
+            label_propagation,
+        )
+
+        k4a = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        k4b = [(a + 10, b + 10) for a, b in k4a]
+        edges = spark.createDataFrame(
+            k4a + k4b + [(3, 10)], "src long, dst long"
+        )
+        out = {r.node: r.community for r in label_propagation(edges, rounds=4).collect()}
+        assert all(out[n] == 0 for n in range(4))
+        assert all(out[n + 10] == 10 for n in range(4))
+
+    def test_fixed_rounds_deterministic(self, spark):
+        from reddit_tech_jobs_data_pipeline_spark.operators.graph import (
+            label_propagation,
+        )
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(20)] + [(i, i + 2) for i in range(0, 18, 3)],
+            "src long, dst long",
+        )
+        a = sorted((r.node, r.community) for r in label_propagation(edges, rounds=3).collect())
+        b = sorted((r.node, r.community) for r in label_propagation(edges, rounds=3).collect())
+        assert a == b
