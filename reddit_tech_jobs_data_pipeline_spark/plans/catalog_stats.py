@@ -640,3 +640,95 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.when(F.col("r") == 19, F.col("m"))), 4).alias("ci_hi"),
     )
     return stats.join(ci)
+
+
+@register(
+    "theil_sen_daily_trend",
+    """
+    WITH d AS (
+      SELECT epoch(date_trunc('day', ts)) / 86400 AS day,
+             round(sum(value), 2) AS rev
+      FROM events GROUP BY 1
+    ),
+    slopes AS (
+      SELECT (b.rev - a.rev) / (b.day - a.day) AS slope
+      FROM d a JOIN d b ON b.day > a.day
+    ),
+    ms AS (
+      SELECT slope, row_number() OVER (ORDER BY slope) AS r,
+             count(*) OVER () AS n
+      FROM slopes
+    ),
+    med_slope AS (
+      SELECT avg(slope) AS m FROM ms
+      WHERE r IN ((n + 1) // 2, (n + 2) // 2)
+    ),
+    resid AS (
+      SELECT d.rev - ms.m * d.day AS b0, ms.m AS m
+      FROM d CROSS JOIN med_slope ms
+    ),
+    rms AS (
+      SELECT b0, m, row_number() OVER (ORDER BY b0) AS r, count(*) OVER () AS n
+      FROM resid
+    )
+    SELECT round(max(m), 6) AS slope,
+           round(avg(b0), 4) AS intercept,
+           (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days
+    FROM rms WHERE r IN ((n + 1) // 2, (n + 2) // 2)
+    """,
+    tags=["stats", "timeseries"],
+)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue: median of all pairwise
+    day-to-day slopes, intercept = median residual — the estimator that
+    shrugs off the outlier days that wreck OLS
+    (cf. revenue_trend_regression). Medians over even counts average the
+    two middle order statistics (row_number pins both engines to the
+    same pair).
+
+    Scale: the pair join is quadratic in DAYS, not rows — the daily
+    pre-aggregation reduces any corpus to |date-range| rows first, so
+    the pair set is bounded (~66k pairs for a year) and broadcastable;
+    daily sums are rounded to 2 dp before differencing (exact-operand
+    class), making every slope bit-identical across engines."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400)
+        .cast("long")
+        .alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("rev"))
+    a = d.select(F.col("day").alias("day_a"), F.col("rev").alias("rev_a"))
+    slopes = a.join(d, F.col("day") > F.col("day_a")).select(
+        (
+            (F.col("rev") - F.col("rev_a")) / (F.col("day") - F.col("day_a"))
+        ).alias("slope")
+    )
+    wn = Window.orderBy("slope")
+    ms = slopes.select(
+        "slope",
+        F.row_number().over(wn).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    med_slope = ms.filter(
+        (F.col("r") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("r") == F.floor((F.col("n") + 2) / 2))
+    ).agg(F.avg("slope").alias("m"))
+    resid = d.join(F.broadcast(med_slope)).select(
+        (F.col("rev") - F.col("m") * F.col("day")).alias("b0"), "m"
+    )
+    wb = Window.orderBy("b0")
+    rms = resid.select(
+        "b0",
+        "m",
+        F.row_number().over(wb).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    med_int = rms.filter(
+        (F.col("r") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("r") == F.floor((F.col("n") + 2) / 2))
+    ).agg(
+        F.round(F.max("m"), 6).alias("slope"),
+        F.round(F.avg("b0"), 4).alias("intercept"),
+    )
+    n_days = d.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return med_int.join(n_days)
