@@ -146,8 +146,21 @@ ADDED_R9 = [
     "ann_ivfpq_index_topk",
     "ann_ivfpq_index_append",
 ]
+# Added round 10: control charts / rank tests / graph communities /
+# SRP-LSH / layout audit — one representative per new family.
+ADDED_R10 = [
+    "gopher_rules_filter",
+    "word_entropy_ttr",
+    "cusum_changepoint",
+    "ewma_window_smoothing",
+    "kcore_parts",
+    "label_propagation_communities",
+    "srp_lsh_ann_topk",
+    "zorder_layout_audit",
+    "bootstrap_mean_ci",
+]
 LEGACY = list(HEADLINE)
-HEADLINE = HEADLINE + ADDED_R7 + ADDED_R7B + ADDED_R8 + ADDED_R9
+HEADLINE = HEADLINE + ADDED_R7 + ADDED_R7B + ADDED_R8 + ADDED_R9 + ADDED_R10
 
 
 def materialize(df) -> None:

@@ -370,9 +370,7 @@ def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-@register(
-    "cusum_changepoint",
-    """
+_CUSUM_ORACLE = """
     WITH RECURSIVE
     ev AS (
       SELECT user_id, event_id, value,
@@ -396,7 +394,12 @@ def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sc b JOIN ev e ON e.user_id = b.user_id AND e.rn = b.rn + 1
     )
     SELECT event_id, user_id, round(s, 4) AS cusum, alarm FROM sc
-    """,
+    """
+
+
+@register(
+    "cusum_changepoint",
+    _CUSUM_ORACLE,
     tags=["timeseries", "sequential", "drift"],
 )
 def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -505,4 +508,31 @@ def ewma_window_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return pairs.groupBy("user_id", "event_id").agg(
         F.round(_folded("wx") / _folded("w"), 4).alias("ewma")
+    )
+
+
+@register(
+    "streaming_cusum_monitor",
+    _CUSUM_ORACLE,
+    tags=["timeseries", "sequential", "streaming", "drift"],
+)
+def streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSUM control chart as a STREAMING monitor: the event history
+    is replayed in 5 chronological micro-batches (one time-span parquet
+    file per trigger) with the per-user statistic carried across batch
+    boundaries through a persisted state store
+    (streaming/cusum_monitor.py). The recurrence is exact under
+    splitting, so the output must hash-match the SAME recursive-CTE
+    oracle as the one-shot batch scan (cusum_changepoint) — the
+    strongest correctness statement a stateful stream can make: state
+    carry-over provably loses nothing."""
+    from reddit_tech_jobs_data_pipeline_spark.streaming.cusum_monitor import (
+        run_cusum_monitor_batchlike,
+    )
+
+    out = run_cusum_monitor_batchlike(
+        spark, sf_dir, n_chunks=5, target=55.0, threshold=150.0
+    )
+    return out.select(
+        "event_id", "user_id", F.round("cusum", 4).alias("cusum"), "alarm"
     )

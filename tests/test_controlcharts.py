@@ -217,3 +217,33 @@ def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
     assert a == b  # md5 weights: no RNG state anywhere
     assert a.ci_lo < a.mean < a.ci_hi
     assert a.ci_hi - a.ci_lo < a.mean  # not a degenerate/huge interval
+
+
+def test_streaming_cusum_equals_batch_scan(spark):
+    """Chunked replay with state carry-over must be bit-identical to the
+    one-shot scan — including across an alarm that fires exactly at a
+    chunk boundary (state stores 0 for that user)."""
+    import glob
+    import os
+    import tempfile
+
+    from reddit_tech_jobs_data_pipeline_spark.operators.sequential import cusum_scan
+    from reddit_tech_jobs_data_pipeline_spark.sources.testdata import load_table
+    from reddit_tech_jobs_data_pipeline_spark.streaming.cusum_monitor import (
+        run_cusum_monitor_batchlike,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r.event_id): (r.cusum, r.alarm)
+        for r in cusum_scan(load_table(spark, sf, "events"), 55.0, 150.0).collect()
+    }
+    streamed = {
+        (r.event_id): (r.cusum, r.alarm)
+        for r in run_cusum_monitor_batchlike(spark, sf, n_chunks=5).collect()
+    }
+    assert streamed == batch
+    # the state store actually versioned across batches
+    work = glob.glob(os.path.join(tempfile.gettempdir(), "spark_graft_cusum_*"))
+    assert work
+    assert len(glob.glob(os.path.join(work[0], "state", "v*"))) >= 2
