@@ -676,7 +676,7 @@ def triangle_counts_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ===========================================================================
 # Clamped running balance — NOT window-expressible (state is clamped at
-# every step): applyInPandas sequential scan vs recursive-CTE oracle.
+# every step): sequential partition scan vs recursive-CTE oracle.
 # ===========================================================================
 @register(
     "capped_running_balance",
@@ -705,7 +705,8 @@ def triangle_counts_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clamped recurrence bal_t = clamp(bal_{t-1} + value_t - 50) per
-    user: the grouped-map (applyInPandas) escape hatch doing genuinely
+    user: the sequential-scan escape hatch (mapInPandas over user-sorted
+    partitions, operators/sequential.py) doing genuinely
     sequential per-key work, bit-identical to the recursive CTE."""
     from reddit_tech_jobs_data_pipeline_spark.operators.sequential import (
         capped_running_balance as _crb,

@@ -364,7 +364,7 @@ def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 # CUSUM changepoint scan + finite-window EWMA — the two classic control-
 # chart smoothers over per-user event streams. CUSUM's reset-on-alarm is
-# a clamped recurrence (applyInPandas vs recursive-CTE oracle, precedent:
+# a clamped recurrence (sequential partition scan vs recursive-CTE oracle, precedent:
 # capped_running_balance); EWMA over a FINITE K-lag window is a banded
 # self-join with an ordered fold so both engines sum in lag order.
 # ===========================================================================
@@ -410,7 +410,8 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a drift monitor that reacts in O(shift) samples, unlike windowed
     means). Reset-on-alarm makes the state non-window-expressible
     (clamped recurrence class, see operators/sequential.py) — Spark runs
-    the designed applyInPandas per-user scan; the oracle replays the
+    the designed sequential partition scan (operators/sequential.py: one
+    mapInPandas pass over user-sorted partitions); the oracle replays the
     identical recurrence as a recursive CTE. Python floats and DuckDB
     doubles execute the same IEEE-754 sequence, so values are
     bit-identical before the cosmetic 4-dp round."""

@@ -243,7 +243,9 @@ def test_streaming_cusum_equals_batch_scan(spark):
         for r in run_cusum_monitor_batchlike(spark, sf, n_chunks=5).collect()
     }
     assert streamed == batch
-    # the state store actually versioned across batches
+    # the state store actually versioned across batches: each batch dir
+    # carries a complete is_state=true partition
     work = glob.glob(os.path.join(tempfile.gettempdir(), "spark_graft_cusum_*"))
     assert work
-    assert len(glob.glob(os.path.join(work[0], "state", "v*"))) >= 2
+    state_dirs = glob.glob(os.path.join(work[0], "out", "b*", "is_state=true"))
+    assert len(state_dirs) >= 2
