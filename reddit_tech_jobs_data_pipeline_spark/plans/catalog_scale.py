@@ -3607,3 +3607,159 @@ def srp_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.srp_ann_topk(
         emb, emb.filter(F.col("vec_id") < 16), planes=_SRP_PLANES, k=5
     )
+
+
+@register(
+    "cluster_quality_survivor",
+    f"""
+    WITH RECURSIVE {_CORPUS_SQL}, {_SHINGLE_SQL},
+    {_minhash_sql(16, 4)},
+    {_JACCARD_VERIFY_SQL.format(candidate_filter="JOIN cand ON cand.id_a = a.id AND cand.id_b = b.id")},
+    pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard_raw >= 0.7),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    clusters AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+    ranked AS (
+      SELECT c.cluster_id, c.id,
+             row_number() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY length(coalesce(t.text, '')) DESC, c.id ASC
+             ) AS rn
+      FROM clusters c JOIN corpus t ON t.id = c.id
+    )
+    SELECT cluster_id,
+           max(CASE WHEN rn = 1 THEN id END)   AS survivor_id,
+           CAST(count(*) AS BIGINT)            AS n_members
+    FROM ranked GROUP BY cluster_id
+    """,
+    tags=["dedup", "iterative", "scale"],
+)
+def cluster_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-priority dedup survivorship: instead of keeping each
+    near-dup cluster's MINIMUM id (near_dup_deduped_corpus), keep its
+    BEST member — here longest text, id tiebreak — the FineWeb-style
+    policy (when a template spawns variants, keep the most complete
+    one). Emits (cluster_id, survivor_id, n_members) per multi-member
+    cluster: the audit table a curation run ships with the corpus.
+    Survivor choice is one row_number window over cluster members —
+    cluster-sized groups, partitioned on cluster_id; everything upstream
+    is the shared LSH→verify→star-contraction machinery."""
+    corpus = _corpus_df(spark, sf_dir)
+    pairs = dedup.minhash_lsh_dedup_pairs(
+        corpus, "text", "id", num_hashes=16, bands=4, n=3, threshold=0.7
+    )
+    clusters = dedup.cluster_near_dups_star(pairs)
+    members = clusters.join(
+        corpus.select(
+            "id", F.length(F.coalesce(F.col("text"), F.lit(""))).alias("__len")
+        ),
+        "id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("__len").desc(), F.col("id").asc()
+    )
+    ranked = members.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("cluster_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("id"))).alias("survivor_id"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
+
+
+@register(
+    "temporal_holdout_split",
+    """
+    WITH d AS (
+      SELECT user_id, epoch(date_trunc('day', ts)) / 86400 AS day FROM events
+    ),
+    cut AS (
+      SELECT
+        max(CASE WHEN cum <= 0.70 THEN day END) AS c_train,
+        max(CASE WHEN cum <= 0.85 THEN day END) AS c_val
+      FROM (
+        SELECT day,
+               sum(count(*)) OVER (ORDER BY day) * 1.0
+                 / (SELECT count(*) FROM d) AS cum
+        FROM d GROUP BY day
+      )
+    ),
+    tagged AS (
+      SELECT user_id, day,
+             CASE WHEN day <= c_train THEN 'train'
+                  WHEN day <= c_val   THEN 'val'
+                  ELSE 'test' END AS split
+      FROM d CROSS JOIN cut
+    ),
+    per_split AS (
+      SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(min(day) AS BIGINT) AS min_day,
+             CAST(max(day) AS BIGINT) AS max_day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM tagged GROUP BY split
+    ),
+    leak AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_leaking_users FROM (
+        SELECT user_id FROM tagged GROUP BY user_id
+        HAVING count(DISTINCT split) > 1
+      )
+    )
+    SELECT split, n_rows, min_day, max_day, n_users, n_leaking_users
+    FROM per_split CROSS JOIN leak
+    """,
+    tags=["split", "scale"],
+)
+def temporal_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/val/test holdout (70/15/15 by EVENT count, cut at
+    whole-day boundaries): the split every forecasting/recsys dataset
+    needs — train strictly before val strictly before test, cutoffs
+    derived from the day-level cumulative distribution. The leak column
+    is the honest caveat a temporal split must report: users spanning
+    the cutoffs appear on both sides (entity leakage), which is exactly
+    what the cluster-aware split family (leakage_safe_split) prevents
+    for CONTENT leakage — this query quantifies how much entity overlap
+    a time-based split accepts. Day histogram is tiny (date-range-sized);
+    cutoffs broadcast; the corpus streams through once."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400)
+        .cast("long")
+        .alias("day"),
+    )
+    total = d.count()
+    days = d.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    cum = days.withColumn(
+        "cum",
+        F.sum("n").over(Window.orderBy("day")) * 1.0 / F.lit(total),
+    )
+    cut = cum.agg(
+        F.max(F.when(F.col("cum") <= 0.70, F.col("day"))).alias("c_train"),
+        F.max(F.when(F.col("cum") <= 0.85, F.col("day"))).alias("c_val"),
+    )
+    tagged = d.join(F.broadcast(cut)).select(
+        "user_id",
+        "day",
+        F.when(F.col("day") <= F.col("c_train"), F.lit("train"))
+        .when(F.col("day") <= F.col("c_val"), F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    per_split = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("day").cast("long").alias("min_day"),
+        F.max("day").cast("long").alias("max_day"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    leak = (
+        tagged.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaking_users"))
+    )
+    return per_split.join(F.broadcast(leak))

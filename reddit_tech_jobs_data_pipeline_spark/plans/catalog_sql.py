@@ -522,3 +522,40 @@ def recursive_cte_part_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM anc GROUP BY k
         """
     )
+
+
+@register(
+    "lateral_top2_orders",
+    """
+    SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS price
+    FROM customer c JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o ON true
+    WHERE c.c_custkey % 5 = 0
+    """,
+    tags=["subquery", "lateral", "topk"],
+)
+def lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    SQL surface for top-k-per-group (same result shape as the
+    row_number window in top3_parts_per_brand, different plan: Catalyst
+    DECORRELATES the lateral into a window under the hood via
+    RewriteLateralSubquery, so the 100 TB plan is one shuffle, not a
+    per-customer probe). Engine-surface coverage: a reference user
+    migrating TimescaleDB/Postgres LATERAL idioms needs this to parse
+    and match. Ranked on the raw price (doubles load identically from
+    parquet on both engines; no arithmetic before comparison) with
+    o_orderkey tiebreak."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__lat_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS price
+        FROM __lat_customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM __lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_custkey % 5 = 0
+        """
+    )
