@@ -218,28 +218,22 @@ def _write_time_chunks(
     shutil.rmtree(tmp)
 
 
-def run_cusum_monitor_batchlike(
+def run_stream(
     spark: SparkSession,
-    sf_dir: str,
-    n_chunks: int = 5,
+    work: str,
     target: float = 55.0,
     threshold: float = 150.0,
     name: str = "stream_cusum",
-) -> DataFrame:
-    """Run the CUSUM monitor to completion over the chronological chunk
-    replay and return every per-event (event_id, user_id, cusum, alarm)
-    row — bit-identical to the one-shot batch scan because the state
-    store carries the exact boundary statistic (post-reset when the
-    user's last chunk event alarmed)."""
-    work = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_cusum_{stable_work_key(sf_dir, n_chunks, target, threshold)}",
-    )
+) -> None:
+    """Drive the monitor over whatever chunk files currently sit in
+    ``work/src``, resuming from ``work/ckpt`` if it exists. Batch ids
+    are monotonic across restarts (Structured Streaming checkpoint
+    contract) and each batch overwrites only its OWN ``b{id}`` dir, so
+    a replayed batch after a crash is idempotent and ``_latest_state``
+    (max batch dir) always sees the newest complete state."""
     src_dir = os.path.join(work, "src")
     out_root = os.path.join(work, "out")
-    shutil.rmtree(work, ignore_errors=True)
     os.makedirs(out_root, exist_ok=True)
-    _write_time_chunks(spark, sf_dir, src_dir, n_chunks)
 
     def _latest_state() -> DataFrame:
         versions = sorted(glob.glob(os.path.join(out_root, "b*")))
@@ -276,9 +270,13 @@ def run_cusum_monitor_batchlike(
         )
         q.awaitTermination()
         q.stop()
+
+
+def read_events(spark: SparkSession, work: str) -> DataFrame:
+    """All per-event rows emitted so far across every batch dir."""
     event_dirs = [
         os.path.join(d, "is_state=false")
-        for d in sorted(glob.glob(os.path.join(out_root, "b*")))
+        for d in sorted(glob.glob(os.path.join(work, "out", "b*")))
         if os.path.isdir(os.path.join(d, "is_state=false"))
     ]
     return (
@@ -286,3 +284,26 @@ def run_cusum_monitor_batchlike(
         .select("event_id", "user_id", "cusum", "alarm")
         .localCheckpoint()
     )
+
+
+def run_cusum_monitor_batchlike(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 5,
+    target: float = 55.0,
+    threshold: float = 150.0,
+    name: str = "stream_cusum",
+) -> DataFrame:
+    """Run the CUSUM monitor to completion over the chronological chunk
+    replay and return every per-event (event_id, user_id, cusum, alarm)
+    row — bit-identical to the one-shot batch scan because the state
+    store carries the exact boundary statistic (post-reset when the
+    user's last chunk event alarmed)."""
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_cusum_{stable_work_key(sf_dir, n_chunks, target, threshold)}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    _write_time_chunks(spark, sf_dir, os.path.join(work, "src"), n_chunks)
+    run_stream(spark, work, target, threshold, name)
+    return read_events(spark, work)

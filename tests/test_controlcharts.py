@@ -249,3 +249,46 @@ def test_streaming_cusum_equals_batch_scan(spark):
     assert work
     state_dirs = glob.glob(os.path.join(work[0], "out", "b*", "is_state=true"))
     assert len(state_dirs) >= 2
+
+
+def test_streaming_cusum_resumes_from_checkpoint(spark):
+    """Kill-and-resume: run the monitor over the first 2 chunks, then
+    'deliver' the remaining 3 and resume with the SAME checkpoint — the
+    combined output must equal the one-shot batch scan (offsets resume,
+    state carries, no chunk is reprocessed into duplicate rows)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from reddit_tech_jobs_data_pipeline_spark.operators.sequential import cusum_scan
+    from reddit_tech_jobs_data_pipeline_spark.sources.testdata import load_table
+    from reddit_tech_jobs_data_pipeline_spark.streaming import cusum_monitor as cm
+
+    sf = "/root/testdata/sf0.001"
+    work = tempfile.mkdtemp(prefix="cusum_resume_")
+    src = os.path.join(work, "src")
+    staging = os.path.join(work, "staging")
+    cm._write_time_chunks(spark, sf, staging, 5)
+    chunks = sorted(glob.glob(os.path.join(staging, "chunk*.parquet")))
+    assert len(chunks) == 5
+    os.makedirs(src)
+    # phase 1: only the first two chunks exist
+    for c in chunks[:2]:
+        shutil.copy2(c, os.path.join(src, os.path.basename(c)))
+    cm.run_stream(spark, work, name="resume_p1")
+    n_phase1 = cm.read_events(spark, work).count()
+    assert 0 < n_phase1 < 1000
+    # phase 2: the rest arrive; same checkpoint, same out dirs
+    for c in chunks[2:]:
+        shutil.copy2(c, os.path.join(src, os.path.basename(c)))
+    cm.run_stream(spark, work, name="resume_p2")
+    streamed = {
+        r.event_id: (r.cusum, r.alarm) for r in cm.read_events(spark, work).collect()
+    }
+    batch = {
+        r.event_id: (r.cusum, r.alarm)
+        for r in cusum_scan(load_table(spark, sf, "events"), 55.0, 150.0).collect()
+    }
+    assert streamed == batch
+    shutil.rmtree(work, ignore_errors=True)
