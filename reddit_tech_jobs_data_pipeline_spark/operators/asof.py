@@ -64,3 +64,46 @@ def asof_join(
         out.filter(F.col("__tag") == 1)
         .drop("__tag", *payload_cols)
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    ts_col: str,
+    payload_cols: Sequence[str],
+    suffix: str = "_asof",
+    tiebreaker: str | None = None,
+) -> DataFrame:
+    """Forward as-of join: for each left row, the EARLIEST right row at
+    or after its ``ts_col`` (NULL when none follows) — the mirror of
+    asof_join, same union+window plan (one shuffle, linear state).
+    Right rows sort after left rows at equal (ts, tiebreaker), so an
+    exactly-simultaneous right row matches; with a tiebreaker the
+    contract sharpens to "first right row with (ts, tiebreaker)
+    >= the left row's" — totally ordered, engine-independent."""
+    lt = left.withColumn("__tag", F.lit(0))
+    rt_cols = [*by, ts_col, *payload_cols]
+    rt = right.select(*rt_cols).withColumn("__tag", F.lit(1))
+    for c in left.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    for c in payload_cols:
+        lt = lt.withColumn(c, F.lit(None).cast(dict(rt.dtypes)[c]))
+    unioned = lt.unionByName(rt.select(*lt.columns))
+
+    order = [F.col(ts_col).asc(), F.col("__tag").asc()]
+    if tiebreaker is not None:
+        order.insert(1, F.col(tiebreaker).asc_nulls_first())
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    out = unioned
+    for c in payload_cols:
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.first(F.when(F.col("__tag") == 1, F.col(c)), ignorenulls=True).over(w),
+        )
+    return out.filter(F.col("__tag") == 0).drop("__tag", *payload_cols)

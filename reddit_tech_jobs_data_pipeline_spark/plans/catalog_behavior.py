@@ -458,3 +458,71 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(">", *[f"t{i}" for i in range(5)]).alias("seq"),
         )
     )
+
+
+@register(
+    "linear_touch_attribution",
+    """
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, event_id AS p_id, ts AS p_ts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touched AS (
+      SELECT p.p_id, p.value, c.click_id,
+             count(*) OVER (PARTITION BY p.p_id) AS n_touch
+      FROM purchases p JOIN clicks c
+        ON c.user_id = p.user_id
+       AND c.click_ts < p.p_ts
+       AND c.click_ts >= p.p_ts - INTERVAL 7 DAY
+    )
+    SELECT click_id,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                          list(value / n_touch ORDER BY p_id)),
+                             (acc, x) -> acc + x), 4) AS credit,
+           CAST(count(*) AS BIGINT) AS n_purchases
+    FROM touched GROUP BY click_id
+    """,
+    tags=["behavior", "attribution", "range"],
+)
+def linear_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value splits
+    equally across the user's clicks in the 7 preceding days; per-click
+    credit is the sum over the purchases it touched — the standard
+    marketing-attribution shape (first/last-touch are the rank-1
+    special cases of the same join). One banded range self-join
+    (equi-shuffle on user_id, the band evaluated inside the sort-merge
+    join), one window over purchase-sized groups, one groupBy sharing
+    the partitioning. Credit terms are value/n_touch doubles summed per
+    click — few terms, both engines in agreement far inside the 4-dp
+    round (accepted-noise class)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    touched = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("click_ts") < F.col("p_ts"))
+        & (F.col("click_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAY")),
+    ).withColumn("n_touch", F.count(F.lit(1)).over(Window.partitionBy("p_id")))
+    credits = touched.select(
+        "click_id", "p_id", (F.col("value") / F.col("n_touch")).alias("c")
+    )
+    arr = F.array_sort(F.collect_list(F.struct(F.col("p_id"), F.col("c"))))
+    folded = F.aggregate(
+        F.transform(arr, lambda s: s["c"]), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return credits.groupBy("click_id").agg(
+        F.round(folded, 4).alias("credit"),
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+    )

@@ -732,3 +732,156 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_days = d.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
     return med_int.join(n_days)
+
+
+@register(
+    "asof_next_purchase_after_error",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'error' THEN 0 ELSE 1 END AS tag
+      FROM events WHERE event_type IN ('purchase', 'error')
+    ),
+    carried AS (
+      SELECT user_id, ts, event_id, value, tag,
+        first_value(CASE WHEN tag = 1 THEN value END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id, tag
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS purchase_value_asof
+      FROM tagged
+    )
+    SELECT event_id, user_id,
+           round(value, 2) AS value,
+           round(purchase_value_asof, 2) AS purchase_value_asof
+    FROM carried WHERE tag = 0
+    """,
+    tags=["asof", "window"],
+)
+def asof_next_purchase_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for every error, the value of the user's NEXT
+    purchase at-or-after it — the mirror of
+    asof_last_error_before_purchase (operators/asof.asof_join_forward,
+    same union+window plan, one shuffle, no range join). Ties at equal
+    (ts, event_id) resolve with the purchase sorting after the error,
+    so a simultaneous purchase matches — the same at-boundary semantics
+    as the backward join."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.asof import asof_join_forward
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error")
+    purchases = ev.filter(F.col("event_type") == "purchase").withColumnRenamed(
+        "value", "purchase_value"
+    )
+    joined = asof_join_forward(
+        errors,
+        purchases,
+        by=["user_id"],
+        ts_col="ts",
+        payload_cols=["purchase_value"],
+        tiebreaker="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("value"),
+        F.round("purchase_value_asof", 2).alias("purchase_value_asof"),
+    )
+
+
+@register(
+    "winsorized_stats",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) - 1 AS r,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    marks AS (
+      SELECT event_type, max(n) AS n,
+        max(CASE WHEN r = CAST(floor(0.05 * (n - 1)) AS BIGINT)     THEN value END) AS v05a,
+        max(CASE WHEN r = CAST(floor(0.05 * (n - 1)) AS BIGINT) + 1 THEN value END) AS v05b,
+        max(CASE WHEN r = CAST(floor(0.95 * (n - 1)) AS BIGINT)     THEN value END) AS v95a,
+        max(CASE WHEN r = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1 THEN value END) AS v95b
+      FROM ranked GROUP BY event_type
+    ),
+    q AS (
+      SELECT event_type, n,
+        v05a + (0.05 * (n - 1) - floor(0.05 * (n - 1)))
+             * (coalesce(v05b, v05a) - v05a) AS q05,
+        v95a + (0.95 * (n - 1) - floor(0.95 * (n - 1)))
+             * (coalesce(v95b, v95a) - v95a) AS q95
+      FROM marks
+    )
+    SELECT e.event_type,
+           CAST(max(q.n) AS BIGINT) AS n,
+           round(max(q05), 4) AS q05,
+           round(max(q95), 4) AS q95,
+           round(avg(value), 4) AS mean_raw,
+           round(avg(greatest(q05, least(q95, value))), 4) AS mean_wins,
+           round(stddev_samp(value), 4) AS sd_raw,
+           round(stddev_samp(greatest(q05, least(q95, value))), 4) AS sd_wins
+    FROM events e JOIN q ON e.event_type = q.event_type
+    GROUP BY e.event_type
+    """,
+    tags=["stats", "quality"],
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized moments per event type: clip values to the exact
+    [p05, p95] band (linear-interpolated order statistics computed
+    MANUALLY from row_number ranks — percentile_cont/percentile built-ins
+    interpolate with engine-specific arithmetic, so both engines here
+    run the identical lo + frac*(hi-lo) on the identical positional
+    values) and report raw vs clipped mean/std — the outlier-robust
+    moment pair a metrics pipeline publishes alongside zscore_outliers'
+    row-level flags. One rank window + K-row quantile table broadcast
+    back onto the stream; two aggs share the event_type partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        (F.row_number().over(wr) - 1).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+
+    def at(pos_expr):
+        return F.max(F.when(F.col("r") == pos_expr, F.col("value")))
+
+    lo05 = F.floor(0.05 * (F.col("n") - 1))
+    lo95 = F.floor(0.95 * (F.col("n") - 1))
+    marks = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        at(lo05).alias("v05a"),
+        at(lo05 + 1).alias("v05b"),
+        at(lo95).alias("v95a"),
+        at(lo95 + 1).alias("v95b"),
+    )
+    f05 = 0.05 * (F.col("n") - 1) - F.floor(0.05 * (F.col("n") - 1))
+    f95 = 0.95 * (F.col("n") - 1) - F.floor(0.95 * (F.col("n") - 1))
+    q = marks.select(
+        "event_type",
+        "n",
+        (
+            F.col("v05a")
+            + f05 * (F.coalesce(F.col("v05b"), F.col("v05a")) - F.col("v05a"))
+        ).alias("q05"),
+        (
+            F.col("v95a")
+            + f95 * (F.coalesce(F.col("v95b"), F.col("v95a")) - F.col("v95a"))
+        ).alias("q95"),
+    )
+    clipped = F.greatest(F.col("q05"), F.least(F.col("q95"), F.col("value")))
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.round(F.max("q05"), 4).alias("q05"),
+            F.round(F.max("q95"), 4).alias("q95"),
+            F.round(F.avg("value"), 4).alias("mean_raw"),
+            F.round(F.avg(clipped), 4).alias("mean_wins"),
+            F.round(F.stddev_samp("value"), 4).alias("sd_raw"),
+            F.round(F.stddev_samp(clipped), 4).alias("sd_wins"),
+        )
+    )
