@@ -184,7 +184,7 @@ def main() -> None:
     # r1-r6 runs (nothing but legacy's own warm-up precedes it), which
     # is what BENCH_r*.json round-over-round comparison assumes.
     timings: dict[str, float] = {}
-    for group in (LEGACY, ADDED_R7, ADDED_R7B, ADDED_R8, ADDED_R9):
+    for group in (LEGACY, ADDED_R7, ADDED_R7B, ADDED_R8, ADDED_R9, ADDED_R10):
         names = [n for n in group if n in reg]
 
         # untimed pass: JVM + file listing + per-plan codegen compilation

@@ -127,3 +127,31 @@ def test_srp_query_collides_with_itself_and_near_duplicate(spark):
     rows = out.collect()
     assert [r.neighbor_id for r in rows] == [2]
     assert rows[0].cosine > 0.999
+
+
+def test_srp_recall_at_5_vs_exact_on_testdata(spark):
+    """SRP-LSH recall floor on the sf0.01 embeddings: candidates share
+    an 8-bit random-hyperplane signature (~1/256 selectivity before
+    clustering), reranked exactly. Random isotropic data is sign-LSH's
+    worst case; the floor asserts the planes aren't degenerate and the
+    bucket join actually probes the right bucket (a broken signature
+    would send recall to ~0)."""
+    from reddit_tech_jobs_data_pipeline_spark.operators import similarity
+    from reddit_tech_jobs_data_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").cache()
+    queries = emb.filter(F.col("vec_id") < 50)
+    planes = similarity.srp_planes(8, 64)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.srp_ann_topk(emb, queries, planes, k=5)
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    total = exact.count()
+    emb.unpersist()
+    assert total == 250
+    recall = hits / total
+    # measured 0.016 single-probe at 8 bits on this fixture — matching
+    # theory for isotropic data (P[collision] = (1 - theta/pi)^8 ~ 1/256
+    # at theta ~ pi/2, the sign-LSH worst case; real clustered
+    # embeddings sit far higher). The floor guards degeneracy (a broken
+    # signature or planes would send recall to ~0), not quality.
+    assert recall >= 0.005, recall
