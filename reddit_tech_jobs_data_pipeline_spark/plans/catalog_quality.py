@@ -900,3 +900,56 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("true_count") + noise, 4).alias("noisy_count"),
         F.round(F.abs(noise), 4).alias("abs_noise"),
     )
+
+
+@register(
+    "benford_digit_audit",
+    """
+    WITH d AS (
+      SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit,
+             count(*) AS observed
+      FROM orders WHERE o_totalprice >= 1
+      GROUP BY 1
+    ),
+    e AS (
+      SELECT d.digit, d.observed,
+             (SELECT sum(observed) FROM d) AS n,
+             ln(1.0 + 1.0 / CAST(d.digit AS BIGINT)) / ln(10.0) AS p
+      FROM d
+    )
+    SELECT digit,
+           CAST(observed AS BIGINT) AS observed,
+           round(n * p, 2) AS expected,
+           round((observed - n * p) * (observed - n * p) / (n * p), 4)
+             AS chi2_term
+    FROM e ORDER BY digit
+    """,
+    tags=["quality", "stats"],
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed vs
+    expected log10(1 + 1/d) counts with per-digit chi-squared terms —
+    the classic fabricated-data / generator-bias detector (synthetic
+    uniform prices FAIL it loudly, which is exactly what the audit
+    should report; invoices from a real business follow it). One
+    9-group aggregation; the scalar total rides as a subquery/broadcast;
+    expected counts use identical ln arithmetic on both engines."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = orders.groupBy(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        ).alias("digit")
+    ).agg(F.count(F.lit(1)).alias("observed"))
+    tot = d.agg(F.sum("observed").alias("n"))
+    p = F.log(1.0 + 1.0 / F.col("digit").cast("bigint")) / F.log(F.lit(10.0))
+    dev = F.col("observed") - F.col("n") * p
+    return (
+        d.join(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("observed").cast("long").alias("observed"),
+            F.round(F.col("n") * p, 2).alias("expected"),
+            F.round(dev * dev / (F.col("n") * p), 4).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
