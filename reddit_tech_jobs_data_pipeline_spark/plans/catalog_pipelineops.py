@@ -1147,3 +1147,80 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("m").alias("src"), (F.col("m") + 2).alias("dst")
     )
     return label_propagation(chain.unionByName(skip), rounds=4)
+
+
+@register(
+    "partition_skew_report",
+    """
+    WITH c AS (
+      SELECT l_suppkey AS k, count(*) AS n FROM lineitem GROUP BY 1
+    ),
+    r AS (
+      SELECT k, n,
+             row_number() OVER (ORDER BY n DESC, k) AS rnk_desc,
+             row_number() OVER (ORDER BY n ASC, k)  AS rnk_asc,
+             count(*) OVER ()                        AS n_keys,
+             sum(n) OVER ()                          AS total_rows
+      FROM c
+    )
+    SELECT CAST(max(n_keys) AS BIGINT)     AS n_keys,
+           CAST(max(total_rows) AS BIGINT) AS total_rows,
+           round(max(CASE WHEN rnk_desc = 1 THEN n END) * 1.0
+                 / max(total_rows), 6) AS top1_share,
+           round(sum(CASE WHEN rnk_desc <= 10 THEN n ELSE 0 END) * 1.0
+                 / max(total_rows), 6) AS top10_share,
+           round(2.0 * sum(rnk_asc * n) / (max(n_keys) * max(total_rows))
+                 - (max(n_keys) + 1.0) / max(n_keys), 6) AS gini,
+           max(CASE WHEN rnk_desc = 1 THEN n END) * 1.0 / max(total_rows)
+             > 2.0 / max(n_keys) AS skewed
+    FROM r
+    """,
+    tags=["ops", "skew", "quality"],
+)
+def partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew diagnosis — the report you run BEFORE
+    choosing a salting factor or enabling AQE skew-join for a key
+    (operators/dedup's max_df guards and salted_join_equivalence are
+    the cures; this is the diagnostic): key count, top-1/top-10 key
+    shares of all rows, the Gini coefficient of the per-key
+    distribution (exact integer rank sums — engine-order-independent),
+    and a skew flag (hottest key > 2x the uniform share). One
+    map-side-combined groupBy over the key + windows over the
+    keys-sized table; the fact table is read once."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_suppkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    r = c.select(
+        "k",
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("k")))
+        .alias("rnk_desc"),
+        F.row_number()
+        .over(Window.orderBy(F.col("n").asc(), F.col("k")))
+        .alias("rnk_asc"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_keys"),
+        F.sum("n").over(Window.partitionBy()).alias("total_rows"),
+    )
+    top1 = F.max(F.when(F.col("rnk_desc") == 1, F.col("n")))
+    return r.agg(
+        F.max("n_keys").cast("long").alias("n_keys"),
+        F.max("total_rows").cast("long").alias("total_rows"),
+        F.round(top1 * 1.0 / F.max("total_rows"), 6).alias("top1_share"),
+        F.round(
+            F.sum(F.when(F.col("rnk_desc") <= 10, F.col("n")).otherwise(0))
+            * 1.0
+            / F.max("total_rows"),
+            6,
+        ).alias("top10_share"),
+        F.round(
+            2.0 * F.sum(F.col("rnk_asc") * F.col("n"))
+            / (F.max("n_keys") * F.max("total_rows"))
+            - (F.max("n_keys") + 1.0) / F.max("n_keys"),
+            6,
+        ).alias("gini"),
+        (top1 * 1.0 / F.max("total_rows") > 2.0 / F.max("n_keys")).alias(
+            "skewed"
+        ),
+    )

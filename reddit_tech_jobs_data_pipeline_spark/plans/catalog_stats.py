@@ -885,3 +885,47 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev_samp(clipped), 4).alias("sd_wins"),
         )
     )
+
+
+@register(
+    "seasonal_residual_outliers",
+    """
+    WITH prof AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+             avg(value) AS mu, stddev_samp(value) AS sigma
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_id, e.event_type, CAST(hour(ts) AS BIGINT) AS h,
+           round(value, 2) AS value,
+           round((value - mu) / sigma, 4) AS seasonal_z
+    FROM events e JOIN prof p
+      ON e.event_type = p.event_type AND CAST(hour(e.ts) AS BIGINT) = p.h
+    WHERE sigma > 0 AND abs((value - mu) / sigma) > 3.0
+    """,
+    tags=["stats", "timeseries", "quality"],
+)
+def seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: z-score each event against
+    its OWN (type, hour-of-day) profile instead of the global moments —
+    the detector that doesn't page you for the nightly traffic dip
+    zscore_outliers would flag. The profile is |types|x24 rows
+    (broadcast); the corpus streams through once. Degenerate cells
+    (sigma = 0) are excluded on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.hour("ts").cast("long")
+    prof = ev.groupBy(F.col("event_type"), h.alias("h")).agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.withColumn("h", h)
+        .join(F.broadcast(prof), ["event_type", "h"])
+        .filter((F.col("sigma") > 0) & (F.abs(z) > 3.0))
+        .select(
+            "event_id",
+            "event_type",
+            "h",
+            F.round("value", 2).alias("value"),
+            F.round(z, 4).alias("seasonal_z"),
+        )
+    )
