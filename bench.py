@@ -227,11 +227,22 @@ def main() -> None:
     tail_timings: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_FULL", "1") != "0":
         tail = sorted(n for n in reg if n not in set(HEADLINE))
-        for name in tail:
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            materialize(reg[name].spark(spark, sf_dir))
-            tail_timings[name] = round(time.perf_counter() - t0, 3)
+        # One untimed session-warmup (an already-warm headline plan, so
+        # no tail plan loses its cold-codegen property) plus best-of-2
+        # for the first five tail entries: alphabetically-early queries
+        # were absorbing post-headline GC/JIT settling, producing 2-3×
+        # round-over-round drift on unchanged sub-second queries
+        # (r10 verdict: a1_watermark_max 3.4×, multimodal_features 2.0×).
+        materialize(reg["q1_pricing_summary"].spark(spark, sf_dir))
+        for i, name in enumerate(tail):
+            passes = 2 if i < 5 else 1
+            best = float("inf")
+            for _ in range(passes):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                materialize(reg[name].spark(spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            tail_timings[name] = round(best, 3)
         spark.catalog.clearCache()
         gc.collect()
 

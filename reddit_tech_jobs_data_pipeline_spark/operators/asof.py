@@ -35,9 +35,17 @@ def asof_join(
     """Left as-of join. Output = left columns + ``payload_cols`` from the
     latest right row at-or-before each left row's ``ts_col`` (NULL when no
     prior right row exists). ``tiebreaker`` orders right rows that share a
-    timestamp (latest wins) — required for determinism if duplicates exist."""
+    timestamp (latest wins) — required for determinism if duplicates exist.
+    When ``tiebreaker`` is a column of ``right`` it is carried with its real
+    value, so the merge order is exactly (ts, tiebreaker, tag) on BOTH sides
+    — the same total order an engine-side ``ORDER BY ts, tiebreaker, tag``
+    oracle uses. (Right rows must not be null-filled here: a nulled
+    tiebreaker would sort every right row before every left row at equal
+    ts, silently widening the at-boundary match set.)"""
     lt = left.withColumn("__tag", F.lit(1))
     rt_cols = [*by, ts_col, *payload_cols]
+    if tiebreaker is not None and tiebreaker in right.columns and tiebreaker not in rt_cols:
+        rt_cols.append(tiebreaker)
     rt = right.select(*rt_cols).withColumn("__tag", F.lit(0))
     for c in left.columns:
         if c not in rt.columns:
@@ -81,9 +89,15 @@ def asof_join_forward(
     Right rows sort after left rows at equal (ts, tiebreaker), so an
     exactly-simultaneous right row matches; with a tiebreaker the
     contract sharpens to "first right row with (ts, tiebreaker)
-    >= the left row's" — totally ordered, engine-independent."""
+    >= the left row's" — totally ordered, engine-independent. As in
+    ``asof_join``, a tiebreaker that exists on ``right`` is carried with
+    its real value (NOT null-filled), so right rows merge at their true
+    (ts, tiebreaker) position exactly as in an ``ORDER BY ts, tiebreaker,
+    tag`` oracle."""
     lt = left.withColumn("__tag", F.lit(0))
     rt_cols = [*by, ts_col, *payload_cols]
+    if tiebreaker is not None and tiebreaker in right.columns and tiebreaker not in rt_cols:
+        rt_cols.append(tiebreaker)
     rt = right.select(*rt_cols).withColumn("__tag", F.lit(1))
     for c in left.columns:
         if c not in rt.columns:

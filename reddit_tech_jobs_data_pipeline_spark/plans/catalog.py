@@ -475,6 +475,30 @@ def running_total_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Window rotation: the driver's per-round correctness gate verifies the
+# FIRST 50 entries of queries() in order. Registration order front-loads
+# the reference surface; this pinned list additionally promotes one
+# representative per NEWEST round-family into the sampled window, so the
+# external gate always covers recent work instead of nothing newer than
+# round 8 (r10 advisor item 3). Promoted names are hoisted to a fixed
+# position right after the reference+structure block; every displaced
+# query remains value-checked by the full-catalog tools/check_oracle.py
+# run. Membership changes are recorded in CORRECTNESS_WINDOW.md
+# (tools/window_membership.py --write; tests/test_window_membership.py
+# fails the suite when the file drifts from the live registry).
+_WINDOW_PROMOTED = [
+    "srp_lsh_ann_topk",          # r10: SRP-LSH ANN
+    "streaming_cusum_monitor",   # r10: restartable streaming CUSUM
+]
+_PROMOTE_AT = 26  # after the reference-surface + hygiene/classifier block
+
+
+def _window_order(names: list[str]) -> list[str]:
+    promoted = [n for n in _WINDOW_PROMOTED if n in REGISTRY]
+    rest = [n for n in names if n not in set(promoted)]
+    return rest[:_PROMOTE_AT] + promoted + rest[_PROMOTE_AT:]
+
+
 def get_registry() -> dict[str, QuerySpec]:
     # import for side effect: registers the other catalog modules.
     # REGISTRATION ORDER is owned by plans/__init__.py (the package
@@ -503,4 +527,4 @@ def get_registry() -> dict[str, QuerySpec]:
         catalog_tpch2,
     )
 
-    return dict(REGISTRY)
+    return {n: REGISTRY[n] for n in _window_order(list(REGISTRY))}

@@ -900,7 +900,7 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((value - mu) / sigma, 4) AS seasonal_z
     FROM events e JOIN prof p
       ON e.event_type = p.event_type AND CAST(hour(e.ts) AS BIGINT) = p.h
-    WHERE sigma > 0 AND abs((value - mu) / sigma) > 3.0
+    WHERE sigma > 0 AND abs(round((value - mu) / sigma, 4)) > 3.0
     """,
     tags=["stats", "timeseries", "quality"],
 )
@@ -910,7 +910,13 @@ def seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the detector that doesn't page you for the nightly traffic dip
     zscore_outliers would flag. The profile is |types|x24 rows
     (broadcast); the corpus streams through once. Degenerate cells
-    (sigma = 0) are excluded on both engines."""
+    (sigma = 0) are excluded on both engines. Membership gates on the
+    4-dp ROUNDED z (the same value the output carries), not the raw
+    one: Spark and DuckDB can disagree in the last ulp of avg/stddev
+    (partition merge order), and a raw > 3.0 gate would let a
+    borderline event flip in/out of the result set — the r10 advisor's
+    row-count divergence. boundary_margin.py covers the residual
+    rounding-boundary risk as for every rounded column."""
     ev = _t(spark, sf_dir, "events")
     h = F.hour("ts").cast("long")
     prof = ev.groupBy(F.col("event_type"), h.alias("h")).agg(
@@ -920,7 +926,7 @@ def seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn("h", h)
         .join(F.broadcast(prof), ["event_type", "h"])
-        .filter((F.col("sigma") > 0) & (F.abs(z) > 3.0))
+        .filter((F.col("sigma") > 0) & (F.abs(F.round(z, 4)) > 3.0))
         .select(
             "event_id",
             "event_type",

@@ -229,14 +229,24 @@ def run_stream(
     ``work/src``, resuming from ``work/ckpt`` if it exists. Batch ids
     are monotonic across restarts (Structured Streaming checkpoint
     contract) and each batch overwrites only its OWN ``b{id}`` dir, so
-    a replayed batch after a crash is idempotent and ``_latest_state``
-    (max batch dir) always sees the newest complete state."""
+    a replayed batch after a crash is idempotent: ``_latest_state``
+    seeds from the newest COMPLETE (``_SUCCESS``-marked) batch dir with
+    index STRICTLY BELOW the current batch id. Without the strict bound
+    a replay of batch N (crash between the parquet write and the
+    checkpoint commit) would pick bN itself — post-batch state — and
+    double-apply N's events; without the ``_SUCCESS`` gate it could
+    read a partially-written dir."""
     src_dir = os.path.join(work, "src")
     out_root = os.path.join(work, "out")
     os.makedirs(out_root, exist_ok=True)
 
-    def _latest_state() -> DataFrame:
-        versions = sorted(glob.glob(os.path.join(out_root, "b*")))
+    def _latest_state(before_batch_id: int) -> DataFrame:
+        versions = sorted(
+            d
+            for d in glob.glob(os.path.join(out_root, "b*"))
+            if int(os.path.basename(d)[1:]) < before_batch_id
+            and os.path.exists(os.path.join(d, "_SUCCESS"))
+        )
         if not versions:
             return spark.createDataFrame([], _STATE_SCHEMA)
         return (
@@ -245,7 +255,7 @@ def run_stream(
         )
 
     def _monitor(batch: DataFrame, batch_id: int) -> None:
-        state = _latest_state()
+        state = _latest_state(batch_id)
         scored = cusum_scan_with_state(batch, state, target, threshold)
         # ONE action per batch: events and the complete next-batch state
         # land in sibling partition dirs of the same write

@@ -292,3 +292,46 @@ def test_streaming_cusum_resumes_from_checkpoint(spark):
     }
     assert streamed == batch
     shutil.rmtree(work, ignore_errors=True)
+
+
+def test_streaming_cusum_crash_replay_is_idempotent(spark):
+    """r10 advisor finding: crash BETWEEN the batch's parquet write and
+    the checkpoint commit → Structured Streaming replays that batch id.
+    Simulate it by deleting the newest ckpt/commits entry after a full
+    run (the output dir for that batch already holds post-batch state)
+    and re-running: the replay must seed from the PREDECESSOR's state,
+    not its own leftover dir, so the combined output still equals the
+    one-shot batch scan."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from reddit_tech_jobs_data_pipeline_spark.operators.sequential import cusum_scan
+    from reddit_tech_jobs_data_pipeline_spark.sources.testdata import load_table
+    from reddit_tech_jobs_data_pipeline_spark.streaming import cusum_monitor as cm
+
+    sf = "/root/testdata/sf0.001"
+    work = tempfile.mkdtemp(prefix="cusum_replay_")
+    cm._write_time_chunks(spark, sf, os.path.join(work, "src"), 5)
+    cm.run_stream(spark, work, name="replay_p1")
+    commits = sorted(glob.glob(os.path.join(work, "ckpt", "commits", "[0-9]*")))
+    assert len(commits) >= 2
+    # the crash window: write done, commit lost (drop the Hadoop .crc
+    # sibling too — a real crash would have written neither)
+    os.remove(commits[-1])
+    crc = os.path.join(
+        os.path.dirname(commits[-1]), f".{os.path.basename(commits[-1])}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    cm.run_stream(spark, work, name="replay_p2")
+    streamed = {
+        r.event_id: (r.cusum, r.alarm) for r in cm.read_events(spark, work).collect()
+    }
+    batch = {
+        r.event_id: (r.cusum, r.alarm)
+        for r in cusum_scan(load_table(spark, sf, "events"), 55.0, 150.0).collect()
+    }
+    assert streamed == batch
+    shutil.rmtree(work, ignore_errors=True)

@@ -179,6 +179,39 @@ class TestAsofJoin:
         assert out[101] == 3.0  # latest at-or-before
         assert out[200] is None  # no prior right row for user 2
 
+    def test_tiebreaker_carried_on_right_at_equal_ts(self, spark):
+        """r10 advisor finding: the tiebreaker must ride right rows with
+        its REAL value, not be null-filled — otherwise right rows sort
+        before/after left at equal ts regardless of the tiebreaker and
+        diverge from an ORDER BY ts, tiebreaker, tag oracle."""
+        import datetime as dt
+
+        from reddit_tech_jobs_data_pipeline_spark.operators.asof import (
+            asof_join,
+            asof_join_forward,
+        )
+
+        t = dt.datetime(2024, 1, 1, 0, 10)
+        # Left event_id=5 at ts t. Right rows at the SAME ts: event_id=3
+        # (before left in (ts, event_id) order) and event_id=7 (after).
+        left = spark.createDataFrame(
+            [(1, t, 5)], "user_id long, ts timestamp, event_id long"
+        )
+        right = spark.createDataFrame(
+            [(1, t, 3, 30.0), (1, t, 7, 70.0)],
+            "user_id long, ts timestamp, event_id long, v double",
+        )
+        back = asof_join(
+            left, right, ["user_id"], "ts", ["v"], tiebreaker="event_id"
+        ).first()
+        # at-or-before in (ts, event_id) order: only event_id=3 qualifies
+        assert back.v_asof == 30.0
+        fwd = asof_join_forward(
+            left, right, ["user_id"], "ts", ["v"], tiebreaker="event_id"
+        ).first()
+        # at-or-after in (ts, event_id) order: first is event_id=7
+        assert fwd.v_asof == 70.0
+
 
 class TestApproxDistinct:
     def test_hll_within_tolerance(self, spark):
