@@ -504,19 +504,17 @@ def append_ivf_index(
     assigned.write.mode("append").partitionBy("cell_id").parquet(path)
 
 
-def _pq_books_geometry(books: DataFrame, dim: int, who: str) -> tuple[int, int]:
+def _books_geometry_from_rows(rows, dim: int, who: str) -> tuple[int, int]:
     """(m, sub_w) of a persisted codebook table, DERIVED from the books
     themselves — never trusted from the caller: a wrong ``dim`` would
     slice wrong subvectors and silently append garbage codes into a
     healthy index. ``dim`` is cross-checked against m×sub_w and the call
-    refuses on mismatch. Books are KB-scale (m×ks rows), so the probe is
-    a bounded collect."""
-    rows = books.select(
-        "sub", F.size("cvec").alias("w")
-    ).distinct().collect()
+    refuses on mismatch. Takes COLLECTED book rows so the geometry probe
+    shares the one bounded collect the frozen-books encode needs anyway
+    (books are m×ks rows — KBs at any corpus size)."""
     if not rows:
         raise ValueError(f"{who}: empty codebooks")
-    widths = sorted({r.w for r in rows})
+    widths = sorted({len(r.cvec) for r in rows})
     if len(widths) != 1:
         raise ValueError(f"{who}: codebooks have mixed subvector widths {widths}")
     m = len({r.sub for r in rows})
@@ -527,6 +525,62 @@ def _pq_books_geometry(books: DataFrame, dim: int, who: str) -> tuple[int, int]:
             f"(m={m} subspaces × sub_w={sub_w} = {m * sub_w})"
         )
     return m, sub_w
+
+
+def _pq_books_geometry(books: DataFrame, dim: int, who: str) -> tuple[int, int]:
+    """DataFrame-input wrapper over _books_geometry_from_rows (kept for
+    callers that don't otherwise collect the books)."""
+    return _books_geometry_from_rows(
+        books.select("sub", "cvec").collect(), dim, who
+    )
+
+
+def _frozen_encode_exprs(
+    vec_sql: str, books_rows, m: int, sub_w: int, cid_type: str
+):
+    """All m PQ code columns as PURE EXPRESSIONS over a collected
+    codebook — the map-only encode for frozen-books appends. Per
+    subspace, the squared distance to each of the ks centroids is the
+    identical sequential zip_with/aggregate fold assign_clusters uses
+    (bit-exact, so expression-encode ≡ join-encode ≡ the oracle), and
+    the argmin with (dist asc, cid asc) tie-break is array_min over
+    (dist, cid) structs. Replaces m broadcast joins + m row_number
+    windows + an m-way vec_id join chain with ONE projection: the
+    encode becomes an embarrassing map over the delta — zero shuffles,
+    which is the shape index maintenance must have at 100 TB (the r10
+    append regression was exactly this overhead).
+
+    ``vec_sql`` is the SQL text of the vector column. The expressions
+    are generated as SQL strings and parsed with ONE F.expr call per
+    subspace: building the same tree through the Column API costs ~5.5 s
+    of py4j round-trips for m×ks lambda closures (measured at m=8,
+    ks=16), 25× the 0.2 s the encode itself takes. Centroid literals use
+    repr(float) + 'D' — shortest-roundtrip decimal, parsed back to the
+    bit-identical double."""
+    by_sub: dict[int, list] = {}
+    for r in books_rows:
+        by_sub.setdefault(r.sub, []).append((r.cid, list(r.cvec)))
+
+    def dlit(x: float) -> str:
+        return repr(float(x)) + "D"
+
+    exprs = []
+    for s in range(m):
+        sv = f"slice({vec_sql}, {s * sub_w + 1}, {sub_w})"
+        cands = []
+        for cid, cvec in sorted(by_sub[s]):
+            cent = "array(" + ", ".join(dlit(x) for x in cvec) + ")"
+            d = (
+                f"aggregate(zip_with({sv}, {cent}, (x, y) -> (x - y) * (x - y)), "
+                f"0.0D, (acc, x) -> acc + x)"
+            )
+            cands.append(
+                f"named_struct('dist', {d}, 'cid', CAST({cid} AS {cid_type}))"
+            )
+        exprs.append(
+            F.expr(f"array_min(array({', '.join(cands)})).cid").alias(f"code_{s}")
+        )
+    return exprs
 
 
 def _validate_vec_width(df: DataFrame, vec_col: str, dim: int, who: str) -> None:
@@ -559,26 +613,21 @@ def append_pq_index(
     assignment is deterministic given the codebooks, so append ≡ re-encode
     of the union: probes over the appended index match a from-scratch
     encode with the same books (value-checked by ann_pq_index_append
-    against the full-corpus oracle). One broadcast-argmin pass per
-    subspace over the DELTA only (plus one column-pruned validation scan
-    — see _pq_books_geometry)."""
-    from reddit_tech_jobs_data_pipeline_spark.operators.kmeans import assign_clusters
-
+    against the full-corpus oracle). The encode is ONE map-only
+    projection over the DELTA (codebooks collected once — KBs — and
+    inlined as expressions, _frozen_encode_exprs), plus one
+    column-pruned validation scan; no joins, no shuffles."""
     books = spark.read.parquet(f"{path}/books")
-    m, sub_w = _pq_books_geometry(books, dim, "append_pq_index")
+    cid_type = dict(books.dtypes)["cid"]
+    rows = books.select("sub", "cid", "cvec").collect()
+    m, sub_w = _books_geometry_from_rows(rows, dim, "append_pq_index")
     base = corpus_delta.select(
         F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("__v")
     )
     _validate_vec_width(base, "__v", m * sub_w, "append_pq_index")
-    codes = None
-    for s in range(m):
-        sv = base.select("vec_id", F.slice("__v", s * sub_w + 1, sub_w).alias("v"))
-        cents = books.filter(F.col("sub") == s).select("cid", "cvec")
-        assigned = assign_clusters(sv, cents).select(
-            "vec_id", F.col("cid").alias(f"code_{s}")
-        )
-        codes = assigned if codes is None else codes.join(assigned, "vec_id")
-    codes.write.mode("append").parquet(f"{path}/codes")
+    base.select(
+        "vec_id", *_frozen_encode_exprs("__v", rows, m, sub_w, cid_type)
+    ).write.mode("append").parquet(f"{path}/codes")
 
 
 def ivf_index_topk(
@@ -1240,15 +1289,17 @@ def append_ivfpq_index(
     is retouched. Assignment and per-subspace nearest-centroid encoding
     are deterministic given the models, so append ≡ one-shot encode of
     the union with the same models (ann_ivfpq_index_append's oracle
-    proves it value-exactly). One broadcast-assignment + m broadcast-
-    argmin passes over the DELTA only — the daily-ingest cost at
-    100 TB; hot-cell fragment buildup is maintenance.compact_ivf_index's
-    job (layout-preserving; compact_append_store refuses cell_id= dirs)."""
-    from reddit_tech_jobs_data_pipeline_spark.operators.kmeans import assign_clusters
-
+    proves it value-exactly). One broadcast coarse assignment + a
+    map-only residual encode (codebooks collected once — KBs — and
+    inlined as expressions, _frozen_encode_exprs) over the DELTA only —
+    the daily-ingest cost at 100 TB; hot-cell fragment buildup is
+    maintenance.compact_ivf_index's job (layout-preserving;
+    compact_append_store refuses cell_id= dirs)."""
     cents = spark.read.parquet(f"{path}/cents")
     books = spark.read.parquet(f"{path}/books")
-    m, sub_w = _pq_books_geometry(books, dim, "append_ivfpq_index")
+    cid_type = dict(books.dtypes)["cid"]
+    rows = books.select("sub", "cid", "cvec").collect()
+    m, sub_w = _books_geometry_from_rows(rows, dim, "append_ivfpq_index")
     c = corpus_delta.select(
         F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("v")
     )
@@ -1257,15 +1308,11 @@ def append_ivfpq_index(
     resid = assigned.join(F.broadcast(cents), "cell_id").select(
         "vec_id", "cell_id", F.zip_with("v", "cvec", lambda a, b: a - b).alias("r")
     )
-    codes = resid.select("vec_id", "cell_id")
-    for s in range(m):
-        sv = resid.select("vec_id", F.slice("r", s * sub_w + 1, sub_w).alias("v"))
-        cents_s = books.filter(F.col("sub") == s).select("cid", "cvec")
-        assigned_s = assign_clusters(sv, cents_s).select(
-            "vec_id", F.col("cid").alias(f"code_{s}")
-        )
-        codes = codes.join(assigned_s, "vec_id")
-    codes.write.mode("append").partitionBy("cell_id").parquet(f"{path}/codes")
+    resid.select(
+        "vec_id",
+        "cell_id",
+        *_frozen_encode_exprs("r", rows, m, sub_w, cid_type),
+    ).write.mode("append").partitionBy("cell_id").parquet(f"{path}/codes")
 
 
 def ivfpq_index_topk(
