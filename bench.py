@@ -159,8 +159,15 @@ ADDED_R10 = [
     "zorder_layout_audit",
     "bootstrap_mean_ci",
 ]
+# Added round 11: the persisted SRP index family.
+ADDED_R11 = [
+    "ann_srp_index_topk",
+    "ann_srp_index_append",
+]
 LEGACY = list(HEADLINE)
-HEADLINE = HEADLINE + ADDED_R7 + ADDED_R7B + ADDED_R8 + ADDED_R9 + ADDED_R10
+HEADLINE = (
+    HEADLINE + ADDED_R7 + ADDED_R7B + ADDED_R8 + ADDED_R9 + ADDED_R10 + ADDED_R11
+)
 
 
 def materialize(df) -> None:
@@ -184,7 +191,15 @@ def main() -> None:
     # r1-r6 runs (nothing but legacy's own warm-up precedes it), which
     # is what BENCH_r*.json round-over-round comparison assumes.
     timings: dict[str, float] = {}
-    for group in (LEGACY, ADDED_R7, ADDED_R7B, ADDED_R8, ADDED_R9, ADDED_R10):
+    for group in (
+        LEGACY,
+        ADDED_R7,
+        ADDED_R7B,
+        ADDED_R8,
+        ADDED_R9,
+        ADDED_R10,
+        ADDED_R11,
+    ):
         names = [n for n in group if n in reg]
 
         # untimed pass: JVM + file listing + per-plan codegen compilation

@@ -1583,3 +1583,102 @@ def srp_ann_topk(
             F.col("__rn").cast("long").alias("rank"),
         )
     )
+
+
+def _srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Partition-safe SRP bucket key: the b-bit signature prefixed with
+    'b'. Hive-style partition directories type-infer bare digit strings
+    (sig=00101 would read back as the INTEGER 101, silently corrupting
+    the probe's equi-join on leading-zero buckets); the prefix pins the
+    key to a string on every reader with zero information loss."""
+    return F.concat(F.lit("b"), srp_signature(vec, planes))
+
+
+def write_srp_index(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the SRP-LSH index: raw vectors partitioned by their
+    b-bit bucket (one directory per occupied signature, ≤ 2^b dirs).
+    The fourth persisted index family beside IVF / PQ / IVF-PQ — SRP's
+    planes are DATA-INDEPENDENT (no training), so there is no model to
+    freeze beyond the plane literals themselves; the build is one
+    signature projection + a partitioned write, and a probe reads only
+    the queries' bucket directories."""
+    corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _dvec(F.col(vec_col)).alias("cvec"),
+        _srp_bucket(F.col(vec_col), planes).alias("sig"),
+    ).write.mode("overwrite").partitionBy("sig").parquet(path)
+
+
+def append_srp_index(
+    corpus_delta: DataFrame,
+    planes: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental SRP maintenance — trivially frozen-model: signatures
+    depend only on the fixed plane literals, so appending a delta's rows
+    into their bucket directories is exactly what a from-scratch rebuild
+    would produce (append ≡ rebuild, value-checked by
+    ann_srp_index_append's oracle). One map-only signature pass over the
+    DELTA + a partitioned append; touched buckets gain a fragment,
+    untouched buckets aren't rewritten (fragment buildup is
+    maintenance.compact_ivf_index's job — same layout contract)."""
+    corpus_delta.select(
+        F.col(id_col).alias("neighbor_id"),
+        _dvec(F.col(vec_col)).alias("cvec"),
+        _srp_bucket(F.col(vec_col), planes).alias("sig"),
+    ).write.mode("append").partitionBy("sig").parquet(path)
+
+
+def srp_index_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a write_srp_index layout: signature each query (map-only,
+    b dot products), collect the DISTINCT probed buckets (bounded by
+    min(|queries|, 2^b) — bucket keys, never data), and read ONLY those
+    bucket directories (the isin filter prunes at the directory level).
+    Scores and ranking replicate srp_ann_topk exactly — parquet
+    round-trips the doubles bit-identically — so the same oracle gates
+    both the inline and the persisted form."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _dvec(F.col(vec_col)).alias("qvec"),
+        _srp_bucket(F.col(vec_col), planes).alias("sig"),
+    )
+    probed = sorted(r["sig"] for r in q.select("sig").distinct().collect())
+    index = spark.read.parquet(index_path).filter(F.col("sig").isin(probed))
+    scored = (
+        index.join(F.broadcast(q), "sig")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("__rn").cast("long").alias("rank"),
+        )
+    )

@@ -489,6 +489,7 @@ def running_total_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINDOW_PROMOTED = [
     "srp_lsh_ann_topk",          # r10: SRP-LSH ANN
     "streaming_cusum_monitor",   # r10: restartable streaming CUSUM
+    "ann_srp_index_topk",        # r11: persisted SRP index probe
 ]
 _PROMOTE_AT = 26  # after the reference-surface + hygiene/classifier block
 

@@ -3576,9 +3576,10 @@ def _srp_sig_sql(vec: str) -> str:
     return " || ".join(bits)
 
 
-@register(
-    "srp_lsh_ann_topk",
-    f"""
+# Shared oracle for every SRP form (inline, persisted-index probe,
+# index append): the signature depends only on the fixed plane
+# literals, so all three compute the identical candidate set + rerank.
+_SRP_TOPK_SQL = f"""
     WITH c AS (SELECT vec_id AS neighbor_id, {_DVEC} AS cvec,
                       {_srp_sig_sql(_DVEC)} AS sig FROM embeddings),
     q AS (SELECT vec_id AS query_id, {_DVEC} AS qvec,
@@ -3593,7 +3594,12 @@ def _srp_sig_sql(vec: str) -> str:
                                    ORDER BY cosine DESC, neighbor_id) AS rank
       FROM scored
     ) WHERE rank <= 5
-    """,
+    """
+
+
+@register(
+    "srp_lsh_ann_topk",
+    _SRP_TOPK_SQL,
     tags=["similarity", "scale"],
 )
 def srp_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3611,6 +3617,101 @@ def srp_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.srp_ann_topk(
         emb, emb.filter(F.col("vec_id") < 16), planes=_SRP_PLANES, k=5
+    )
+
+
+@register(
+    "ann_srp_index_topk",
+    _SRP_TOPK_SQL,
+    tags=["similarity", "maintenance", "scale"],
+)
+def ann_srp_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The on-disk SRP read path — fourth persisted index family beside
+    IVF / PQ / IVF-PQ (build-once/probe-many): raw vectors land in one
+    directory per occupied 8-bit bucket (write_srp_index), and the probe
+    signatures its queries, collects only the distinct probed BUCKET
+    KEYS (≤ min(|queries|, 256) strings — never data) and reads just
+    those directories via partition pruning. Parquet round-trips the
+    doubles bit-identically, so scores replicate srp_lsh_ann_topk
+    exactly and the SAME oracle gates the inline and persisted forms.
+    At 100 TB a query workload reads occupied-bucket/total bytes instead
+    of re-signaturing the corpus per run."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = f"{tempfile.gettempdir()}/spark_graft_srp_index_{stable_work_key(sf_dir)}"
+    similarity.write_srp_index(emb, _SRP_PLANES, path)
+    return similarity.srp_index_topk(
+        spark, path, emb.filter(F.col("vec_id") < 16), planes=_SRP_PLANES, k=5
+    )
+
+
+@register(
+    "ann_srp_index_append",
+    _SRP_TOPK_SQL,
+    tags=["similarity", "maintenance", "scale"],
+)
+def ann_srp_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SRP index maintenance — the trivially-frozen-model
+    append: the 'model' is the fixed plane literals, so day 2's vectors
+    (odd vec_ids) signature identically whether encoded at build time or
+    appended later; append ≡ rebuild exactly, and THE SAME full-corpus
+    oracle as the one-shot build gates the probe after the append. Each
+    ingest day costs one map-only signature pass over the DELTA + a
+    partitioned append into the touched bucket dirs (untouched buckets
+    aren't rewritten) — no retraining step exists to skip, which is the
+    operational argument for SRP over trained quantizers when recall
+    targets allow it."""
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    day1 = emb.filter(F.col("vec_id") % 2 == 0)
+    day2 = emb.filter(F.col("vec_id") % 2 == 1)
+    path = f"{tempfile.gettempdir()}/spark_graft_srp_append_{stable_work_key(sf_dir)}"
+    shutil.rmtree(path, ignore_errors=True)
+    similarity.write_srp_index(day1, _SRP_PLANES, path)
+    similarity.append_srp_index(day2, _SRP_PLANES, path)
+    return similarity.srp_index_topk(
+        spark, path, emb.filter(F.col("vec_id") < 16), planes=_SRP_PLANES, k=5
+    )
+
+
+@register(
+    "srp_bucket_histogram",
+    f"""
+    SELECT sig, CAST(count(*) AS BIGINT) AS n_vectors,
+           round(count(*) * 1.0 / sum(count(*)) OVER (), 4) AS share
+    FROM (SELECT {_srp_sig_sql(_DVEC)} AS sig FROM embeddings)
+    GROUP BY sig ORDER BY sig
+    """,
+    tags=["similarity", "stats", "scale"],
+)
+def srp_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP bucket-occupancy audit — the layout-health check an operator
+    runs before trusting a write_srp_index layout: per-bucket vector
+    count and corpus share. A healthy isotropic corpus spreads across
+    the 2^b buckets (collision prob per pair = prod(1 - theta/pi));
+    heavy skew here means the planes are degenerate for this embedding
+    basis and probe cost is unbalanced (the same role
+    partition_skew_report plays for shuffle keys). One map-only
+    signature projection + one groupBy(sig) — b dot products per row,
+    partial-aggregated."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sig = similarity.srp_signature(F.col("embedding"), _SRP_PLANES)
+    w_all = Window.partitionBy()
+    return (
+        emb.select(sig.alias("sig"))
+        .groupBy("sig")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .select(
+            "sig",
+            "n_vectors",
+            F.round(F.col("n_vectors") / F.sum("n_vectors").over(w_all), 4).alias(
+                "share"
+            ),
+        )
+        .orderBy("sig")
     )
 
 

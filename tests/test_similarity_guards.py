@@ -155,3 +155,79 @@ def test_srp_recall_at_5_vs_exact_on_testdata(spark):
     # embeddings sit far higher). The floor guards degeneracy (a broken
     # signature or planes would send recall to ~0), not quality.
     assert recall >= 0.005, recall
+
+
+def test_srp_index_probe_matches_inline_and_prunes(spark, tmp_path):
+    """Persisted SRP index: the probe must (a) return exactly what the
+    inline srp_ann_topk computes, and (b) read ONLY the probed bucket
+    directories (PartitionFilters INSET in the scan, bounded by the
+    distinct query signatures)."""
+    emb = testdata.load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    planes = similarity.srp_planes(8, 64)
+    queries = emb.filter(F.col("vec_id") < 16)
+    path = str(tmp_path / "srp_idx")
+    similarity.write_srp_index(emb, planes, path)
+
+    got = similarity.srp_index_topk(spark, path, queries, planes, k=5)
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in similarity.srp_ann_topk(emb, queries, planes, k=5).collect()
+    }
+    assert {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in got.collect()
+    } == want
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [sig" in plan and "INSET" in plan
+
+
+def test_srp_index_append_equals_rebuild(spark, tmp_path):
+    """Signatures are data-independent, so build(day1)+append(day2) must
+    yield a probe identical to build(day1 ∪ day2)."""
+    emb = testdata.load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    planes = similarity.srp_planes(8, 64)
+    queries = emb.filter(F.col("vec_id") < 16)
+    day1 = emb.filter(F.col("vec_id") % 2 == 0)
+    day2 = emb.filter(F.col("vec_id") % 2 == 1)
+
+    inc = str(tmp_path / "srp_inc")
+    similarity.write_srp_index(day1, planes, inc)
+    similarity.append_srp_index(day2, planes, inc)
+    one = str(tmp_path / "srp_one")
+    similarity.write_srp_index(emb, planes, one)
+
+    a = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in similarity.srp_index_topk(spark, inc, queries, planes, k=5).collect()
+    }
+    b = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in similarity.srp_index_topk(spark, one, queries, planes, k=5).collect()
+    }
+    assert a == b
+
+
+def test_srp_bucket_key_survives_leading_zeros(spark, tmp_path):
+    """Bucket keys are written with a 'b' prefix: a bare all-digit
+    partition value like 00000101 would type-infer back as the integer
+    101 on read, silently emptying the probe's equi-join for
+    leading-zero buckets. Craft a vector whose signature starts with 0
+    and assert it still finds its bucket through the index."""
+    planes = similarity.srp_planes(8, 4)
+    # first plane decides bit 0; pick v so dot(v, plane0) < 0
+    p0 = planes[0]
+    v = [-x for x in p0]  # dot = -||p0||^2 < 0 -> bit 0 = '0'
+    near = [x * 1.01 for x in v]
+    df = spark.createDataFrame(
+        [(1, v), (2, near)], "vec_id long, embedding array<double>"
+    )
+    sig = df.select(
+        similarity._srp_bucket(F.col("embedding"), planes).alias("s")
+    ).first().s
+    assert sig.startswith("b0"), sig  # the leading-zero case is exercised
+    path = str(tmp_path / "srp_zero")
+    similarity.write_srp_index(df, planes, path)
+    out = similarity.srp_index_topk(
+        spark, path, df.filter(F.col("vec_id") == 1), planes, k=5
+    ).collect()
+    assert [r.neighbor_id for r in out] == [2]
