@@ -174,6 +174,41 @@ def compact_ivf_index(
     return compact(spark, root, target_bytes=target_bytes, partition_col="cell_id")
 
 
+def run_store_maintenance(
+    spark: SparkSession,
+    store_path: str,
+    batch_id: int,
+    every_n_batches: int = 8,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int | None:
+    """Scheduled compaction hook for streaming foreachBatch loops — the
+    piece that makes the append-only stores' fragment growth BOUNDED in
+    operation, not just compactable in principle: call it at the end of
+    every micro-batch and it compacts the store on every
+    ``every_n_batches``-th batch (cadence keyed to the engine's
+    monotonic batch_id, so restarts don't reset the schedule). Between
+    compactions a store holds at most ``every_n_batches`` fresh
+    fragments on top of the compacted base — O(interval), not O(total
+    batches ever ingested).
+
+    Safe inside foreachBatch: the caller is the store's ONLY writer and
+    its append completed before this runs (the single-writer requirement
+    of compact_append_store), and the rewrite is row-preserving so
+    merged reads and batch_key replay-skip survive it — including a
+    crash-replay of the same batch after a compaction
+    (tests/test_store_compaction.py). Returns the new file count, or
+    None when this batch isn't on the cadence (or the store doesn't
+    exist yet)."""
+    if every_n_batches <= 0 or (batch_id + 1) % every_n_batches != 0:
+        return None
+    if not os.path.exists(store_path):
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(store_path)
+        if not p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p):
+            return None
+    return compact_append_store(spark, store_path, target_bytes=target_bytes)
+
+
 def morton_code(a: Column, b: Column, bits: int = 16) -> Column:
     """Interleave the low ``bits`` bits of two non-negative ints into a
     Z-order (Morton) key — pure Catalyst bit arithmetic, codegen'd.

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from reddit_tech_jobs_data_pipeline_spark.functions.extract import tokens
-from reddit_tech_jobs_data_pipeline_spark.operators import sketches
+from reddit_tech_jobs_data_pipeline_spark.operators import maintenance, sketches
 from reddit_tech_jobs_data_pipeline_spark.sources.testdata import load_table
 from reddit_tech_jobs_data_pipeline_spark.streaming.events import (
     _stream_shuffle_partitions,
@@ -110,6 +110,7 @@ def run_cms_ingest_batchlike(
     width: int = 1024,
     depth: int = 4,
     top_k: int = 20,
+    maintenance_every: int = 3,
 ) -> DataFrame:
     """Run the sketch ingest to completion over the tag-sliced documents
     replay, then return the top-k tokens by estimate from the MERGED
@@ -142,6 +143,12 @@ def run_cms_ingest_batchlike(
             batch_key_expr=F.col("doc_id") % n_tags,
             width=width,
             depth=depth,
+        )
+        # scheduled small-file compaction: fragment count stays
+        # O(cadence), not O(batches ingested); row-preserving, so the
+        # merged read and batch_key replay-skip are invariant
+        maintenance.run_store_maintenance(
+            batch.sparkSession, store, batch_id, every_n_batches=maintenance_every
         )
 
     schema = spark.read.parquet(src_dir).schema

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from reddit_tech_jobs_data_pipeline_spark.operators import maintenance
 from reddit_tech_jobs_data_pipeline_spark.sources.testdata import load_table
 from reddit_tech_jobs_data_pipeline_spark.streaming.events import (
     _stream_shuffle_partitions,
@@ -97,7 +98,7 @@ def merged_hll(spark: SparkSession, store_path: str) -> DataFrame:
 
 
 def run_hll_ingest_batchlike(
-    spark: SparkSession, sf_dir: str, n_tags: int = 4
+    spark: SparkSession, sf_dir: str, n_tags: int = 4, maintenance_every: int = 3
 ) -> DataFrame:
     """Run the HLL ingest to completion over a tag-sliced events replay
     (one parquet file per event_id % n_tags, maxFilesPerTrigger=1), then
@@ -127,6 +128,11 @@ def run_hll_ingest_batchlike(
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:
         ingest_batch_hll(batch, store, batch_key_expr=F.col("event_id") % n_tags)
+        # scheduled small-file compaction (row-preserving; see
+        # maintenance.run_store_maintenance)
+        maintenance.run_store_maintenance(
+            batch.sparkSession, store, batch_id, every_n_batches=maintenance_every
+        )
 
     schema = spark.read.parquet(src_dir).schema
     stream = (

@@ -255,3 +255,54 @@ def test_compact_ivf_index_refuses_flat_store(spark, tmp_path):
     _docs(spark).limit(10).write.parquet(flat)
     with pytest.raises(ValueError, match="cell_id= partition layout"):
         compact_ivf_index(spark, flat)
+
+
+def test_run_store_maintenance_bounds_fragments_across_cadence(spark, tmp_path):
+    """The executable cadence (r10 advisor item 8): drive 9 ingest
+    batches with maintenance every 3 — 3× the interval — and assert the
+    fragment count stays bounded by the cadence (base + at most
+    every_n fresh fragments) instead of growing one file per batch,
+    while the merged sketch still equals the one computed from an
+    uncompacted twin store."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.maintenance import (
+        run_store_maintenance,
+    )
+    from reddit_tech_jobs_data_pipeline_spark.streaming.cms_ingest import (
+        ingest_batch_sketch,
+        merged_sketch,
+    )
+
+    docs = _docs(spark)
+    every = 3
+    managed = str(tmp_path / "cms_managed")
+    raw = str(tmp_path / "cms_raw")
+    max_seen = 0
+    for tag in range(9):
+        batch = docs.filter(F.col("doc_id") % 9 == tag)
+        for store in (managed, raw):
+            ingest_batch_sketch(
+                batch, store, batch_key_expr=F.col("doc_id") % 9, width=64, depth=2
+            )
+        run_store_maintenance(spark, managed, batch_id=tag, every_n_batches=every)
+        max_seen = max(max_seen, _n_files(managed))
+    # compacted base (1 file at this size) + at most `every` fresh
+    # fragments between compactions; each append may write >1 file, so
+    # bound by fragments-per-append * every + base with margin 2x
+    per_append = _n_files(raw) / 9
+    assert max_seen <= 1 + 2 * per_append * every, (max_seen, per_append)
+    # and strictly fewer files than the unmanaged twin by the end
+    assert _n_files(managed) < _n_files(raw)
+    a = {
+        (r.row_i, r.bucket): r.cnt for r in merged_sketch(spark, managed).collect()
+    }
+    b = {(r.row_i, r.bucket): r.cnt for r in merged_sketch(spark, raw).collect()}
+    assert a == b
+
+    # off-cadence batches are no-ops (None), cadence batches return a count
+    assert run_store_maintenance(spark, managed, batch_id=0, every_n_batches=3) is None
+    assert run_store_maintenance(spark, managed, batch_id=2, every_n_batches=3) >= 1
+    # missing store: skipped, not an error
+    assert (
+        run_store_maintenance(spark, str(tmp_path / "nope"), 2, every_n_batches=3)
+        is None
+    )
