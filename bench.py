@@ -159,10 +159,19 @@ ADDED_R10 = [
     "zorder_layout_audit",
     "bootstrap_mean_ci",
 ]
-# Added round 11: the persisted SRP index family.
+# Added round 11: the persisted SRP index family + the stats/time-series
+# batch (one representative per family).
 ADDED_R11 = [
     "ann_srp_index_topk",
     "ann_srp_index_append",
+    "spearman_corr_by_type",
+    "kendall_tau_daily",
+    "acf_daily_revenue",
+    "effect_size_click_view",
+    "late_arrival_audit",
+    "holt_winters_daily",
+    "degree_powerlaw_fit",
+    "ngram_novelty_profile",
 ]
 LEGACY = list(HEADLINE)
 HEADLINE = (

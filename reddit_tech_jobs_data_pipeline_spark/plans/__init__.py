@@ -29,6 +29,7 @@ from reddit_tech_jobs_data_pipeline_spark.plans import (  # noqa: F401
     catalog_sessions,
     catalog_sql,
     catalog_stats,
+    catalog_stats2,
     catalog_timeseries,
     catalog_tpch,
     catalog_tpch2,

@@ -522,6 +522,7 @@ def get_registry() -> dict[str, QuerySpec]:
         catalog_sources,
         catalog_sql,
         catalog_stats,
+        catalog_stats2,
         catalog_structure,
         catalog_timeseries,
         catalog_tpch,
