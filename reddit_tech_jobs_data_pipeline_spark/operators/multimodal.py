@@ -368,3 +368,54 @@ def frame_sample(blobs: DataFrame) -> DataFrame:
             )
 
     return blobs.mapInPandas(_batches, schema=FRAME_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("window_i", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("is_silence", T.BooleanType(), False),
+    ]
+)
+
+
+def audio_energy_windows(
+    blobs: DataFrame, frame: int = 4, silence_rms: float = 8192.0
+) -> DataFrame:
+    """Windowed energy extraction over PCM WAV payloads — the audio
+    sibling of frame sampling: decode (pure-numpy RIFF walk), split the
+    mono sample stream into non-overlapping ``frame``-sample windows
+    (only FULL windows are emitted — the standard hop=frame framing; a
+    trailing partial frame carries no comparable energy), and emit one
+    row per (id, window) with its RMS and a silence flag. This is the
+    shape voice-activity trimming and silence-stripping take in a
+    training-data pipeline: decode + frame + feature ride ONE executor
+    pass (mapInPandas), samples never cross a shuffle, and the output is
+    a narrow relational table any filter can consume. Undecodable
+    payloads are dropped here (the quarantine-channel variant is
+    decode_real_features; this operator is the post-quarantine hot
+    path)."""
+    import numpy as np
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"id": [], "window_i": [], "n_samples": [], "rms": [], "is_silence": []}
+            for _id, content in zip(pdf["id"], pdf["content"]):
+                try:
+                    _rate, samples = decode_wav(bytes(content or b""))
+                except (NotImplementedError, ValueError, IndexError, EOFError):
+                    continue
+                mono = samples.reshape(-1).astype("float64")
+                for w in range(len(mono) // frame):
+                    seg = mono[w * frame : (w + 1) * frame]
+                    rms = float(np.sqrt(np.mean(seg**2)))
+                    out["id"].append(_id)
+                    out["window_i"].append(w)
+                    out["n_samples"].append(frame)
+                    out["rms"].append(rms)
+                    out["is_silence"].append(rms < silence_rms)
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(_batches, schema=AUDIO_WINDOW_SCHEMA)

@@ -439,6 +439,74 @@ def multimodal_real_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PCM16 mono 8 kHz WAV header for a 16-byte (8-sample) data chunk
+_WAV_HEADER_16 = (
+    b"RIFF\x34\x00\x00\x00WAVE"
+    b"fmt \x10\x00\x00\x00\x01\x00\x01\x00\x40\x1f\x00\x00\x80\x3e\x00\x00\x02\x00\x10\x00"
+    b"data\x10\x00\x00\x00"
+)
+
+
+def _signed16_sql(j: int) -> str:
+    """Signed little-endian int16 sample j from md5 hex bytes (2j, 2j+1)."""
+    u = f"({_hex_byte_sql(2 * j)} + 256 * {_hex_byte_sql(2 * j + 1)})"
+    return f"CAST({u} - 65536 * CAST({u} >= 32768 AS INTEGER) AS DOUBLE)"
+
+
+def _win_rms_sql(first_sample: int, n: int) -> str:
+    sq = " + ".join(f"{_signed16_sql(first_sample + k)} ** 2" for k in range(n))
+    return f"round(sqrt(({sq}) / {n}.0), 6)"
+
+
+@register(
+    "audio_energy_windows",
+    f"""
+    WITH h AS (
+      SELECT doc_id AS id, md5(coalesce(text, '')) AS hx FROM documents
+    ),
+    w AS (
+      SELECT id, 0 AS window_i, {_win_rms_sql(0, 4)} AS rms FROM h
+      UNION ALL
+      SELECT id, 1 AS window_i, {_win_rms_sql(4, 4)} AS rms FROM h
+    )
+    SELECT id, window_i, 4 AS n_samples, rms,
+           rms < 8192.0 AS is_silence
+    FROM w
+    """,
+    tags=["multimodal", "scale"],
+)
+def audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL windowed audio feature extraction, oracle-checked: each doc
+    becomes an actual 8-sample PCM16 WAV (first 16 md5 bytes as
+    little-endian int16), the executors decode it with the numpy RIFF
+    parser and frame it into two 4-sample energy windows
+    (operators/multimodal.audio_energy_windows — the silence-trimming /
+    VAD preprocessing shape); the oracle reconstructs the same signed
+    samples arithmetically from the md5 hex and recomputes each
+    window's RMS. The silence threshold compares the SAME IEEE double on
+    both engines (integer samples → one sqrt), so the flag can't flip."""
+    docs = _t(spark, sf_dir, "documents")
+    blobs = docs.select(
+        F.col("doc_id").alias("id"),
+        F.lit("audio").alias("modality"),
+        F.concat(
+            F.lit(_WAV_HEADER_16),
+            F.expr("substring(unhex(md5(encode(coalesce(text, ''), 'UTF-8'))), 1, 16)"),
+        ).alias("content"),
+    )
+    wins = multimodal.audio_energy_windows(blobs, frame=4, silence_rms=8192.0)
+    # the emitted flag re-derives from the ROUNDED rms so the gate
+    # arithmetic is identical cross-engine (seasonal_residual_outliers
+    # precedent); the operator's own unrounded flag is pinned in pytest
+    return wins.select(
+        "id",
+        "window_i",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+        (F.round("rms", 6) < 8192.0).alias("is_silence"),
+    )
+
+
 @register(
     "multimodal_frame_sample",
     """

@@ -539,3 +539,66 @@ def ngram_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_novel") * 1.0 / F.col("n_grams"), 4).alias("novelty"),
         )
     )
+
+
+def _hubness_sql() -> str:
+    from reddit_tech_jobs_data_pipeline_spark.plans.catalog_scale import (
+        _DVEC,
+        _cosine_sql,
+    )
+
+    return f"""
+    WITH c AS (SELECT vec_id AS neighbor_id, {_DVEC} AS cvec FROM embeddings),
+    q AS (SELECT vec_id AS query_id, {_DVEC} AS qvec
+          FROM embeddings WHERE vec_id < 200),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round({_cosine_sql("qvec", "cvec")}, 4) AS cosine
+      FROM c JOIN q ON neighbor_id <> query_id
+    ),
+    top AS (
+      SELECT neighbor_id FROM (
+        SELECT neighbor_id, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ),
+    occ AS (SELECT neighbor_id AS vec_id, count(*) AS k_occ
+            FROM top GROUP BY neighbor_id)
+    SELECT coalesce(o.k_occ, 0) AS k_occ,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM embeddings e LEFT JOIN occ o ON o.vec_id = e.vec_id
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+@register(
+    "ann_hubness_audit",
+    _hubness_sql(),
+    tags=["similarity", "stats", "scale"],
+)
+def ann_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the embedding space: the k-occurrence histogram
+    — for a 200-query sample, how many corpus vectors appear in 0, 1,
+    2, ... of the exact top-5 lists. High-dimensional spaces grow hub
+    points that dominate every neighbor list (Radovanović et al. 2010),
+    which silently skews ANN-driven dedup/mining toward the hubs; this
+    is the health check read before trusting top-k pipelines. The heavy
+    work is the same broadcast-scored exact top-k as ann_cosine_topk
+    (bounded query side); the histogram is two grouped counts plus a
+    left anti fill for the never-retrieved (k_occ = 0) population."""
+    from reddit_tech_jobs_data_pipeline_spark.operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    top = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 200), k=5)
+    occ = top.groupBy(F.col("neighbor_id").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("k_occ")
+    )
+    filled = emb.select("vec_id").join(occ, "vec_id", "left").select(
+        F.coalesce("k_occ", F.lit(0)).alias("k_occ")
+    )
+    return (
+        filled.groupBy("k_occ")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("k_occ")
+    )

@@ -545,3 +545,113 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@register(
+    "q19_discounted_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=["tpch", "join", "agg"],
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicate) adapted to
+    the available columns (no l_shipmode/shipinstruct/p_container —
+    the brand x size x quantity bands carry the OR-of-ANDs structure
+    that makes Q19 interesting): Catalyst must evaluate a disjunction
+    mixing build-side (part) and probe-side (lineitem) predicates on a
+    broadcast join without losing the partkey equi-join — the classic
+    planner trap where the OR blocks all pushdown. The part filter
+    (brand IN ...) is pre-applied as the union of the brand clauses, so
+    the broadcast side shrinks before the join even though no single
+    conjunct is common."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    # union-of-brands prefilter: every OR branch pins one of 3 brands,
+    # so the broadcast side prunes 25 -> 3 brands before the join
+    part = part.filter(F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3"))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(b).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH offers AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT partkey, suppkey, unit_cost,
+             row_number() OVER (PARTITION BY partkey
+                                ORDER BY unit_cost, suppkey) AS rn
+      FROM offers
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name,
+           round(b.unit_cost, 4) AS unit_cost
+    FROM best b
+    JOIN part p ON p.p_partkey = b.partkey
+    JOIN supplier s ON s.s_suppkey = b.suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE b.rn = 1 AND p.p_size = 15
+    """,
+    tags=["tpch", "join", "window", "subquery"],
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier) adapted to the schema: the
+    testdata has no partsupp table, so the offer book is derived from
+    observed lineitem prices (min unit price per (part, supplier) —
+    itself a realistic catalog reconstruction). The correlated
+    'ps_supplycost = (SELECT min ...)' becomes the argmin window with a
+    suppkey tiebreaker — the scalable form of a correlated aggregate
+    subquery (one shuffle on partkey, no self-join re-scan). Dimension
+    joins (part filter p_size = 15, supplier, nation) broadcast; the
+    p_size filter prunes before the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    offers = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    w = Window.partitionBy("partkey").orderBy("unit_cost", "suppkey")
+    best = offers.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        best.join(F.broadcast(part), best.partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+    )

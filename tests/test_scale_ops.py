@@ -485,3 +485,34 @@ def test_simhash_shingle_features_separate_word_order(spark):
     assert (1, 3) not in bi
     # featureless docs never appear on either side
     assert not any(4 in p or 5 in p for p in list(uni) + list(bi))
+
+
+class TestAudioEnergyWindows:
+    def test_framing_silence_and_partial_frame_policy(self, spark):
+        import struct
+
+        from reddit_tech_jobs_data_pipeline_spark.operators import multimodal
+
+        def wav(samples):
+            data = b"".join(struct.pack("<h", s) for s in samples)
+            hdr = (
+                b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                b"fmt \x10\x00\x00\x00\x01\x00\x01\x00\x40\x1f\x00\x00"
+                b"\x80\x3e\x00\x00\x02\x00\x10\x00"
+                b"data" + struct.pack("<I", len(data))
+            )
+            return hdr + data
+
+        rows = [
+            # 10 samples, frame=4 -> windows 0,1 full; trailing 2 dropped
+            (1, "audio", wav([0, 0, 0, 0, 20000, -20000, 20000, -20000, 9, 9])),
+            (2, "audio", bytearray(b"not a wav")),  # undecodable: dropped
+        ]
+        df = spark.createDataFrame(rows, "id long, modality string, content binary")
+        out = {
+            (r.id, r.window_i): (r.rms, r.is_silence)
+            for r in multimodal.audio_energy_windows(df, frame=4).collect()
+        }
+        assert set(out) == {(1, 0), (1, 1)}
+        assert out[(1, 0)] == (0.0, True)
+        assert out[(1, 1)] == (20000.0, False)
