@@ -172,6 +172,11 @@ ADDED_R11 = [
     "holt_winters_daily",
     "degree_powerlaw_fit",
     "ngram_novelty_profile",
+    "audio_energy_windows",
+    "q19_discounted_revenue",
+    "q2_min_cost_supplier",
+    "ann_hubness_audit",
+    "knn_label_vote_accuracy",
 ]
 LEGACY = list(HEADLINE)
 HEADLINE = (

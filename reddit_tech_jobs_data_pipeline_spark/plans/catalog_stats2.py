@@ -602,3 +602,97 @@ def ann_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("k_occ")
     )
+
+
+def _knn_vote_sql() -> str:
+    from reddit_tech_jobs_data_pipeline_spark.plans.catalog_scale import (
+        _DVEC,
+        _cosine_sql,
+    )
+
+    return f"""
+    WITH c AS (SELECT vec_id AS neighbor_id, label AS nlabel, {_DVEC} AS cvec
+               FROM embeddings WHERE vec_id % 10 <> 0),
+    q AS (SELECT vec_id AS query_id, label AS tlabel, {_DVEC} AS qvec
+          FROM embeddings WHERE vec_id % 10 = 0),
+    scored AS (
+      SELECT query_id, tlabel, nlabel,
+             round({_cosine_sql("qvec", "cvec")}, 4) AS cosine, neighbor_id
+      FROM c JOIN q ON true
+    ),
+    top AS (
+      SELECT query_id, tlabel, nlabel FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT query_id, tlabel, nlabel, count(*) AS cnt FROM top GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT query_id, tlabel, nlabel AS plabel FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cnt DESC, nlabel) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT tlabel AS label, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN plabel = tlabel THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           round(sum(CASE WHEN plabel = tlabel THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS accuracy
+    FROM pred GROUP BY tlabel ORDER BY label
+    """
+
+
+@register(
+    "knn_label_vote_accuracy",
+    _knn_vote_sql(),
+    tags=["similarity", "ml", "stats", "scale"],
+)
+def knn_label_vote_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-classifier evaluation over the embedding space: hold out every
+    10th vector, predict its label by 5-NN majority vote (ties -> lowest
+    label, the deterministic argmax), report per-label accuracy — the
+    standard embedding-quality probe ('do labels cluster in this
+    space?') run before trusting embedding-driven curation like SemDeDup
+    or hard-negative mining. The scoring pass is the broadcast exact
+    top-k (query side is the bounded holdout); the vote and the accuracy
+    are two grouped counts with integer arithmetic."""
+    from reddit_tech_jobs_data_pipeline_spark.operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    held = emb.filter(F.col("vec_id") % 10 == 0)
+    top = similarity.brute_force_topk(corpus, held, k=5)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel"))
+    truth = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("tlabel"))
+    votes = (
+        top.join(F.broadcast(labels), "neighbor_id")
+        .groupBy("query_id", "nlabel")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cnt").desc(), F.col("nlabel").asc())
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("nlabel").alias("plabel"))
+    )
+    return (
+        pred.join(F.broadcast(truth), "query_id")
+        .groupBy(F.col("tlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("plabel") == F.col("tlabel"), 1).otherwise(0)).alias(
+                "n_correct"
+            ),
+        )
+        .select(
+            "label",
+            "n",
+            "n_correct",
+            F.round(F.col("n_correct") * 1.0 / F.col("n"), 4).alias("accuracy"),
+        )
+        .orderBy("label")
+    )
