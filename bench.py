@@ -177,6 +177,8 @@ ADDED_R11 = [
     "q2_min_cost_supplier",
     "ann_hubness_audit",
     "knn_label_vote_accuracy",
+    "streaming_srp_index_ingest",
+    "srp_bucket_histogram",
 ]
 LEGACY = list(HEADLINE)
 HEADLINE = (

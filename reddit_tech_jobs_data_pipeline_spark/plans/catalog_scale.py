@@ -3678,6 +3678,29 @@ def ann_srp_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_srp_index_ingest",
+    _SRP_TOPK_SQL,
+    tags=["similarity", "streaming", "maintenance", "scale"],
+)
+def streaming_srp_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SRP index built BY A STREAM: embeddings replay in 4
+    micro-batches (vec_id % 4 tag slices), each batch appends its
+    signatured vectors into the bucket layout with the
+    incremental_dedup idempotent-append discipline (replayed ids are
+    anti-joined out against a column-pruned store scan), and the
+    partition-preserving compaction runs on the every-3-batches cadence
+    so hot buckets stay at O(cadence) fragments. The probe over the
+    streamed index hash-matches the inline srp_lsh_ann_topk oracle —
+    stream-ingested ≡ batch-built, the frozen-model guarantee made
+    end-to-end observable."""
+    from reddit_tech_jobs_data_pipeline_spark.streaming.srp_ingest import (
+        run_srp_ingest_batchlike,
+    )
+
+    return run_srp_ingest_batchlike(spark, sf_dir, n_tags=4, maintenance_every=3)
+
+
+@register(
     "srp_bucket_histogram",
     f"""
     SELECT sig, CAST(count(*) AS BIGINT) AS n_vectors,

@@ -615,7 +615,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM offers
     )
     SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name,
-           round(b.unit_cost, 4) AS unit_cost
+           b.unit_cost AS unit_cost
     FROM best b
     JOIN part p ON p.p_partkey = b.partkey
     JOIN supplier s ON s.s_suppkey = b.suppkey
@@ -633,7 +633,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppkey tiebreaker — the scalable form of a correlated aggregate
     subquery (one shuffle on partkey, no self-join re-scan). Dimension
     joins (part filter p_size = 15, supplier, nation) broadcast; the
-    p_size filter prunes before the join."""
+    p_size filter prunes before the join.
+
+    unit_cost is emitted UNROUNDED: it is one IEEE division of two
+    parquet-exact doubles followed by an exact min — bit-identical on
+    both engines — whereas rounding it is the unsafe step (a price/8
+    lands exactly on a decimal .xxxx5 boundary, where Spark's
+    BigDecimal HALF_UP and DuckDB's scaled-multiply round can disagree;
+    observed at sf0.001)."""
     li = _t(spark, sf_dir, "lineitem")
     offers = li.groupBy(
         F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
@@ -652,6 +659,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_brand",
             "s_name",
             "n_name",
-            F.round("unit_cost", 4).alias("unit_cost"),
+            "unit_cost",
         )
     )

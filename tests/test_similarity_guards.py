@@ -231,3 +231,37 @@ def test_srp_bucket_key_survives_leading_zeros(spark, tmp_path):
         spark, path, df.filter(F.col("vec_id") == 1), planes, k=5
     ).collect()
     assert [r.neighbor_id for r in out] == [2]
+
+
+def test_srp_stream_ingest_idempotent_and_equals_build(spark, tmp_path):
+    """ingest_batch_srp replay-skips ids already in the store (calling
+    it twice with the same batch appends nothing new), and the streamed
+    index probe equals a one-shot build."""
+    from reddit_tech_jobs_data_pipeline_spark.streaming.srp_ingest import (
+        ingest_batch_srp,
+    )
+
+    emb = testdata.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    planes = similarity.srp_planes(8, 64)
+    store = str(tmp_path / "srp_stream")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    ingest_batch_srp(b1, store, planes)
+    n1 = spark.read.parquet(store).count()
+    ingest_batch_srp(b1, store, planes)  # replay: must append nothing
+    assert spark.read.parquet(store).count() == n1
+    ingest_batch_srp(b2, store, planes)
+    assert spark.read.parquet(store).count() == emb.count()
+
+    queries = emb.filter(F.col("vec_id") < 16)
+    a = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in similarity.srp_index_topk(spark, store, queries, planes, k=5).collect()
+    }
+    one = str(tmp_path / "srp_oneshot")
+    similarity.write_srp_index(emb, planes, one)
+    b = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in similarity.srp_index_topk(spark, one, queries, planes, k=5).collect()
+    }
+    assert a == b
