@@ -886,38 +886,39 @@ def pq_encode(
     * codebooks — m×ks rows: (sub, cid, cvec) — KBs, broadcast anywhere.
 
     At 100 TB: train on a sample per subspace (statistical coverage,
-    same as the IVF coarse quantizer), collect the KB-scale codebooks,
-    encode in one embarrassing-parallel map-only projection.
+    same as the IVF coarse quantizer), broadcast the codebooks, encode
+    in one embarrassing-parallel pass (m broadcast-join argmins).
     """
-    from reddit_tech_jobs_data_pipeline_spark.operators.kmeans import lloyd_kmeans
+    from reddit_tech_jobs_data_pipeline_spark.operators.kmeans import (
+        assign_clusters,
+        lloyd_kmeans,
+    )
 
     sub = dim // m
     # no fan_out here, deliberately: the encode plan re-references the
-    # corpus from many branches (m trainings), and an A/B at
+    # corpus from many branches (m trainings + m assigns), and an A/B at
     # sf0.1 measured the extra repartition exchanges costing ~1.8× (3.6 s
-    # -> 5.7-7 s) — the subspace sweeps are exchange-bound, not scan-bound
+    # -> 5.7-7 s) — the subspace sweeps are exchange-bound, not scan-bound.
+    # The train+encode stays the LAZY join form deliberately: an r11 A/B
+    # of collect-books + frozen-expression encode (the append_pq_index
+    # shape) measured 9.6 s vs 5.9 s for this combined build at sf0.1 —
+    # the eager books collect serializes the 8 single-partition k-means
+    # subtrees into their own job instead of letting the one write job
+    # pipeline them, so the expression path only wins when the books
+    # ALREADY exist (appends, probes over persisted indexes).
     base = corpus.select(F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("__v"))
+    codes = None
     books = None
     for s in range(m):
         sv = base.select("vec_id", F.slice("__v", s * sub + 1, sub).alias("v"))
         cents = lloyd_kmeans(sv, k=ks, dim=sub, iterations=train_iters, vec_col="v")
         book = cents.select(F.lit(s).alias("sub"), "cid", "cvec")
         books = book if books is None else books.unionByName(book)
-    # Materialize the trained books ONCE (m×ks rows — KBs at any corpus
-    # size) and encode with the frozen-expression path: one map-only
-    # projection instead of m broadcast-join argmins + an m-way vec_id
-    # join chain (the append_pq_index rewrite, applied to the build).
-    # Same zip_with/aggregate distance fold + (dist, cid) argmin, so the
-    # codes are bit-identical to the join form; the returned books ride
-    # a local relation with the original schema.
-    schema = books.schema
-    cid_type = dict(books.dtypes)["cid"]
-    rows = books.collect()
-    books_local = corpus.sparkSession.createDataFrame(rows, schema)
-    codes = base.select(
-        "vec_id", *_frozen_encode_exprs("__v", rows, m, sub, cid_type)
-    )
-    return codes, books_local
+        assigned = assign_clusters(sv, cents.select("cid", "cvec")).select(
+            "vec_id", F.col("cid").alias(f"code_{s}")
+        )
+        codes = assigned if codes is None else codes.join(assigned, "vec_id")
+    return codes, books
 
 
 def pq_topk(
