@@ -76,35 +76,49 @@ def compact(
     rows are hash-distributed per partition value so each partition
     compacts independently (at 100 TB you'd additionally restrict to
     recently-appended partitions — the write path below is already
-    per-partition). Swap is write-to-staging + overwrite, the same crash
-    shape as sink.py's merge rewrite."""
+    per-partition). Swap is write-to-staging + rename (_swap_dirs) —
+    two metadata ops, every crash state recoverable."""
     current = sum(table_file_sizes(spark, path))
     n_out = max(1, math.ceil(current / target_bytes))
     df = spark.read.parquet(path)
     staging = path.rstrip("/") + "__compact_staging"
     if partition_col is None:
         df.repartition(n_out).write.mode("overwrite").parquet(staging)
-        spark.read.parquet(staging).write.mode("overwrite").parquet(path)
     else:
         n_parts = df.select(partition_col).distinct().count()
         per_part = max(1, math.ceil(n_out / max(n_parts, 1)))
+        # staging keeps the partitioned directory layout — downstream
+        # partition pruning and PARTITION_COL-based rewrites
+        # (purge_keys, upsert) depend on the col=value dirs existing
         df.repartition(per_part * n_parts, F.col(partition_col)).write.mode(
             "overwrite"
         ).partitionBy(partition_col).parquet(staging)
-        # the final swap must keep the partitioned directory layout —
-        # downstream partition pruning and PARTITION_COL-based rewrites
-        # (purge_keys, upsert) depend on the col=value dirs existing
-        spark.read.parquet(staging).write.mode("overwrite").partitionBy(
-            partition_col
-        ).parquet(path)
-    _rm_staging(staging)
+    _swap_dirs(spark, staging, path)
     return len(table_file_sizes(spark, path))
 
 
-def _rm_staging(path: str) -> None:
-    import shutil
-
-    shutil.rmtree(path, ignore_errors=True)
+def _swap_dirs(spark: SparkSession, staging: str, path: str) -> None:
+    """Promote a fully-written staging table over ``path`` with two
+    metadata operations (delete + rename) instead of re-reading staging
+    and rewriting it into place. This halves compaction's write volume
+    AND shrinks the crash exposure: the old read-back form could crash
+    MID-OVERWRITE and leave ``path`` partially written with staging
+    already consumed, while here every crash state is recoverable —
+    either ``path`` still exists (before the delete; staging is complete
+    and the compaction can simply rerun) or staging is complete and the
+    recovery is one rename (staging-present-and-path-missing is the
+    unambiguous marker). Uses the Hadoop FileSystem API, so it holds on
+    any store with directory rename (local, HDFS; object stores emulate
+    it per-key but the ordering argument is unchanged)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(staging)
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    fs = src.getFileSystem(conf)
+    if not fs.delete(dst, True):
+        raise IOError(f"compact: could not remove {path} for swap")
+    if not fs.rename(src, dst):
+        raise IOError(f"compact: rename {staging} -> {path} failed")
 
 
 def compact_append_store(

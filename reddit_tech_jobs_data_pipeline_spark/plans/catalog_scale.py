@@ -3566,9 +3566,9 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SRP_PLANES = similarity.srp_planes(n_planes=8, dim=64)
 
 
-def _srp_sig_sql(vec: str) -> str:
+def _srp_sig_sql(vec: str, planes=None) -> str:
     bits = []
-    for plane in _SRP_PLANES:
+    for plane in (planes if planes is not None else _SRP_PLANES):
         lit = "[" + ", ".join(repr(w) for w in plane) + "]"
         bits.append(
             f"(CASE WHEN list_dot_product({vec}, {lit}) >= 0 THEN '1' ELSE '0' END)"
@@ -3677,9 +3677,32 @@ def ann_srp_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SRP_PLANES_6 = similarity.srp_planes(n_planes=6, dim=64)
+
+
+def _srp_stream_sql() -> str:
+    return f"""
+    WITH c AS (SELECT vec_id AS neighbor_id, {_DVEC} AS cvec,
+                      {_srp_sig_sql(_DVEC, _SRP_PLANES_6)} AS sig FROM embeddings),
+    q AS (SELECT vec_id AS query_id, {_DVEC} AS qvec,
+                 {_srp_sig_sql(_DVEC, _SRP_PLANES_6)} AS sig
+          FROM embeddings WHERE vec_id < 16),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round({_cosine_sql("qvec", "cvec")}, 4) AS cosine
+      FROM c JOIN q USING (sig) WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
 @register(
     "streaming_srp_index_ingest",
-    _SRP_TOPK_SQL,
+    _srp_stream_sql(),
     tags=["similarity", "streaming", "maintenance", "scale"],
 )
 def streaming_srp_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3690,9 +3713,12 @@ def streaming_srp_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-joined out against a column-pruned store scan), and the
     partition-preserving compaction runs on the every-3-batches cadence
     so hot buckets stay at O(cadence) fragments. The probe over the
-    streamed index hash-matches the inline srp_lsh_ann_topk oracle —
+    streamed index hash-matches the SAME inline-SRP oracle shape —
     stream-ingested ≡ batch-built, the frozen-model guarantee made
-    end-to-end observable."""
+    end-to-end observable. This query runs 6 planes (64 buckets): at
+    the demo SF the partitioned-write cost is per-DIRECTORY commit
+    overhead, so bucket count is the knob that keeps the e2e stream
+    honest-but-cheap (real batches amortize 2^b dirs trivially)."""
     from reddit_tech_jobs_data_pipeline_spark.streaming.srp_ingest import (
         run_srp_ingest_batchlike,
     )

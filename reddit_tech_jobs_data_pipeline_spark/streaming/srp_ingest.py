@@ -51,8 +51,11 @@ def ingest_batch_srp(
     (replay skip — a column-pruned anti-join on neighbor_id)."""
     sp = batch.sparkSession
     try:
+        # no explicit schema -> read.parquet infers eagerly and raises
+        # PATH_NOT_FOUND here, so no extra forcing action is needed
+        # (incremental_dedup needs its isEmpty() only because it reads
+        # WITH a schema, which defers the existence check)
         existing = sp.read.parquet(store_path).select("neighbor_id")
-        existing.isEmpty()  # force the existence check now
     except AnalysisException as e:
         if not _is_missing_path(e):
             raise
@@ -69,7 +72,7 @@ def run_srp_ingest_batchlike(
     spark: SparkSession,
     sf_dir: str,
     n_tags: int = 4,
-    n_planes: int = 8,
+    n_planes: int = 6,
     k: int = 5,
     maintenance_every: int = 3,
 ) -> DataFrame:
