@@ -588,9 +588,11 @@ def ann_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded query side); the histogram is two grouped counts plus a
     left anti fill for the never-retrieved (k_occ = 0) population."""
     from reddit_tech_jobs_data_pipeline_spark.operators import similarity
+    from reddit_tech_jobs_data_pipeline_spark.operators.parallelism import fan_out
 
     emb = _t(spark, sf_dir, "embeddings")
-    top = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 200), k=5)
+    # fan_out: single-split scan + 200-query broadcast fold is core-bound
+    top = similarity.brute_force_topk(fan_out(emb), emb.filter(F.col("vec_id") < 200), k=5)
     occ = top.groupBy(F.col("neighbor_id").alias("vec_id")).agg(
         F.count(F.lit(1)).alias("k_occ")
     )
@@ -661,9 +663,14 @@ def knn_label_vote_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k (query side is the bounded holdout); the vote and the accuracy
     are two grouped counts with integer arithmetic."""
     from reddit_tech_jobs_data_pipeline_spark.operators import similarity
+    from reddit_tech_jobs_data_pipeline_spark.operators.parallelism import fan_out
 
     emb = _t(spark, sf_dir, "embeddings")
-    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    # the embeddings table is a single parquet split at test SFs, and
+    # the |holdout| x |corpus| scoring fold is CPU-bound per corpus row
+    # — without the fan-out the whole cross score runs on ONE core
+    # (observed: single-task stage pinning a core for minutes at sf1.0)
+    corpus = fan_out(emb.filter(F.col("vec_id") % 10 != 0))
     held = emb.filter(F.col("vec_id") % 10 == 0)
     top = similarity.brute_force_topk(corpus, held, k=5)
     labels = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel"))
