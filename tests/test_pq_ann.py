@@ -396,3 +396,41 @@ def test_ivfpq_append_rejects_geometry_mismatch(spark, tmp_path):
 
     similarity.append_ivfpq_index(spark, day2, path, dim=64)
     assert spark.read.parquet(f"{path}/codes").count() == emb.count()
+
+
+def test_frozen_expression_encode_equals_join_encode(spark):
+    """The append path's expression encode must be BIT-IDENTICAL to the
+    assign_clusters join-argmin on the same books — the guarantee that
+    makes append ≡ rebuild: same zip_with/aggregate fold, same
+    (dist, cid) tie-break, directly A/B'd here on real vectors rather
+    than implied through the catalog oracle."""
+    from pyspark.sql import functions as F
+
+    from reddit_tech_jobs_data_pipeline_spark.operators import similarity
+    from reddit_tech_jobs_data_pipeline_spark.operators.kmeans import assign_clusters
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    codes1, books = similarity.pq_encode(emb, m=8, ks=16, train_iters=1, dim=64)
+    books = books.localCheckpoint()
+    rows = books.select("sub", "cid", "cvec").collect()
+    cid_type = dict(books.dtypes)["cid"]
+    base = emb.select("vec_id", similarity._dvec(F.col("embedding")).alias("__v"))
+    expr_codes = {
+        r.vec_id: tuple(r[f"code_{s}"] for s in range(8))
+        for r in base.select(
+            "vec_id", *similarity._frozen_encode_exprs("__v", rows, 8, 8, cid_type)
+        ).collect()
+    }
+    join_codes = None
+    for s in range(8):
+        sv = base.select("vec_id", F.slice("__v", s * 8 + 1, 8).alias("v"))
+        cents = books.filter(F.col("sub") == s).select("cid", "cvec")
+        assigned = assign_clusters(sv, cents).select(
+            "vec_id", F.col("cid").alias(f"code_{s}")
+        )
+        join_codes = assigned if join_codes is None else join_codes.join(assigned, "vec_id")
+    want = {
+        r.vec_id: tuple(r[f"code_{s}"] for s in range(8))
+        for r in join_codes.collect()
+    }
+    assert expr_codes == want
