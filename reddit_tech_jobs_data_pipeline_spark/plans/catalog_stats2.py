@@ -675,8 +675,12 @@ def knn_label_vote_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = similarity.brute_force_topk(corpus, held, k=5)
     labels = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel"))
     truth = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("tlabel"))
+    # no broadcast hints on labels/truth: those projections are
+    # CORPUS-sized (hinting them broadcast would ship the corpus to every
+    # executor at 100 TB); the top/pred sides are the small ones
+    # (5 x holdout rows) and AQE picks the right build side
     votes = (
-        top.join(F.broadcast(labels), "neighbor_id")
+        top.join(labels, "neighbor_id")
         .groupBy("query_id", "nlabel")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -687,7 +691,7 @@ def knn_label_vote_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("nlabel").alias("plabel"))
     )
     return (
-        pred.join(F.broadcast(truth), "query_id")
+        pred.join(truth, "query_id")
         .groupBy(F.col("tlabel").alias("label"))
         .agg(
             F.count(F.lit(1)).alias("n"),
