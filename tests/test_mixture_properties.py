@@ -11,7 +11,7 @@ from __future__ import annotations
 import hashlib
 import math
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from reddit_tech_jobs_data_pipeline_spark.operators import curriculum, mixture
@@ -24,6 +24,12 @@ masses_st = st.lists(
 
 
 @given(masses=masses_st, alpha=st.floats(min_value=0.0, max_value=1.0))
+# Regression: Hypothesis-found falsifying example from round 11. The
+# upsample_factor here is ~5.2e6, so an ABSOLUTE 1e-9 bound demanded
+# ~3.6e-16 relative precision — 1-2 ulps, tighter than double arithmetic
+# with a different operation order can guarantee. Ratios are unbounded;
+# they must be compared with RELATIVE tolerance.
+@example(masses=[16, 191_332_781_732], alpha=1 / 3)
 @SETTINGS
 def test_temperature_weights_match_python(spark, masses, alpha):
     per = spark.createDataFrame(
@@ -39,10 +45,16 @@ def test_temperature_weights_match_python(spark, masses, alpha):
     assert abs(sum(r.p_temperature for r in got.values()) - 1.0) < 1e-9
     for i, m in enumerate(masses):
         r = got[f"s{i}"]
+        # p_temperature / natural_share are probabilities in [0, 1]:
+        # absolute 1e-9 is meaningful there. upsample_factor is an
+        # UNBOUNDED ratio (reaches ~5e6 on skewed masses), so it gets a
+        # relative bound — absolute bounds on ratios are a test bug.
         assert abs(r.p_temperature - pows[i] / z) < 1e-9
         if m > 0:
             assert abs(r.natural_share - m / tot) < 1e-9
-            assert abs(r.upsample_factor - (pows[i] / z) / (m / tot)) < 1e-9
+            assert math.isclose(
+                r.upsample_factor, (pows[i] / z) / (m / tot), rel_tol=1e-9
+            )
         else:
             assert r.p_temperature == 0.0 and r.upsample_factor is None
 
