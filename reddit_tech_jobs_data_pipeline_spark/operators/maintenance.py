@@ -77,11 +77,14 @@ def compact(
     compacts independently (at 100 TB you'd additionally restrict to
     recently-appended partitions — the write path below is already
     per-partition). Swap is write-to-staging + rename (_swap_dirs) —
-    two metadata ops, every crash state recoverable."""
+    two metadata ops, and every crash state is recoverable BY
+    recover_interrupted_swap, which runs first here so a rerun after a
+    mid-swap crash self-heals instead of failing the read."""
+    recover_interrupted_swap(spark, path)
     current = sum(table_file_sizes(spark, path))
     n_out = max(1, math.ceil(current / target_bytes))
     df = spark.read.parquet(path)
-    staging = path.rstrip("/") + "__compact_staging"
+    staging = _staging_path(path)
     if partition_col is None:
         df.repartition(n_out).write.mode("overwrite").parquet(staging)
     else:
@@ -97,6 +100,62 @@ def compact(
     return len(table_file_sizes(spark, path))
 
 
+def _staging_path(path: str) -> str:
+    """The staging sibling ``compact`` writes before swapping — a fixed
+    derivation so crash recovery can find it without any state."""
+    return path.rstrip("/") + "__compact_staging"
+
+
+def recover_interrupted_swap(spark: SparkSession, path: str) -> bool:
+    """Repair the one non-atomic window in compaction's swap: _swap_dirs
+    is delete(path) then rename(staging -> path), so a crash between the
+    two leaves the table MISSING with the only surviving copy sitting in
+    the staging dir. Before this existed, every streaming store reader
+    treated a missing path as the legitimate first-batch case — on
+    replay it would silently rebuild the store from the current batch
+    alone, and the NEXT cadence compaction would overwrite staging,
+    destroying that last copy (round-11 advisor finding). Callers (the
+    store readers' missing-path fallbacks, compact itself,
+    run_store_maintenance) invoke this first; it returns True iff it
+    completed the rename and the table is back.
+
+    State table (delete only ever runs after staging's write committed,
+    so the dangerous state is unambiguous):
+
+    - no staging dir            -> nothing to do (False)
+    - staging + path both exist -> crash BEFORE the delete (or a stale
+      rerun): path is authoritative and staging holds the same rows —
+      drop staging so later checks stay unambiguous (False)
+    - staging, path missing     -> the interrupted swap: staging is the
+      complete table; finish the rename (True). A staging dir without
+      its _SUCCESS marker in this state is corruption, not a crash
+      artifact — refuse loudly rather than promote a partial table.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    src = jvm.org.apache.hadoop.fs.Path(_staging_path(path))
+    fs = dst.getFileSystem(conf)
+    if not fs.exists(src):
+        return False
+    if fs.exists(dst):
+        fs.delete(src, True)
+        return False
+    success = jvm.org.apache.hadoop.fs.Path(_staging_path(path) + "/_SUCCESS")
+    if not fs.exists(success):
+        raise IOError(
+            f"recover_interrupted_swap: {path} is missing and its staging "
+            f"sibling has no _SUCCESS marker — refusing to promote a "
+            "partial table; inspect the staging dir by hand."
+        )
+    if not fs.rename(src, dst):
+        raise IOError(
+            f"recover_interrupted_swap: rename {_staging_path(path)} -> "
+            f"{path} failed"
+        )
+    return True
+
+
 def _swap_dirs(spark: SparkSession, staging: str, path: str) -> None:
     """Promote a fully-written staging table over ``path`` with two
     metadata operations (delete + rename) instead of re-reading staging
@@ -107,7 +166,11 @@ def _swap_dirs(spark: SparkSession, staging: str, path: str) -> None:
     either ``path`` still exists (before the delete; staging is complete
     and the compaction can simply rerun) or staging is complete and the
     recovery is one rename (staging-present-and-path-missing is the
-    unambiguous marker). Uses the Hadoop FileSystem API, so it holds on
+    unambiguous marker). recover_interrupted_swap IMPLEMENTS that
+    recovery and runs at the head of compact, run_store_maintenance, and
+    every streaming store reader's missing-path fallback — the
+    delete-to-rename window is therefore routine-crash-safe, not just
+    recoverable in principle. Uses the Hadoop FileSystem API, so it holds on
     any store with directory rename (local, HDFS; object stores emulate
     it per-key but the ordering argument is unchanged)."""
     jvm = spark._jvm
@@ -215,6 +278,11 @@ def run_store_maintenance(
     exist yet)."""
     if every_n_batches <= 0 or (batch_id + 1) % every_n_batches != 0:
         return None
+    # a crash between the previous compaction's delete and rename leaves
+    # the store missing with staging holding the only copy — repair that
+    # BEFORE the existence check, or this batch would skip maintenance
+    # and the next cadence's staging write would destroy the copy
+    recover_interrupted_swap(spark, store_path)
     if not os.path.exists(store_path):
         jvm = spark._jvm
         p = jvm.org.apache.hadoop.fs.Path(store_path)

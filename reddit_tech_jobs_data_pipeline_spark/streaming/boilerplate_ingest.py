@@ -35,7 +35,7 @@ from reddit_tech_jobs_data_pipeline_spark.streaming.events import (
     _stream_shuffle_partitions,
 )
 from reddit_tech_jobs_data_pipeline_spark.streaming.incremental_dedup import (
-    _is_missing_path,
+    _recover_or_first_batch,
 )
 from reddit_tech_jobs_data_pipeline_spark.workdirs import stable_work_key
 
@@ -66,14 +66,18 @@ def ingest_batch_line_df(
     (replay safety; missing-path-only first-batch fallback, any other
     store-read failure fails the batch)."""
     sp = batch.sparkSession
-    try:
+
+    def _seen_keys() -> set:
         existing = sp.read.schema(_STORE_SCHEMA).parquet(store_path)
         existing.isEmpty()
-        seen = {r.batch_key for r in existing.select("batch_key").distinct().collect()}
+        return {r.batch_key for r in existing.select("batch_key").distinct().collect()}
+
+    try:
+        seen = _seen_keys()
     except AnalysisException as e:
-        if not _is_missing_path(e):
-            raise
-        seen = set()
+        # repair an interrupted compaction swap (and retry) before
+        # treating a missing path as the first batch
+        seen = _seen_keys() if _recover_or_first_batch(sp, store_path, e) else set()
     keyed = batch.withColumn("__bk", batch_key_expr)
     new = keyed.filter(~F.col("__bk").isin(list(seen)) if seen else F.lit(True))
     lines = split_lines(

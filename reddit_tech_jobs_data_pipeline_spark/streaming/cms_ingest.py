@@ -37,7 +37,7 @@ from reddit_tech_jobs_data_pipeline_spark.streaming.events import (
     _stream_shuffle_partitions,
 )
 from reddit_tech_jobs_data_pipeline_spark.streaming.incremental_dedup import (
-    _is_missing_path,
+    _recover_or_first_batch,
 )
 from reddit_tech_jobs_data_pipeline_spark.workdirs import stable_work_key
 
@@ -63,14 +63,18 @@ def ingest_batch_sketch(
     key(s) — skipping any key already present in the store (replay
     safety). The store is never rewritten, only appended."""
     sp = batch.sparkSession
-    try:
+
+    def _seen_keys() -> set:
         existing = sp.read.schema(_STORE_SCHEMA).parquet(store_path)
         existing.isEmpty()  # force the existence check eagerly
-        seen = {r.batch_key for r in existing.select("batch_key").distinct().collect()}
+        return {r.batch_key for r in existing.select("batch_key").distinct().collect()}
+
+    try:
+        seen = _seen_keys()
     except AnalysisException as e:
-        if not _is_missing_path(e):
-            raise
-        seen = set()
+        # repair an interrupted compaction swap (and retry) before
+        # treating a missing path as the first batch
+        seen = _seen_keys() if _recover_or_first_batch(sp, store_path, e) else set()
     keyed = batch.select(batch_key_expr.alias("batch_key"), F.col(text_col))
     new = keyed.filter(~F.col("batch_key").isin(list(seen)) if seen else F.lit(True))
     tok = new.select(

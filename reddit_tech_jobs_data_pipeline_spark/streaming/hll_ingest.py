@@ -39,7 +39,7 @@ from reddit_tech_jobs_data_pipeline_spark.streaming.events import (
     _stream_shuffle_partitions,
 )
 from reddit_tech_jobs_data_pipeline_spark.streaming.incremental_dedup import (
-    _is_missing_path,
+    _recover_or_first_batch,
 )
 from reddit_tech_jobs_data_pipeline_spark.workdirs import stable_work_key
 
@@ -64,14 +64,18 @@ def ingest_batch_hll(
     same missing-path-only first-batch fallback contract as the other
     stores: any non-PATH_NOT_FOUND read failure fails the batch)."""
     sp = batch.sparkSession
-    try:
+
+    def _seen_keys() -> set:
         existing = sp.read.schema(_STORE_SCHEMA).parquet(store_path)
         existing.isEmpty()  # force the existence check eagerly
-        seen = {r.batch_key for r in existing.select("batch_key").distinct().collect()}
+        return {r.batch_key for r in existing.select("batch_key").distinct().collect()}
+
+    try:
+        seen = _seen_keys()
     except AnalysisException as e:
-        if not _is_missing_path(e):
-            raise
-        seen = set()
+        # repair an interrupted compaction swap (and retry) before
+        # treating a missing path as the first batch
+        seen = _seen_keys() if _recover_or_first_batch(sp, store_path, e) else set()
     keyed = batch.select(
         batch_key_expr.alias("batch_key"),
         F.col(group_col).alias("grp"),

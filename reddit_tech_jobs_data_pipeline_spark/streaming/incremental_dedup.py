@@ -58,6 +58,27 @@ def _is_missing_path(e: AnalysisException) -> bool:
     return "Path does not exist" in str(e)
 
 
+def _recover_or_first_batch(spark: SparkSession, store_path: str, e: AnalysisException) -> bool:
+    """Shared missing-path discipline for every streaming store reader:
+    re-raise anything that isn't the PATH_NOT_FOUND case, then — before
+    declaring a first batch — check whether the path is missing because a
+    compaction swap crashed between its delete and rename (staging dir
+    holds the only copy; round-11 advisor finding). If so, complete the
+    rename and return True so the caller RETRIES the read; returning
+    False means the store genuinely never existed (the one legitimate
+    first-batch state). Without this, a crash-replay would silently
+    rebuild the store from the current batch alone and the next cadence
+    compaction would overwrite the staging dir — destroying the last
+    surviving copy."""
+    if not _is_missing_path(e):
+        raise e
+    from reddit_tech_jobs_data_pipeline_spark.operators.maintenance import (
+        recover_interrupted_swap,
+    )
+
+    return recover_interrupted_swap(spark, store_path)
+
+
 def _sig_schema(num_hashes: int) -> T.StructType:
     return T.StructType(
         [T.StructField("id", T.LongType())]
@@ -93,20 +114,28 @@ def stream_dedup_ingest(
     def _ingest(batch: DataFrame, batch_id: int) -> None:
         sp = batch.sparkSession
         sig = minhash_signatures(batch, text_col, id_col, num_hashes, n)
-        try:
+
+        def _read_store() -> DataFrame:
             store = sp.read.schema(_sig_schema(num_hashes)).parquet(store_path)
             # force the existence check now — an empty/missing dir only
             # fails lazily, inside the join, otherwise
             store.isEmpty()
+            return store
+
+        try:
+            store = _read_store()
         except AnalysisException as e:
             # ONLY the first-batch missing-store case may fall back to an
             # empty store; any other read failure (permissions, corrupt
             # footer, transient FS error) must fail the batch — silently
             # treating it as "no store" would reset dedup state and append
-            # duplicate signatures permanently.
-            if not _is_missing_path(e):
-                raise
-            store = sig.limit(0)
+            # duplicate signatures permanently. An interrupted compaction
+            # swap is repaired (and the read retried) before declaring a
+            # first batch.
+            if _recover_or_first_batch(sp, store_path, e):
+                store = _read_store()
+            else:
+                store = sig.limit(0)
         out = incremental_lsh_ingest(store, sig, num_hashes, bands, min_agree)
         survivors = sig.join(
             out.filter("is_new").select("id"), "id", "left_semi"

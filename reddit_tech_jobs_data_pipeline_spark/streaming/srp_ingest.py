@@ -34,7 +34,7 @@ from reddit_tech_jobs_data_pipeline_spark.streaming.events import (
     _stream_shuffle_partitions,
 )
 from reddit_tech_jobs_data_pipeline_spark.streaming.incremental_dedup import (
-    _is_missing_path,
+    _recover_or_first_batch,
 )
 from reddit_tech_jobs_data_pipeline_spark.workdirs import stable_work_key
 
@@ -50,16 +50,20 @@ def ingest_batch_srp(
     idempotently: vectors whose id already rides the store are dropped
     (replay skip — a column-pruned anti-join on neighbor_id)."""
     sp = batch.sparkSession
-    try:
+
+    def _read_ids() -> DataFrame:
         # no explicit schema -> read.parquet infers eagerly and raises
         # PATH_NOT_FOUND here, so no extra forcing action is needed
         # (incremental_dedup needs its isEmpty() only because it reads
         # WITH a schema, which defers the existence check)
-        existing = sp.read.parquet(store_path).select("neighbor_id")
+        return sp.read.parquet(store_path).select("neighbor_id")
+
+    try:
+        existing = _read_ids()
     except AnalysisException as e:
-        if not _is_missing_path(e):
-            raise
-        existing = None
+        # repair an interrupted compaction swap (and retry) before
+        # treating a missing path as the first batch
+        existing = _read_ids() if _recover_or_first_batch(sp, store_path, e) else None
     new = batch
     if existing is not None:
         new = batch.join(

@@ -306,3 +306,130 @@ def test_run_store_maintenance_bounds_fragments_across_cadence(spark, tmp_path):
         run_store_maintenance(spark, str(tmp_path / "nope"), 2, every_n_batches=3)
         is None
     )
+
+
+# ---------------------------------------------------------------------------
+# Interrupted-swap recovery (round-11 advisor finding): a crash between
+# _swap_dirs' delete(path) and rename(staging -> path) leaves the store
+# MISSING with the only copy in the staging dir. Every store reader and
+# compaction entry point must repair that state instead of treating it
+# as a first batch (which would rebuild from one batch and let the next
+# compaction destroy the surviving copy).
+# ---------------------------------------------------------------------------
+
+
+def _simulate_mid_swap_crash(spark, store: str) -> None:
+    """Reproduce the exact crash state: staging fully written (with
+    _SUCCESS), store deleted — i.e. _swap_dirs died after its delete."""
+    import shutil
+
+    staging = store.rstrip("/") + "__compact_staging"
+    spark.read.parquet(store).repartition(1).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(store)
+
+
+def test_recover_interrupted_swap_completes_rename(spark, tmp_path):
+    from reddit_tech_jobs_data_pipeline_spark.operators.maintenance import (
+        recover_interrupted_swap,
+    )
+    from reddit_tech_jobs_data_pipeline_spark.streaming.cms_ingest import (
+        ingest_batch_sketch,
+        merged_sketch,
+    )
+
+    store = str(tmp_path / "cms_store")
+    docs = _docs(spark)
+    for tag in range(2):
+        ingest_batch_sketch(
+            docs.filter(F.col("doc_id") % 3 == tag),
+            store,
+            batch_key_expr=F.col("doc_id") % 3,
+            width=64,
+            depth=2,
+        )
+    before = {
+        (r.row_i, r.bucket): r.cnt for r in merged_sketch(spark, store).collect()
+    }
+    _simulate_mid_swap_crash(spark, store)
+    assert not os.path.exists(store)
+    assert recover_interrupted_swap(spark, store) is True
+    assert os.path.exists(store)
+    after = {
+        (r.row_i, r.bucket): r.cnt for r in merged_sketch(spark, store).collect()
+    }
+    assert after == before
+    # idempotent: a second call is a no-op
+    assert recover_interrupted_swap(spark, store) is False
+
+
+def test_recover_interrupted_swap_drops_stale_staging(spark, tmp_path):
+    """Both dirs present = crash BEFORE the delete: path is authoritative
+    (compaction is row-preserving, so both hold the same rows); recovery
+    drops the stale staging and leaves path untouched."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.maintenance import (
+        recover_interrupted_swap,
+    )
+
+    store = str(tmp_path / "t")
+    staging = store + "__compact_staging"
+    df = spark.range(10)
+    df.write.parquet(store)
+    df.write.parquet(staging)
+    assert recover_interrupted_swap(spark, store) is False
+    assert os.path.exists(store) and not os.path.exists(staging)
+    assert spark.read.parquet(store).count() == 10
+
+
+def test_ingest_reader_recovers_mid_swap_crash_on_replay(spark, tmp_path):
+    """The routine-crash scenario end to end: ingest two batches, crash a
+    compaction mid-swap, then REPLAY a batch. The reader must restore the
+    store from staging and keep the replay-skip (not rebuild the store
+    from the replayed batch alone)."""
+    from reddit_tech_jobs_data_pipeline_spark.streaming.cms_ingest import (
+        ingest_batch_sketch,
+        merged_sketch,
+    )
+
+    store = str(tmp_path / "cms_store")
+    docs = _docs(spark)
+    for tag in range(2):
+        ingest_batch_sketch(
+            docs.filter(F.col("doc_id") % 3 == tag),
+            store,
+            batch_key_expr=F.col("doc_id") % 3,
+            width=64,
+            depth=2,
+        )
+    before = {
+        (r.row_i, r.bucket): r.cnt for r in merged_sketch(spark, store).collect()
+    }
+    _simulate_mid_swap_crash(spark, store)
+    # crash-replay of batch 0: without recovery this would "first-batch"
+    # a fresh store containing only tag 0's cells
+    ingest_batch_sketch(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        store,
+        batch_key_expr=F.col("doc_id") % 3,
+        width=64,
+        depth=2,
+    )
+    after = {
+        (r.row_i, r.bucket): r.cnt for r in merged_sketch(spark, store).collect()
+    }
+    assert after == before  # store restored AND the replay was skipped
+
+
+def test_run_store_maintenance_repairs_before_cadence_check(spark, tmp_path):
+    from reddit_tech_jobs_data_pipeline_spark.operators.maintenance import (
+        run_store_maintenance,
+    )
+
+    store = str(tmp_path / "t")
+    spark.range(100).repartition(4).write.parquet(store)
+    before = spark.read.parquet(store).count()
+    _simulate_mid_swap_crash(spark, store)
+    # batch_id=2, every 3 -> on cadence; must first complete the rename,
+    # then compact the recovered store rather than skipping it as missing
+    n = run_store_maintenance(spark, store, batch_id=2, every_n_batches=3)
+    assert n is not None and os.path.exists(store)
+    assert spark.read.parquet(store).count() == before
