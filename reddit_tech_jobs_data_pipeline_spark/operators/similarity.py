@@ -18,6 +18,8 @@ so results are engine-comparable after 4-dp rounding.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -517,7 +519,29 @@ def _books_geometry_from_rows(rows, dim: int, who: str) -> tuple[int, int]:
     widths = sorted({len(r.cvec) for r in rows})
     if len(widths) != 1:
         raise ValueError(f"{who}: codebooks have mixed subvector widths {widths}")
-    m = len({r.sub for r in rows})
+    subs = {r.sub for r in rows}
+    m = len(subs)
+    # the frozen-books encode indexes by_sub[s] for s in range(m): a gap
+    # (e.g. a partially-written books table with subs {0, 2}) would
+    # otherwise surface as a bare KeyError deep in expression generation
+    if subs != set(range(m)):
+        raise ValueError(
+            f"{who}: codebook sub ids {sorted(subs)} are not contiguous "
+            f"0..{m - 1} — the books table is corrupt or partially written"
+        )
+    # non-finite centroid components would render as 'infD'/'nanD' SQL
+    # literals in the frozen-books encode and die as an opaque parse
+    # error; refuse here with an attributable message instead
+    bad = [
+        (r.sub, r.cid)
+        for r in rows
+        if any(not math.isfinite(float(x)) for x in r.cvec)
+    ]
+    if bad:
+        raise ValueError(
+            f"{who}: non-finite centroid components in (sub, cid) {bad[:5]}"
+            f"{' …' if len(bad) > 5 else ''} — retrain or repair the books"
+        )
     sub_w = widths[0]
     if dim != m * sub_w:
         raise ValueError(

@@ -434,3 +434,33 @@ def test_frozen_expression_encode_equals_join_encode(spark):
         for r in join_codes.collect()
     }
     assert expr_codes == want
+
+
+def test_books_geometry_rejects_gapped_subs_and_nonfinite_centroids():
+    """Round-11 advisor finding: the frozen-books encode indexed
+    by_sub[s] for s in range(m) (a gapped books table died as a bare
+    KeyError) and rendered non-finite centroids as 'infD'/'nanD' SQL
+    (an opaque parse error). Both must refuse with attributable
+    messages at geometry-derivation time."""
+    import pytest
+    from pyspark.sql import Row
+
+    geom = similarity._books_geometry_from_rows
+
+    def book(sub, cid, vec):
+        return Row(sub=sub, cid=cid, cvec=vec)
+
+    ok = [book(0, 0, [0.0, 0.0]), book(1, 0, [1.0, 1.0])]
+    assert geom(ok, 4, "t") == (2, 2)
+
+    gapped = [book(0, 0, [0.0, 0.0]), book(2, 0, [1.0, 1.0])]
+    with pytest.raises(ValueError, match="not contiguous"):
+        geom(gapped, 4, "t")
+
+    inf = [book(0, 0, [0.0, float("inf")]), book(1, 0, [1.0, 1.0])]
+    with pytest.raises(ValueError, match="non-finite"):
+        geom(inf, 4, "t")
+
+    nan = [book(0, 0, [0.0, 0.0]), book(1, 0, [float("nan"), 1.0])]
+    with pytest.raises(ValueError, match="non-finite"):
+        geom(nan, 4, "t")
