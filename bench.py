@@ -256,19 +256,37 @@ def main() -> None:
     # radar across rounds, flagged at >2×, not a headline metric).
     # Disable with SPARK_GRAFT_BENCH_FULL=0.
     tail_timings: dict[str, float] = {}
+    sentinel_series: list[dict[str, float]] = []
+    SENTINEL = "q1_pricing_summary"  # fixed ~0.3 s plan, warmed in phase 1
+    SENTINEL_EVERY = 8
     if os.environ.get("SPARK_GRAFT_BENCH_FULL", "1") != "0":
         tail = sorted(n for n in reg if n not in set(HEADLINE))
         # One untimed session-warmup (an already-warm headline plan, so
-        # no tail plan loses its cold-codegen property) plus best-of-2
-        # for the first five tail entries: alphabetically-early queries
-        # were absorbing post-headline GC/JIT settling, producing 2-3×
-        # round-over-round drift on unchanged sub-second queries
-        # (r10 verdict: a1_watermark_max 3.4×, multimodal_features 2.0×).
-        materialize(reg["q1_pricing_summary"].spark(spark, sf_dir))
+        # no tail plan loses its cold-codegen property). Best-of-2 for
+        # EVERY tail entry (r11 made it first-five-only, which fixed the
+        # post-headline GC/JIT settling drift on alphabetically-early
+        # queries but left the rest single-pass — min-of-N systematically
+        # lowers the sampled five, so round-over-round and intra-tail
+        # comparisons stopped being like-for-like; r11 advisor finding).
+        # r12 onward: uniform passes, recorded as "tail_passes" so future
+        # methodology changes stay attributable.
+        materialize(reg[SENTINEL].spark(spark, sf_dir))
+        # Contention sentinel: the driver's r10/r11 tails showed 4-7×
+        # drifts on UNCHANGED sub-second queries, judge-attributed to
+        # shared-host load. Interleaving a fixed, warm, ~0.3 s reference
+        # plan every SENTINEL_EVERY tail entries turns that noise class
+        # into data: a tail reading is flagged noisy when its neighboring
+        # sentinel sample also drifted (see README "Bench tail triage").
         for i, name in enumerate(tail):
-            passes = 2 if i < 5 else 1
+            if i % SENTINEL_EVERY == 0:
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                materialize(reg[SENTINEL].spark(spark, sf_dir))
+                sentinel_series.append(
+                    {"before_tail_index": i, "sec": round(time.perf_counter() - t0, 3)}
+                )
             best = float("inf")
-            for _ in range(passes):
+            for _ in range(2):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 materialize(reg[name].spark(spark, sf_dir))
@@ -287,9 +305,22 @@ def main() -> None:
         # bridge: BENCH_r1-r6 totals covered only the legacy 28
         # queries — compare those to value_legacy28, not value
         "value_legacy28": legacy_total,
-        # single-pass cold timings for the rest of the catalog (see above)
+        # best-of-2 cold timings for the rest of the catalog (see above)
         "tail_queries": tail_timings,
         "tail_total_sec": round(sum(tail_timings.values()), 3),
+        "tail_passes": 2,
+        # fixed warm reference plan timed before every 8th tail entry —
+        # the host-contention meter for tail triage (README rule)
+        "sentinel": {
+            "query": SENTINEL,
+            "every_n_tail": SENTINEL_EVERY,
+            "series": sentinel_series,
+            "median_sec": (
+                round(sorted(s["sec"] for s in sentinel_series)[len(sentinel_series) // 2], 3)
+                if sentinel_series
+                else None
+            ),
+        },
     }
     # Full per-query detail: an EARLY stdout line + a repo file. The
     # driver keeps only the last 2000 chars of stdout and parses the
