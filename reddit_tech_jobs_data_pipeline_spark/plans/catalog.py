@@ -490,6 +490,7 @@ _WINDOW_PROMOTED = [
     "srp_lsh_ann_topk",          # r10: SRP-LSH ANN
     "streaming_cusum_monitor",   # r10: restartable streaming CUSUM
     "ann_srp_index_topk",        # r11: persisted SRP index probe
+    "knn_label_vote_accuracy",   # r11 stats2 family (holdout bounded r12)
 ]
 _PROMOTE_AT = 26  # after the reference-surface + hygiene/classifier block
 
