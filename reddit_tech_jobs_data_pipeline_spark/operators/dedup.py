@@ -1477,3 +1477,71 @@ def leakage_safe_split(
         .otherwise("test")
     )
     return grouped.withColumn("split", split)
+
+
+def hamming_band_pairs(
+    hashes: DataFrame,
+    id_col: str = "id",
+    lo_col: str = "h_lo",
+    hi_col: str = "h_hi",
+    band_bits: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup pairs over a PACKED 64-bit fingerprint (two 32-bit
+    longs, e.g. multimodal.image_ahash): band the 64 bits into
+    64/band_bits integer blocks, equi-join ids sharing a block value,
+    verify exact Hamming with bit_count(xor) on each half. The banding
+    guarantee is the simhash_near_dup_pairs pigeonhole: a pair within
+    Hamming ≤ nbands-1 differs in at most nbands-1 bands, so at least
+    one band matches exactly — at the default 4×16 every pair within
+    Hamming ≤ 3 is found, a superset of the max_hamming=2 verify.
+
+    Scale shape (same as the text LSH families): candidates come ONLY
+    from the band equi-join — never an all-pairs product — and 16-bit
+    bands give 65536 buckets, so unrelated images (expected Hamming
+    ~32) almost never share a bucket; the verify is pure integer
+    xor/bit_count, codegen'd. Hash extraction (the mapInPandas decode)
+    dominates; this stage is two narrow shuffles (band join, distinct).
+    """
+    assert 64 % band_bits == 0
+    nbands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    base = hashes.select(
+        F.col(id_col).alias("id"), F.col(lo_col).alias("lo"), F.col(hi_col).alias("hi")
+    )
+    half_bands = 32 // band_bits
+    band_vals = [
+        (
+            F.shiftright(F.col("lo") if b < half_bands else F.col("hi"),
+                         (b % half_bands) * band_bits)
+            .bitwiseAND(F.lit(mask))
+        )
+        for b in range(nbands)
+    ]
+    banded = base.select(
+        "id",
+        "lo",
+        "hi",
+        F.explode(
+            F.array(*[
+                F.concat_ws(":", F.lit(str(b)), v.cast("string"))
+                for b, v in enumerate(band_vals)
+            ])
+        ).alias("bkey"),
+    )
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a"), "bkey"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b"), "bkey"
+    )
+    ham = F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    ) + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    return (
+        a.join(b, "bkey")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

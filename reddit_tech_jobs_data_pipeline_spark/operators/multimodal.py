@@ -419,3 +419,62 @@ def audio_energy_windows(
             yield pd.DataFrame(out)
 
     return blobs.mapInPandas(_batches, schema=AUDIO_WINDOW_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("h_lo", T.LongType(), True),
+        T.StructField("h_hi", T.LongType(), True),
+    ]
+)
+
+
+def image_ahash(blobs: DataFrame, hash_h: int = 8, hash_w: int = 8) -> DataFrame:
+    """Perceptual average-hash (aHash) over the binary image column —
+    the multimodal near-dup fingerprint: decode (REAL pure-numpy
+    PPM/BMP raster decoder), nearest-neighbor resize to hash_h×hash_w,
+    integer grayscale ((r+g+b)//3), then one bit per pixel set iff
+    P·gray > Σgray (strict, all-integer — no float threshold, so the
+    hash is bit-reproducible by any engine doing the same integer
+    arithmetic, which is what the DuckDB oracle does). Brightness
+    shifts, recompression artifacts and small crops move a few grays
+    across the mean and flip a few bits; near-duplicate images land
+    within small Hamming distance while unrelated images are ~32 bits
+    apart — the property hamming_band_pairs exploits.
+
+    The 64 bits are packed into TWO longs (h_lo = bits 0..31, h_hi =
+    bits 32..63, pixel-row-major): 32-bit halves keep every downstream
+    xor/bit_count in plain signed-64 arithmetic on BOTH engines (a full
+    64-bit pack would overflow signed BIGINT at bit 63). Undecodable
+    payloads are dropped (post-quarantine hot path — the error channel
+    is decode_real_features).
+
+    100 TB: decode + resize + hash ride ONE mapInPandas executor pass;
+    rasters never cross a shuffle; the output is 3 longs per image."""
+    import numpy as np
+
+    n_px = hash_h * hash_w
+    assert n_px == 64, "packing below assumes a 64-bit hash (8x8)"
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"id": [], "h_lo": [], "h_hi": []}
+            for _id, content in zip(pdf["id"], pdf["content"]):
+                try:
+                    img = decode_image(bytes(content or b""))
+                except (NotImplementedError, ValueError, IndexError, EOFError):
+                    continue
+                small = resize_nn(img, hash_h, hash_w)
+                gray = small.astype(np.int64).sum(axis=2) // 3  # (r+g+b)//3
+                flat = gray.reshape(-1)
+                s = int(flat.sum())
+                bits = (n_px * flat > s).astype(np.int64)
+                lo = int(sum(int(bits[j]) << j for j in range(32)))
+                hi = int(sum(int(bits[32 + j]) << j for j in range(32)))
+                out["id"].append(_id)
+                out["h_lo"].append(lo)
+                out["h_hi"].append(hi)
+            yield pd.DataFrame(out)
+
+    return blobs.select("id", "content").mapInPandas(_batches, schema=AHASH_SCHEMA)

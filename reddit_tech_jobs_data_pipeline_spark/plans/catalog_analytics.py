@@ -592,3 +592,131 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("x", F.transform("shape", lambda d: d.cast("string"))).alias("shape_s"),
         F.concat_ws(",", F.transform("pixels", lambda v: v.cast("string"))).alias("pixels_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal near-dup dedup (round 12): perceptual image hashing. The
+# synthetic images are REAL binary P6 PPMs whose 8×8 grayscale pixels
+# derive from md5 of a FAMILY key (doc_id DIV 4) with one per-document
+# variant pixel — so each 4-doc family is a planted near-duplicate
+# cluster (same image up to a small brightness change in one pixel),
+# exactly the recompressed/re-encoded duplicate population an image
+# training corpus carries. Family count grows WITH the corpus (ids DIV
+# 4), so planted-pair volume is linear, never quadratic.
+# ---------------------------------------------------------------------------
+
+
+def _phash_gray_sql() -> str:
+    """g0..g63 for the oracle: the same md5-derived gray bytes the Spark
+    side renders into PPM pixels, as hex-char arithmetic (the
+    multimodal_real_decode precedent). g0 is the variant pixel (byte
+    doc_id%4 of the family's ':p' block); g1..g63 are bytes 1..15 of
+    block ':0' then all of ':1'..':3'."""
+    cols = [
+        "((strpos('0123456789abcdef', substr(mp, 2*(doc_id % 4)+1, 1)) - 1) * 16 + "
+        "(strpos('0123456789abcdef', substr(mp, 2*(doc_id % 4)+2, 1)) - 1)) AS g0"
+    ]
+    for j in range(1, 64):
+        h = f"m{j // 16}"
+        c = 2 * (j % 16) + 1
+        cols.append(
+            f"((strpos('0123456789abcdef', substr({h}, {c}, 1)) - 1) * 16 + "
+            f"(strpos('0123456789abcdef', substr({h}, {c + 1}, 1)) - 1)) AS g{j}"
+        )
+    return ", ".join(cols)
+
+
+def _phash_oracle_sql() -> str:
+    ssum = " + ".join(f"g{j}" for j in range(64))
+    lo = " + ".join(
+        f"(CASE WHEN 64*g{j} > ssum THEN {1 << j} ELSE 0 END)" for j in range(32)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN 64*g{j + 32} > ssum THEN {1 << j} ELSE 0 END)" for j in range(32)
+    )
+    return f"""
+    WITH m AS (
+      SELECT doc_id,
+        md5('ph:' || CAST(doc_id // 4 AS VARCHAR) || ':p') AS mp,
+        md5('ph:' || CAST(doc_id // 4 AS VARCHAR) || ':0') AS m0,
+        md5('ph:' || CAST(doc_id // 4 AS VARCHAR) || ':1') AS m1,
+        md5('ph:' || CAST(doc_id // 4 AS VARCHAR) || ':2') AS m2,
+        md5('ph:' || CAST(doc_id // 4 AS VARCHAR) || ':3') AS m3
+      FROM documents
+    ),
+    px AS (SELECT doc_id, {_phash_gray_sql()} FROM m),
+    s AS (SELECT *, {ssum} AS ssum FROM px),
+    hx AS (SELECT doc_id AS id, {lo} AS h_lo, {hi} AS h_hi FROM s),
+    band AS (
+      SELECT id, h_lo, h_hi, b.band_i,
+        CASE b.band_i WHEN 0 THEN h_lo % 65536 WHEN 1 THEN h_lo // 65536
+             WHEN 2 THEN h_hi % 65536 ELSE h_hi // 65536 END AS bval
+      FROM hx, (SELECT unnest([0, 1, 2, 3]) AS band_i) b
+    )
+    SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+      CAST(bit_count(xor(a.h_lo, b2.h_lo))
+         + bit_count(xor(a.h_hi, b2.h_hi)) AS BIGINT) AS hamming
+    FROM band a
+    JOIN band b2 ON a.band_i = b2.band_i AND a.bval = b2.bval AND a.id < b2.id
+    WHERE bit_count(xor(a.h_lo, b2.h_lo)) + bit_count(xor(a.h_hi, b2.h_hi)) <= 2
+    ORDER BY id_a, id_b
+    """
+
+
+def _phash_blobs(docs: DataFrame) -> DataFrame:
+    """Render each document's family-derived 8×8 grayscale image as REAL
+    binary P6 PPM bytes (r=g=b=gray byte), entirely in Catalyst binary
+    expressions — no Python in the synthesis path."""
+
+    def pix(j: int):
+        if j == 0:
+            return F.expr(
+                "substring(unhex(md5(concat('ph:', CAST(doc_id DIV 4 AS STRING), "
+                "':p'))), CAST(doc_id % 4 AS INT) + 1, 1)"
+            )
+        return F.expr(
+            f"substring(unhex(md5(concat('ph:', CAST(doc_id DIV 4 AS STRING), "
+            f"':{j // 16}'))), {j % 16 + 1}, 1)"
+        )
+
+    parts = [F.lit(b"P6\n8 8\n255\n")]
+    for j in range(64):
+        p = pix(j)
+        parts += [p, p, p]
+    return docs.select(F.col("doc_id").alias("id"), F.concat(*parts).alias("content"))
+
+
+@register(
+    "image_phash_near_dup",
+    _phash_oracle_sql(),
+    tags=["multimodal", "dedup", "similarity", "scale"],
+)
+def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup, end to end and oracle-checked — the
+    multimodal member of the near-dup family (text MinHash/SimHash,
+    URL, embedding-cosine … and now images): every document renders as
+    an actual 8×8 P6 PPM, the executors DECODE the real bytes
+    (pure-numpy raster decoder), aHash them (integer grayscale,
+    strict P·gray > Σgray threshold — multimodal.image_ahash), and
+    near-dup pairs come from 4×16-bit Hamming banding
+    (dedup.hamming_band_pairs: pigeonhole-complete for Hamming ≤ 3,
+    verified exact ≤ 2 via xor/bit_count). The oracle recomputes the
+    same integer pipeline from the md5 hex — a decoder header bug, a
+    channel-order swap, a threshold off-by-one, or a band split error
+    all break the hash match.
+
+    100 TB design: hashing is one mapInPandas pass (rasters never
+    shuffle — 3 longs per image leave the executor); candidates come
+    only from the 65536-bucket band equi-join, so the pair volume is
+    set by true near-dups (planted linear here), never N²."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    hashes = multimodal.image_ahash(_phash_blobs(docs))
+    from reddit_tech_jobs_data_pipeline_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+
+    return (
+        hamming_band_pairs(hashes, band_bits=16, max_hamming=2)
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,123 @@
+"""Perceptual image hash (multimodal.image_ahash) + Hamming banding
+(dedup.hamming_band_pairs): the multimodal near-dup family.
+
+The aHash contract is integer-exact (bit j set iff P·gray_j > Σgray), so
+tests pin bits against a pure-Python recomputation from the same pixel
+bytes, and the banding is checked for its pigeonhole guarantee (every
+pair within Hamming ≤ nbands-1 is found) plus the verify cutoff.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from reddit_tech_jobs_data_pipeline_spark.operators import multimodal
+from reddit_tech_jobs_data_pipeline_spark.operators.dedup import hamming_band_pairs
+
+
+def _ppm(gray_bytes: bytes) -> bytes:
+    assert len(gray_bytes) == 64
+    return b"P6\n8 8\n255\n" + b"".join(bytes([g, g, g]) for g in gray_bytes)
+
+
+def _py_ahash(gray: bytes) -> tuple[int, int]:
+    s = sum(gray)
+    bits = [1 if 64 * g > s else 0 for g in gray]
+    lo = sum(b << j for j, b in enumerate(bits[:32]))
+    hi = sum(b << j for j, b in enumerate(bits[32:]))
+    return lo, hi
+
+
+def test_image_ahash_matches_pure_python(spark):
+    grays = [
+        hashlib.md5(f"img{i}".encode()).digest() * 4 for i in range(6)
+    ]  # 64 deterministic bytes each
+    rows = [(i, _ppm(g)) for i, g in enumerate(grays)]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {r.id: (r.h_lo, r.h_hi) for r in multimodal.image_ahash(df).collect()}
+    assert got == {i: _py_ahash(g) for i, g in enumerate(grays)}
+
+
+def test_image_ahash_drops_undecodable_payloads(spark):
+    rows = [(0, _ppm(bytes(range(64)))), (1, b"\x89PNG not a real raster")]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = multimodal.image_ahash(df).collect()
+    assert [r.id for r in got] == [0]
+
+
+def test_image_ahash_bmp_and_ppm_same_pixels_same_hash(spark):
+    """The hash is a function of decoded PIXELS, not container bytes:
+    the same 8×8 gray raster as PPM and as 24-bit BMP must collide."""
+    import struct
+
+    gray = hashlib.md5(b"container-invariance").digest() * 4
+
+    # minimal bottom-up 24bpp BMP: rows padded to 4 bytes (8*3=24, no pad)
+    w = h = 8
+    row_bytes = w * 3
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + row_bytes * h, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row_bytes * h, 0, 0, 0, 0)
+    )
+    # bottom-up: last pixel row first; BGR order (r=g=b so order moot)
+    raster = b"".join(
+        b"".join(bytes([g, g, g]) for g in gray[r * w : (r + 1) * w])
+        for r in reversed(range(h))
+    )
+    rows = [(0, _ppm(gray)), (1, header + raster)]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {r.id: (r.h_lo, r.h_hi) for r in multimodal.image_ahash(df).collect()}
+    assert got[0] == got[1]
+
+
+def test_hamming_band_pairs_pigeonhole_and_cutoff(spark):
+    """Pairs within Hamming ≤ 3 are guaranteed candidates at 4×16-bit
+    bands; the verify keeps only ≤ max_hamming. Construct hashes with
+    known exact distances: 0, 2 (kept), 3 (candidate but cut), 8 in one
+    band (only found if another band matches — here none, so absent even
+    though it IS a candidate pair? no: 8 differing bits all in band 0
+    leave bands 1-3 identical, so it IS found, then cut by the verify)."""
+    base_lo, base_hi = 0b1010, 0
+    rows = [
+        (0, base_lo, base_hi),
+        (1, base_lo, base_hi),                    # dist 0
+        (2, base_lo ^ 0b11, base_hi),             # dist 2 (band 0)
+        (3, base_lo, base_hi ^ (0b111 << 20)),    # dist 3 (band 3)
+        (4, base_lo ^ 0xFF, base_hi),             # dist 8 (band 0 only)
+        (5, 0x5555AAAA, 0x33CC33CC),              # far from everything
+    ]
+    df = spark.createDataFrame(rows, "id long, h_lo long, h_hi long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_band_pairs(df, band_bits=16, max_hamming=2).collect()
+    }
+    assert got[(0, 1)] == 0
+    assert got[(0, 2)] == 2 and got[(1, 2)] == 2
+    assert (0, 3) not in got  # distance 3: candidate, cut by the verify
+    assert (0, 4) not in got  # distance 8: cut
+    assert all(5 not in pair for pair in got)
+    # raising the cutoff keeps the distance-3 pair (pigeonhole found it)
+    got3 = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_band_pairs(df, band_bits=16, max_hamming=3).collect()
+    }
+    assert got3[(0, 3)] == 3
+
+
+def test_phash_family_planting_yields_linear_pairs(spark):
+    """The catalog query's planted families (doc_id DIV 4) produce pairs
+    only within families — pair volume is bounded by 6 per family
+    (linear in corpus), and ids from different families never pair."""
+    from reddit_tech_jobs_data_pipeline_spark.plans.catalog_analytics import (
+        _phash_blobs,
+    )
+
+    docs = spark.range(48).select(F.col("id").alias("doc_id"))
+    hashes = multimodal.image_ahash(_phash_blobs(docs))
+    pairs = hamming_band_pairs(hashes, band_bits=16, max_hamming=2).collect()
+    assert 0 < len(pairs) <= 12 * 6
+    for r in pairs:
+        assert r.id_a // 4 == r.id_b // 4  # same family only
