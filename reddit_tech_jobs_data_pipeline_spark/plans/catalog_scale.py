@@ -3053,6 +3053,36 @@ def ann_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_pq_index_ingest",
+    _pq_sql(
+        m=8, ks=16, iters=1, dim=64, topk=5, rerank_n=50,
+        train_where="vec_id % 4 = 0",
+    ),
+    tags=["similarity", "streaming", "maintenance", "scale"],
+)
+def streaming_pq_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ index built BY A STREAM — the frozen-MODEL sibling of
+    streaming_srp_index_ingest (which proved the pattern only for
+    data-independent planes): codebooks are trained once on the
+    historical slice (vec_id % 4 == 0) and persisted, then ALL
+    embeddings replay in 4 micro-batches through the idempotent
+    frozen-books ingest (streaming/pq_ingest.py — replayed ids are
+    anti-joined out against a column-pruned codes scan, encode is the
+    map-only expression projection, compaction runs on the
+    every-3-batches cadence). Because nearest-centroid assignment is
+    deterministic given the books, the post-stream probe value-hashes
+    against the SAME unrolled oracle as the batch append — training
+    restricted to the historical rows, encoding over everything. At
+    100 TB each ingest day costs one map-only pass over the delta plus
+    an O(cadence)-bounded compaction; nothing ever re-reads history."""
+    from reddit_tech_jobs_data_pipeline_spark.streaming.pq_ingest import (
+        run_pq_ingest_batchlike,
+    )
+
+    return run_pq_ingest_batchlike(spark, sf_dir, n_tags=4, maintenance_every=3)
+
+
 def _ivfpq_sql(
     num_cells: int,
     nprobe: int,

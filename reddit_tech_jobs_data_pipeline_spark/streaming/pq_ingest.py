@@ -1,0 +1,172 @@
+"""Streaming ingest into the persisted PQ index — the frozen-MODEL
+generalization of streaming/srp_ingest.py (round-11 verdict item 5:
+IVF/PQ/IVF-PQ appends were batch-only while their frozen-model encodes
+are exactly micro-batch-shaped).
+
+Operational shape: the codebooks are trained ONCE on the historical
+corpus and persisted (the model — m×ks rows, KBs); the stream then
+ingests vector micro-batches, each encoded with the FROZEN books by the
+map-only expression encode (similarity.append_pq_index /
+_frozen_encode_exprs) and appended to the flat ``codes`` table. Because
+per-subspace nearest-centroid assignment is deterministic given the
+books, stream-ingested ≡ one-shot encode of the union — the catalog
+gates the post-stream probe with the SAME unrolled oracle as the batch
+append (``_pq_sql(train_where=...)``).
+
+Idempotent-append discipline (the incremental_dedup contract): a
+replayed batch's vectors already have codes, so the ingest left-anti
+joins the batch against the codes table's vec_ids (column-pruned id
+scan — m+1 small ints per row, never raw vectors) before encoding; only
+the first-batch missing-path read may fall back to an empty store, and
+an interrupted compaction swap is repaired first
+(_recover_or_first_batch). Scheduled compaction
+(maintenance.run_store_maintenance) bounds the flat codes table's
+fragment growth to O(cadence); books are a single file and never
+compacted.
+
+Training the books BEFORE the stream (rather than on "whatever batch
+happens to arrive first") is deliberate: it makes the result
+independent of micro-batch arrival order — the file-source ordering is
+an implementation detail no correctness property should ride on — and
+it is the real production shape (model trained on history, stream
+encodes forward).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reddit_tech_jobs_data_pipeline_spark.operators import maintenance, similarity
+from reddit_tech_jobs_data_pipeline_spark.sources.testdata import load_table
+from reddit_tech_jobs_data_pipeline_spark.streaming.events import (
+    _stream_shuffle_partitions,
+)
+from reddit_tech_jobs_data_pipeline_spark.streaming.incremental_dedup import (
+    _recover_or_first_batch,
+)
+from reddit_tech_jobs_data_pipeline_spark.workdirs import stable_work_key
+
+
+def ingest_batch_pq(
+    batch: DataFrame,
+    index_path: str,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Encode one micro-batch with the index's frozen books and append
+    its codes, idempotently: vectors whose id already has a code are
+    dropped (replay skip — a column-pruned anti-join on vec_id)."""
+    sp = batch.sparkSession
+    codes_path = f"{index_path}/codes"
+
+    def _read_ids() -> DataFrame:
+        # eager-infer read raises PATH_NOT_FOUND here (srp_ingest note)
+        return sp.read.parquet(codes_path).select("vec_id")
+
+    try:
+        existing = _read_ids()
+    except AnalysisException as e:
+        # repair an interrupted compaction swap (and retry) before
+        # treating a missing path as the first batch
+        existing = _read_ids() if _recover_or_first_batch(sp, codes_path, e) else None
+    new = batch
+    if existing is not None:
+        new = batch.join(
+            existing, batch[id_col] == existing["vec_id"], "left_anti"
+        )
+    if new.isEmpty():
+        return  # full replay: no empty fragment appended
+    similarity.append_pq_index(sp, new, index_path, dim=dim, id_col=id_col, vec_col=vec_col)
+
+
+def run_pq_ingest_batchlike(
+    spark: SparkSession,
+    sf_dir: str,
+    n_tags: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    k: int = 5,
+    rerank_n: int = 50,
+    maintenance_every: int = 3,
+) -> DataFrame:
+    """Train the books on the tag-0 slice (the 'historical corpus'),
+    then stream ALL embeddings in n_tags micro-batches (vec_id % n_tags
+    tag files, maxFilesPerTrigger=1) through the idempotent frozen-books
+    ingest, compacting the codes table on the cadence, and probe the
+    streamed index. The probe value-hash-matches the batch append's
+    oracle (train rows = vec_id % n_tags = 0, encode = full corpus) —
+    stream-ingested ≡ batch-built, the frozen-model guarantee made
+    end-to-end observable for a TRAINED quantizer, not just SRP's
+    data-independent planes."""
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_pqstream_{stable_work_key(sf_dir, n_tags, m, ks)}",
+    )
+    src_dir = os.path.join(work, "src")
+    index = os.path.join(work, "index")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(src_dir, exist_ok=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    for i in range(n_tags):
+        tmp = os.path.join(src_dir, f"_tmp{i}")
+        (
+            emb.filter(F.col("vec_id") % n_tags == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.replace(part, os.path.join(src_dir, f"tag{i}.parquet"))
+        shutil.rmtree(tmp)
+
+    # the model: books trained ONCE on history (tag 0), codes NOT
+    # written here — every code row arrives through the stream
+    _codes0, books = similarity.pq_encode(
+        emb.filter(F.col("vec_id") % n_tags == 0), m=m, ks=ks, train_iters=1, dim=dim
+    )
+    books.coalesce(1).write.mode("overwrite").parquet(f"{index}/books")
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        ingest_batch_pq(batch, index, dim=dim)
+        # flat codes table: the plain append-store compaction applies
+        maintenance.run_store_maintenance(
+            batch.sparkSession,
+            f"{index}/codes",
+            batch_id,
+            every_n_batches=maintenance_every,
+        )
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    with _stream_shuffle_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(_ingest)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .queryName("stream_pq_ingest")
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    return similarity.pq_index_topk(
+        spark,
+        index,
+        emb.filter(F.col("vec_id") < 20),
+        corpus=emb,
+        k=k,
+        rerank_n=rerank_n,
+    ).localCheckpoint()

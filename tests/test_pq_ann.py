@@ -464,3 +464,50 @@ def test_books_geometry_rejects_gapped_subs_and_nonfinite_centroids():
     nan = [book(0, 0, [0.0, 0.0]), book(1, 0, [float("nan"), 1.0])]
     with pytest.raises(ValueError, match="non-finite"):
         geom(nan, 4, "t")
+
+
+def test_pq_stream_ingest_idempotent_and_equals_batch_append(spark, tmp_path):
+    """ingest_batch_pq replay-skips ids already coded (a replayed batch
+    appends nothing), and the streamed index probe equals the batch
+    frozen-books append over the same slices — the frozen-MODEL
+    guarantee for a TRAINED quantizer, not just data-independent
+    planes."""
+    from reddit_tech_jobs_data_pipeline_spark.sources.testdata import load_table
+    from reddit_tech_jobs_data_pipeline_spark.streaming.pq_ingest import (
+        ingest_batch_pq,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    hist = emb.filter(F.col("vec_id") % 4 == 0)
+    _codes0, books = similarity.pq_encode(hist, m=4, ks=8, train_iters=1, dim=64)
+    books = books.localCheckpoint()
+
+    streamed = str(tmp_path / "pq_stream")
+    books.coalesce(1).write.mode("overwrite").parquet(f"{streamed}/books")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    ingest_batch_pq(b1, streamed, dim=64)
+    n1 = spark.read.parquet(f"{streamed}/codes").count()
+    ingest_batch_pq(b1, streamed, dim=64)  # replay: must append nothing
+    assert spark.read.parquet(f"{streamed}/codes").count() == n1
+    ingest_batch_pq(b2, streamed, dim=64)
+    assert spark.read.parquet(f"{streamed}/codes").count() == emb.count()
+
+    batch = str(tmp_path / "pq_batch")
+    books.coalesce(1).write.mode("overwrite").parquet(f"{batch}/books")
+    similarity.append_pq_index(spark, emb, batch, dim=64)
+
+    queries = emb.filter(F.col("vec_id") < 16)
+    a = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in similarity.pq_index_topk(
+            spark, streamed, queries, corpus=emb, k=5, rerank_n=20
+        ).collect()
+    }
+    b = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in similarity.pq_index_topk(
+            spark, batch, queries, corpus=emb, k=5, rerank_n=20
+        ).collect()
+    }
+    assert a == b
