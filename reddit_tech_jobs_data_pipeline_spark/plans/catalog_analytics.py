@@ -720,3 +720,139 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
         .orderBy("id_a", "id_b")
     )
+
+
+def _afp_oracle_sql() -> str:
+    """Unrolled DuckDB twin of the energy-delta audio fingerprint: 128
+    little-endian int16 samples reconstructed from md5 hex (the
+    multimodal_real_decode_audio arithmetic), 64 two-sample frame
+    energies, 63 delta-sign bits packed into two 32-bit longs, then the
+    same band/verify SQL as the image phash."""
+
+    def hb(h: str, b: int) -> str:
+        return (
+            f"((strpos('0123456789abcdef', substr({h}, {2 * b + 1}, 1)) - 1) * 16 + "
+            f"(strpos('0123456789abcdef', substr({h}, {2 * b + 2}, 1)) - 1))"
+        )
+
+    ucols = [
+        "(((strpos('0123456789abcdef', substr(mp, 4*(doc_id % 4)+1, 1)) - 1) * 16 + "
+        "(strpos('0123456789abcdef', substr(mp, 4*(doc_id % 4)+2, 1)) - 1)) + 256 * "
+        "((strpos('0123456789abcdef', substr(mp, 4*(doc_id % 4)+3, 1)) - 1) * 16 + "
+        "(strpos('0123456789abcdef', substr(mp, 4*(doc_id % 4)+4, 1)) - 1))) AS u0"
+    ]
+    for i in range(1, 128):
+        k, j = i // 8, i % 8
+        ucols.append(f"({hb(f'm{k}', 2 * j)} + 256 * {hb(f'm{k}', 2 * j + 1)}) AS u{i}")
+    scols = [
+        f"(u{i} - 65536 * CAST(u{i} >= 32768 AS BIGINT)) AS s{i}" for i in range(128)
+    ]
+    ecols = [f"(s{2*w}*s{2*w} + s{2*w+1}*s{2*w+1}) AS e{w}" for w in range(64)]
+    lo = " + ".join(
+        f"(CASE WHEN e{j + 1} > e{j} THEN {1 << j} ELSE 0 END)" for j in range(32)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN e{j + 33} > e{j + 32} THEN {1 << j} ELSE 0 END)" for j in range(31)
+    )
+    mcols = ", ".join(
+        f"md5('af:' || CAST(doc_id // 4 AS VARCHAR) || ':{k}') AS m{k}"
+        for k in range(16)
+    )
+    return f"""
+    WITH m AS (
+      SELECT doc_id, md5('af:' || CAST(doc_id // 4 AS VARCHAR) || ':p') AS mp,
+             {mcols}
+      FROM documents
+    ),
+    u AS (SELECT doc_id, {", ".join(ucols)} FROM m),
+    sN AS (SELECT doc_id, {", ".join(scols)} FROM u),
+    e AS (SELECT doc_id, {", ".join(ecols)} FROM sN),
+    hx AS (SELECT doc_id AS id, {lo} AS h_lo, {hi} AS h_hi FROM e),
+    band AS (
+      SELECT id, h_lo, h_hi, b.band_i,
+        CASE b.band_i WHEN 0 THEN h_lo % 65536 WHEN 1 THEN h_lo // 65536
+             WHEN 2 THEN h_hi % 65536 ELSE h_hi // 65536 END AS bval
+      FROM hx, (SELECT unnest([0, 1, 2, 3]) AS band_i) b
+    )
+    SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+      CAST(bit_count(xor(a.h_lo, b2.h_lo))
+         + bit_count(xor(a.h_hi, b2.h_hi)) AS BIGINT) AS hamming
+    FROM band a
+    JOIN band b2 ON a.band_i = b2.band_i AND a.bval = b2.bval AND a.id < b2.id
+    WHERE bit_count(xor(a.h_lo, b2.h_lo)) + bit_count(xor(a.h_hi, b2.h_hi)) <= 2
+    ORDER BY id_a, id_b
+    """
+
+
+# PCM16 mono 8 kHz WAV header for a fixed 256-byte (128-sample) data
+# chunk; sizes are literals because the payload length is fixed
+_AFP_WAV_HEADER = (
+    b"RIFF\x24\x01\x00\x00WAVE"
+    b"fmt \x10\x00\x00\x00\x01\x00\x01\x00\x40\x1f\x00\x00\x80\x3e\x00\x00\x02\x00\x10\x00"
+    b"data\x00\x01\x00\x00"
+)
+
+
+def _afp_blobs(docs: DataFrame) -> DataFrame:
+    """Render each document's family-derived 128-sample clip as a REAL
+    PCM16 WAV — sample bytes straight from md5 digests (sample 0 is the
+    per-doc variant pair), header + payload all Catalyst binary
+    expressions."""
+    p0 = F.expr(
+        "substring(unhex(md5(concat('af:', CAST(doc_id DIV 4 AS STRING), ':p'))), "
+        "2*CAST(doc_id % 4 AS INT)+1, 2)"
+    )
+    parts = [
+        F.lit(_AFP_WAV_HEADER),
+        p0,
+        F.expr(
+            "substring(unhex(md5(concat('af:', CAST(doc_id DIV 4 AS STRING), "
+            "':0'))), 3, 14)"
+        ),
+    ]
+    for k in range(1, 16):
+        parts.append(
+            F.expr(
+                f"substring(unhex(md5(concat('af:', CAST(doc_id DIV 4 AS STRING), "
+                f"':{k}'))), 1, 16)"
+            )
+        )
+    return docs.select(F.col("doc_id").alias("id"), F.concat(*parts).alias("content"))
+
+
+@register(
+    "audio_fingerprint_near_dup",
+    _afp_oracle_sql(),
+    tags=["multimodal", "dedup", "similarity", "scale"],
+)
+def audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup dedup, end to end and oracle-checked — completes
+    the multimodal dedup pair (image_phash_near_dup is the visual
+    sibling): every document renders as an actual 128-sample PCM16 WAV,
+    the executors DECODE the real RIFF bytes (pure-numpy chunk walk),
+    fingerprint them with the energy-delta sign code
+    (multimodal.audio_fingerprint — simplified Haitsma–Kalker: bit j =
+    E[j+1] > E[j] over 64 two-sample frames, integer-exact), and pairs
+    come from the SAME 4×16-bit Hamming banding as the image hash
+    (dedup.hamming_band_pairs consumes both modalities unchanged). The
+    planted families (doc_id DIV 4, one variant sample pair per doc)
+    give linear pair volume; the oracle reconstructs signed samples,
+    frame energies, delta bits, packing and banding from the md5 hex —
+    an endianness bug, a chunk-walk error, an energy overflow or a
+    band split error all break the value hash.
+
+    100 TB design: one mapInPandas pass per clip (samples never cross
+    a shuffle; 3 longs leave the executor), candidates only from the
+    65536-bucket band equi-join — the same shape as every other
+    near-dup family."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    fps = multimodal.audio_fingerprint(_afp_blobs(docs))
+    from reddit_tech_jobs_data_pipeline_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+
+    return (
+        hamming_band_pairs(fps, band_bits=16, max_hamming=2)
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )

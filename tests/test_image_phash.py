@@ -121,3 +121,79 @@ def test_phash_family_planting_yields_linear_pairs(spark):
     assert 0 < len(pairs) <= 12 * 6
     for r in pairs:
         assert r.id_a // 4 == r.id_b // 4  # same family only
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint (multimodal.audio_fingerprint): the audio sibling.
+# ---------------------------------------------------------------------------
+
+
+def _wav(samples: list[int]) -> bytes:
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _py_afp(samples: list[int]) -> tuple[int, int]:
+    e = [
+        samples[2 * w] ** 2 + samples[2 * w + 1] ** 2 for w in range(64)
+    ]
+    bits = [1 if e[j + 1] > e[j] else 0 for j in range(63)]
+    lo = sum(b << j for j, b in enumerate(bits[:32]))
+    hi = sum(b << j for j, b in enumerate(bits[32:]))
+    return lo, hi
+
+
+def test_audio_fingerprint_matches_pure_python(spark):
+    import random
+
+    rng = random.Random(7)
+    clips = [
+        [rng.randint(-32768, 32767) for _ in range(128)] for _ in range(5)
+    ]
+    rows = [(i, _wav(c)) for i, c in enumerate(clips)]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {r.id: (r.h_lo, r.h_hi) for r in multimodal.audio_fingerprint(df).collect()}
+    assert got == {i: _py_afp(c) for i, c in enumerate(clips)}
+
+
+def test_audio_fingerprint_volume_invariance_and_short_drop(spark):
+    """Halving the volume preserves every delta sign (the property that
+    makes energy-delta codes near-dup-robust); clips under 64 frames
+    are dropped; non-WAV payloads are dropped."""
+    import random
+
+    rng = random.Random(11)
+    base = [rng.randint(-16384, 16383) for _ in range(128)]
+    half = [s // 2 for s in base]
+    rows = [(0, _wav(base)), (1, _wav(half)), (2, _wav(base[:100])), (3, b"ID3 not wav")]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {r.id: (r.h_lo, r.h_hi) for r in multimodal.audio_fingerprint(df).collect()}
+    assert set(got) == {0, 1}
+    # s//2 halves magnitudes but can reorder energies only when two
+    # frames are within rounding of each other; with these margins the
+    # fingerprints collide (hamming 0)
+    assert got[0] == got[1]
+
+
+def test_afp_family_planting_yields_linear_pairs(spark):
+    from reddit_tech_jobs_data_pipeline_spark.plans.catalog_analytics import (
+        _afp_blobs,
+    )
+
+    docs = spark.range(48).select(F.col("id").alias("doc_id"))
+    fps = multimodal.audio_fingerprint(_afp_blobs(docs))
+    pairs = hamming_band_pairs(fps, band_bits=16, max_hamming=2).collect()
+    assert 0 < len(pairs) <= 12 * 6
+    for r in pairs:
+        assert r.id_a // 4 == r.id_b // 4
