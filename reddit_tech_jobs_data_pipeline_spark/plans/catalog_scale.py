@@ -3303,6 +3303,39 @@ def ann_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_ivfpq_index_ingest",
+    _ivfpq_sql(
+        num_cells=8, nprobe=3, m=8, ks=16, iters=1, dim=64, topk=5,
+        rerank_n=200, train_where="vec_id % 4 = 0",
+    ),
+    tags=["similarity", "streaming", "maintenance", "scale"],
+)
+def streaming_ivfpq_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ index built BY A STREAM — the full production ANN
+    maintenance loop with BOTH models frozen, completing the streaming
+    half of the index matrix (SRP r11, PQ earlier this round, IVF-PQ
+    here): the coarse quantizer is the seeded historical one, the
+    residual codebooks train once on the tag-0 slice, then all
+    embeddings replay in 4 micro-batches through the idempotent
+    frozen-models ingest (streaming/pq_ingest.run_ivfpq_ingest_batchlike
+    — anti-join replay skip on a column-pruned codes scan, broadcast
+    coarse assignment + map-only residual encode per batch), with the
+    CELL-PARTITIONED codes table compacting on the every-3-batches
+    cadence via the layout-preserving compact(partition_col='cell_id').
+    Assignment and encoding are deterministic given the models, so the
+    post-stream probe value-hashes the SAME unrolled oracle as the
+    batch append (residual k-means restricted to the historical rows,
+    assignment/encoding over everything). At 100 TB each ingest day is
+    one broadcast assignment + one map-only encode over the delta, and
+    hot-cell fragments stay O(cadence)."""
+    from reddit_tech_jobs_data_pipeline_spark.streaming.pq_ingest import (
+        run_ivfpq_ingest_batchlike,
+    )
+
+    return run_ivfpq_ingest_batchlike(spark, sf_dir, n_tags=4, maintenance_every=3)
+
+
 def _pca_sql(dim: int, iters: int) -> str:
     rng = f"range(1, {dim + 1})"
     zeros = f"list_transform({rng}, i -> 0.0)"

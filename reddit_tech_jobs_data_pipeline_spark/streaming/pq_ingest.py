@@ -170,3 +170,141 @@ def run_pq_ingest_batchlike(
         k=k,
         rerank_n=rerank_n,
     ).localCheckpoint()
+
+
+def ingest_batch_ivfpq(
+    batch: DataFrame,
+    index_path: str,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Assign + residual-encode one micro-batch with the index's frozen
+    coarse centroids AND residual codebooks, appending into the
+    cell_id= directories, idempotently (column-pruned anti-join on the
+    codes table's vec_ids — partition columns and m+1 small ints, never
+    raw vectors)."""
+    sp = batch.sparkSession
+    codes_path = f"{index_path}/codes"
+
+    def _read_ids() -> DataFrame:
+        return sp.read.parquet(codes_path).select("vec_id")
+
+    try:
+        existing = _read_ids()
+    except AnalysisException as e:
+        existing = _read_ids() if _recover_or_first_batch(sp, codes_path, e) else None
+    new = batch
+    if existing is not None:
+        new = batch.join(
+            existing, batch[id_col] == existing["vec_id"], "left_anti"
+        )
+    if new.isEmpty():
+        return
+    similarity.append_ivfpq_index(
+        sp, new, index_path, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+
+
+def run_ivfpq_ingest_batchlike(
+    spark: SparkSession,
+    sf_dir: str,
+    n_tags: int = 4,
+    num_cells: int = 8,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    k: int = 5,
+    nprobe: int = 3,
+    rerank_n: int = 200,
+    maintenance_every: int = 3,
+) -> DataFrame:
+    """The IVF-PQ index built BY A STREAM — both models frozen: the
+    coarse quantizer is the seeded historical one (vec_id < num_cells,
+    frozen across generations), the residual codebooks train once on
+    the tag-0 slice, then ALL embeddings replay in n_tags micro-batches
+    through the idempotent frozen-models ingest; the CELL-PARTITIONED
+    codes table compacts on the cadence via the layout-preserving
+    compact(partition_col='cell_id') (the flat compact_append_store
+    path would destroy the cell_id= pruning — it refuses such dirs by
+    design). Probe value-hashes the batch append's unrolled oracle.
+
+    The model train reuses write_ivfpq_index on the historical slice
+    and drops its codes (every code row must arrive through the
+    stream); production would factor the model-train out, but reusing
+    the audited builder keeps one encode path."""
+    cents = similarity.seeded_centroids(
+        load_table(spark, sf_dir, "embeddings"), num_cells
+    )
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivfpqstream_{stable_work_key(sf_dir, n_tags, m, ks)}",
+    )
+    src_dir = os.path.join(work, "src")
+    index = os.path.join(work, "index")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(src_dir, exist_ok=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    for i in range(n_tags):
+        tmp = os.path.join(src_dir, f"_tmp{i}")
+        (
+            emb.filter(F.col("vec_id") % n_tags == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.replace(part, os.path.join(src_dir, f"tag{i}.parquet"))
+        shutil.rmtree(tmp)
+
+    # models: frozen coarse quantizer + residual books trained on the
+    # tag-0 history; the builder's codes are dropped — the stream is
+    # the only code writer
+    similarity.write_ivfpq_index(
+        emb.filter(F.col("vec_id") % n_tags == 0),
+        index,
+        num_cells=num_cells,
+        m=m,
+        ks=ks,
+        train_iters=1,
+        dim=dim,
+        centroids=cents,
+    )
+    shutil.rmtree(f"{index}/codes")
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        ingest_batch_ivfpq(batch, index, dim=dim)
+        # layout-preserving compaction: cell_id= dirs must survive
+        codes = f"{index}/codes"
+        if maintenance_every > 0 and (batch_id + 1) % maintenance_every == 0:
+            if os.path.exists(codes):
+                maintenance.compact(
+                    batch.sparkSession, codes, partition_col="cell_id"
+                )
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    with _stream_shuffle_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(_ingest)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .queryName("stream_ivfpq_ingest")
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    return similarity.ivfpq_index_topk(
+        spark,
+        index,
+        emb.filter(F.col("vec_id") < 20),
+        corpus=emb,
+        k=k,
+        nprobe=nprobe,
+        rerank_n=rerank_n,
+    ).localCheckpoint()

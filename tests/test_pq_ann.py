@@ -511,3 +511,55 @@ def test_pq_stream_ingest_idempotent_and_equals_batch_append(spark, tmp_path):
         ).collect()
     }
     assert a == b
+
+
+def test_ivfpq_stream_ingest_idempotent_and_equals_batch_append(spark, tmp_path):
+    """ingest_batch_ivfpq replay-skips coded ids and the streamed index
+    probe equals the batch frozen-models append — IVF-PQ's two frozen
+    models (coarse quantizer + residual books) through the stream."""
+    from reddit_tech_jobs_data_pipeline_spark.sources.testdata import load_table
+    from reddit_tech_jobs_data_pipeline_spark.streaming.pq_ingest import (
+        ingest_batch_ivfpq,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = similarity.seeded_centroids(emb, 4)
+
+    def _models(path):
+        similarity.write_ivfpq_index(
+            emb.filter(F.col("vec_id") % 4 == 0), path,
+            num_cells=4, m=4, ks=8, train_iters=1, dim=64, centroids=cents,
+        )
+        import shutil
+
+        shutil.rmtree(f"{path}/codes")
+
+    streamed = str(tmp_path / "ivfpq_stream")
+    _models(streamed)
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    ingest_batch_ivfpq(b1, streamed, dim=64)
+    n1 = spark.read.parquet(f"{streamed}/codes").count()
+    ingest_batch_ivfpq(b1, streamed, dim=64)  # replay
+    assert spark.read.parquet(f"{streamed}/codes").count() == n1
+    ingest_batch_ivfpq(b2, streamed, dim=64)
+    assert spark.read.parquet(f"{streamed}/codes").count() == emb.count()
+
+    batch = str(tmp_path / "ivfpq_batch")
+    _models(batch)
+    similarity.append_ivfpq_index(spark, emb, batch, dim=64)
+
+    queries = emb.filter(F.col("vec_id") < 16)
+    a = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in similarity.ivfpq_index_topk(
+            spark, streamed, queries, corpus=emb, k=5, nprobe=2, rerank_n=20
+        ).collect()
+    }
+    b = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in similarity.ivfpq_index_topk(
+            spark, batch, queries, corpus=emb, k=5, nprobe=2, rerank_n=20
+        ).collect()
+    }
+    assert a == b
