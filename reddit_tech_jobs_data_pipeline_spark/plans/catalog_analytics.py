@@ -856,3 +856,117 @@ def audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
         .orderBy("id_a", "id_b")
     )
+
+
+def _vfh_oracle_sql() -> str:
+    """Unrolled DuckDB twin of the per-frame perceptual hash: each doc
+    carries 4 frames (frame f of family doc_id DIV 4, except frame
+    doc_id % 4 which is doc-specific), every frame aHashes exactly like
+    the image oracle, and videos pair when they share >= 2 distinct
+    frame hashes."""
+
+    def hexb(h: str, j: int) -> str:
+        c = 2 * j + 1
+        return (
+            f"((strpos('0123456789abcdef', substr({h}, {c}, 1)) - 1) * 16 + "
+            f"(strpos('0123456789abcdef', substr({h}, {c + 1}, 1)) - 1))"
+        )
+
+    gcols = [f"{hexb(f'm{j // 16}', j % 16)} AS g{j}" for j in range(64)]
+    ssum = " + ".join(f"g{j}" for j in range(64))
+    lo = " + ".join(
+        f"(CASE WHEN 64*g{j} > ssum THEN {1 << j} ELSE 0 END)" for j in range(32)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN 64*g{j + 32} > ssum THEN {1 << j} ELSE 0 END)" for j in range(32)
+    )
+    mcols = ", ".join(f"md5(fkey || ':{k}') AS m{k}" for k in range(4))
+    shared = "count(DISTINCT CAST(a.h_lo AS VARCHAR) || ':' || CAST(a.h_hi AS VARCHAR))"
+    return f"""
+    WITH fr AS (
+      SELECT doc_id, f.f,
+        CASE WHEN f.f = doc_id % 4
+             THEN 'vf:' || CAST(doc_id AS VARCHAR) || ':v'
+             ELSE 'vf:' || CAST(doc_id // 4 AS VARCHAR) || ':' || CAST(f.f AS VARCHAR)
+        END AS fkey
+      FROM documents, (SELECT unnest([0, 1, 2, 3]) AS f) f
+    ),
+    m AS (SELECT doc_id, f, {mcols} FROM fr),
+    px AS (SELECT doc_id, f, {", ".join(gcols)} FROM m),
+    s AS (SELECT *, {ssum} AS ssum FROM px),
+    hx AS (SELECT doc_id AS id, f, {lo} AS h_lo, {hi} AS h_hi FROM s)
+    SELECT a.id AS id_a, b.id AS id_b, CAST({shared} AS BIGINT) AS shared_frames
+    FROM hx a JOIN hx b ON a.h_lo = b.h_lo AND a.h_hi = b.h_hi AND a.id < b.id
+    GROUP BY 1, 2 HAVING {shared} >= 2
+    ORDER BY id_a, id_b
+    """
+
+
+def _vfh_blobs(docs: DataFrame) -> DataFrame:
+    """Render each document's 4-frame clip as REAL concatenated P6 PPM
+    frames (frame f = family frame except the doc-specific frame at
+    index doc_id % 4). Two-step projection: the 16 md5 digests
+    materialize ONCE as intermediate binary columns, then the raster
+    bytes are substrings of those — without the staging projection each
+    of the 768 per-byte substrings re-evaluated its md5 (measured 10.2 s
+    → the digest work dominated the fixture at sf0.1). Synthesis is
+    fixture-only; real payloads arrive as binary columns and skip
+    this."""
+    staged = docs.select(
+        F.col("doc_id").alias("id"),
+        *[
+            F.expr(
+                f"unhex(md5(concat(CASE WHEN {f} = doc_id % 4 "
+                f"THEN concat('vf:', CAST(doc_id AS STRING), ':v') "
+                f"ELSE concat('vf:', CAST(doc_id DIV 4 AS STRING), ':{f}') END"
+                f", ':{k}')))"
+            ).alias(f"b_{f}_{k}")
+            for f in range(4)
+            for k in range(4)
+        ],
+    )
+    parts = []
+    for f in range(4):
+        parts.append(F.lit(b"P6\n8 8\n255\n"))
+        for j in range(64):
+            p = F.expr(f"substring(b_{f}_{j // 16}, {j % 16 + 1}, 1)")
+            parts += [p, p, p]
+    return staged.select("id", F.concat(*parts).alias("content"))
+
+
+@register(
+    "video_framehash_near_dup",
+    _vfh_oracle_sql(),
+    tags=["multimodal", "dedup", "similarity", "scale"],
+)
+def video_framehash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup by frame-hash voting — completes the multimodal
+    dedup triple (image aHash, audio energy-delta, and now video): each
+    document renders as a 4-frame raw clip (concatenated real P6
+    frames), the executors WALK and DECODE every frame
+    (multimodal.video_frame_hashes — the pure-numpy raster decoder per
+    frame, image_ahash's exact integer pipeline per hash), and two
+    videos pair when they share >= 2 distinct frame hashes — the
+    content-based-video-retrieval blocking shape (a re-encoded or
+    lightly-edited copy keeps most keyframes; requiring multiple shared
+    frames suppresses single-frame coincidences). The planted families
+    share 3 of 4 frames pairwise-intersecting in 2, so every family
+    pair survives and volume stays linear.
+
+    The pairing is ONE frame-hash equi-join + a grouped distinct count
+    — videos are never compared pairwise, and the join key space (64-bit
+    hashes) keeps unrelated videos apart. The oracle recomputes frame
+    hashes from the md5 hex and replays the same join/vote in SQL."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    fh = multimodal.video_frame_hashes(_vfh_blobs(docs))
+    a = fh.select(F.col("id").alias("id_a"), "h_lo", "h_hi")
+    b = fh.select(F.col("id").alias("id_b"), "h_lo", "h_hi")
+    key = F.concat_ws(":", F.col("h_lo").cast("string"), F.col("h_hi").cast("string"))
+    return (
+        a.join(b, ["h_lo", "h_hi"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct(key).alias("shared_frames"))
+        .filter(F.col("shared_frames") >= 2)
+        .orderBy("id_a", "id_b")
+    )

@@ -197,3 +197,72 @@ def test_afp_family_planting_yields_linear_pairs(spark):
     assert 0 < len(pairs) <= 12 * 6
     for r in pairs:
         assert r.id_a // 4 == r.id_b // 4
+
+
+# ---------------------------------------------------------------------------
+# Video frame hashes (multimodal.video_frame_hashes): the video sibling.
+# ---------------------------------------------------------------------------
+
+
+def test_video_frame_hashes_walks_frames_and_matches_image_ahash(spark):
+    """A clip of K concatenated P6 frames yields K rows whose hashes
+    equal image_ahash of the frames taken individually."""
+    grays = [hashlib.md5(f"frame{f}".encode()).digest() * 4 for f in range(3)]
+    clip = b"".join(_ppm(g) for g in grays)
+    singles = spark.createDataFrame(
+        [(f, _ppm(g)) for f, g in enumerate(grays)], "id long, content binary"
+    )
+    want = {
+        r.id: (r.h_lo, r.h_hi) for r in multimodal.image_ahash(singles).collect()
+    }
+    clip_df = spark.createDataFrame([(7, clip)], "id long, content binary")
+    got = {
+        r.frame_idx: (r.h_lo, r.h_hi)
+        for r in multimodal.video_frame_hashes(clip_df).collect()
+    }
+    assert got == want
+
+
+def test_video_frame_hashes_drops_non_p6_and_truncated(spark):
+    good = _ppm(bytes(range(64)))
+    rows = [
+        (0, good + good),
+        (1, b"\x00\x00mp4ftyp not raw frames"),
+        (2, good + good[: len(good) // 2]),  # truncated second frame
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = multimodal.video_frame_hashes(df).collect()
+    assert {r.id for r in got} == {0} and len(got) == 2
+
+
+def test_vfh_family_planting_shares_frames(spark):
+    """Family members share exactly 2 frame hashes pairwise (each doc
+    replaces a DIFFERENT one of the 4 family frames), so the >= 2 vote
+    keeps every family pair and nothing else."""
+    from reddit_tech_jobs_data_pipeline_spark.plans.catalog_analytics import (
+        video_framehash_near_dup,
+    )
+    from reddit_tech_jobs_data_pipeline_spark.plans.catalog import REGISTRY
+
+    # run the registered query against a scratch docs table via its
+    # blob builder — small fixed range, no sf_dir needed
+    from reddit_tech_jobs_data_pipeline_spark.plans.catalog_analytics import (
+        _vfh_blobs,
+    )
+
+    docs = spark.range(24).select(F.col("id").alias("doc_id"))
+    fh = multimodal.video_frame_hashes(_vfh_blobs(docs))
+    a = fh.select(F.col("id").alias("id_a"), "h_lo", "h_hi")
+    b = fh.select(F.col("id").alias("id_b"), "h_lo", "h_hi")
+    key = F.concat_ws(":", F.col("h_lo").cast("string"), F.col("h_hi").cast("string"))
+    pairs = (
+        a.join(b, ["h_lo", "h_hi"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct(key).alias("shared_frames"))
+        .filter(F.col("shared_frames") >= 2)
+        .collect()
+    )
+    assert len(pairs) == 6 * 6  # 6 families x C(4,2) pairs
+    for r in pairs:
+        assert r.id_a // 4 == r.id_b // 4 and r.shared_frames == 2
