@@ -626,7 +626,10 @@ def _phash_gray_sql() -> str:
     return ", ".join(cols)
 
 
-def _phash_oracle_sql() -> str:
+def _phash_cte_body() -> str:
+    """The shared CTE chain (md5 blocks → grays → hash halves → band
+    join → verified ``pairs``), composed by both the pair query and the
+    survivor materialization."""
     ssum = " + ".join(f"g{j}" for j in range(64))
     lo = " + ".join(
         f"(CASE WHEN 64*g{j} > ssum THEN {1 << j} ELSE 0 END)" for j in range(32)
@@ -634,8 +637,7 @@ def _phash_oracle_sql() -> str:
     hi = " + ".join(
         f"(CASE WHEN 64*g{j + 32} > ssum THEN {1 << j} ELSE 0 END)" for j in range(32)
     )
-    return f"""
-    WITH m AS (
+    return f"""m AS (
       SELECT doc_id,
         md5('ph:' || CAST(doc_id // 4 AS VARCHAR) || ':p') AS mp,
         md5('ph:' || CAST(doc_id // 4 AS VARCHAR) || ':0') AS m0,
@@ -652,14 +654,21 @@ def _phash_oracle_sql() -> str:
         CASE b.band_i WHEN 0 THEN h_lo % 65536 WHEN 1 THEN h_lo // 65536
              WHEN 2 THEN h_hi % 65536 ELSE h_hi // 65536 END AS bval
       FROM hx, (SELECT unnest([0, 1, 2, 3]) AS band_i) b
-    )
-    SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
-      CAST(bit_count(xor(a.h_lo, b2.h_lo))
-         + bit_count(xor(a.h_hi, b2.h_hi)) AS BIGINT) AS hamming
-    FROM band a
-    JOIN band b2 ON a.band_i = b2.band_i AND a.bval = b2.bval AND a.id < b2.id
-    WHERE bit_count(xor(a.h_lo, b2.h_lo)) + bit_count(xor(a.h_hi, b2.h_hi)) <= 2
-    ORDER BY id_a, id_b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+        CAST(bit_count(xor(a.h_lo, b2.h_lo))
+           + bit_count(xor(a.h_hi, b2.h_hi)) AS BIGINT) AS hamming
+      FROM band a
+      JOIN band b2 ON a.band_i = b2.band_i AND a.bval = b2.bval AND a.id < b2.id
+      WHERE bit_count(xor(a.h_lo, b2.h_lo)) + bit_count(xor(a.h_hi, b2.h_hi)) <= 2
+    )"""
+
+
+def _phash_oracle_sql() -> str:
+    return f"""
+    WITH {_phash_cte_body()}
+    SELECT id_a, id_b, hamming FROM pairs ORDER BY id_a, id_b
     """
 
 
@@ -969,4 +978,62 @@ def video_framehash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct(key).alias("shared_frames"))
         .filter(F.col("shared_frames") >= 2)
         .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "image_dedup_survivors",
+    f"""
+    WITH RECURSIVE {_phash_cte_body()},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    cl AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+    sizes AS (SELECT cluster_id, count(*) AS n FROM cl GROUP BY cluster_id)
+    SELECT d.doc_id AS id, CAST(coalesce(sz.n, 1) AS BIGINT) AS cluster_size
+    FROM documents d
+    LEFT JOIN cl ON cl.id = d.doc_id
+    LEFT JOIN sizes sz ON sz.cluster_id = cl.cluster_id
+    WHERE cl.id IS NULL OR cl.id = cl.cluster_id
+    ORDER BY id
+    """,
+    tags=["multimodal", "dedup", "iterative", "scale"],
+)
+def image_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-dedup MATERIALIZATION — corpus in, cleaned corpus out
+    (near_dup_deduped_corpus's contract for the image modality):
+    perceptual-hash pairs (image_phash_near_dup's exact pipeline) →
+    connected components (star contraction, O(log n) rounds) → one
+    canonical survivor per cluster (minimum id), every other member
+    dropped via a single hash-partitioned anti join. Output keeps each
+    survivor's cluster_size (1 for never-duplicated images) — the
+    provenance column a curation pipeline carries into mixture
+    weighting (a 40-copy image should not weigh 40×). The oracle
+    replays CC as a recursive min-reachable-id CTE over the same
+    pairs."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    hashes = multimodal.image_ahash(_phash_blobs(docs))
+    from reddit_tech_jobs_data_pipeline_spark.operators.dedup import (
+        cluster_near_dups_star,
+        hamming_band_pairs,
+    )
+
+    pairs = hamming_band_pairs(hashes, band_bits=16, max_hamming=2)
+    clusters = cluster_near_dups_star(pairs.select("id_a", "id_b"))
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
+    dupes = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
+    base = docs.select(F.col("doc_id").alias("id"))
+    survivors = base.join(dupes, "id", "left_anti")
+    return (
+        survivors.join(
+            clusters.join(sizes, "cluster_id").select("id", "n"), "id", "left"
+        )
+        .select("id", F.coalesce("n", F.lit(1)).cast("long").alias("cluster_size"))
+        .orderBy("id")
     )
