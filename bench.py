@@ -180,9 +180,27 @@ ADDED_R11 = [
     "streaming_srp_index_ingest",
     "srp_bucket_histogram",
 ]
+# Added round 12: the multimodal near-dup family (image/audio/video +
+# the survivor materialization) and the streaming trained-quantizer
+# index ingests.
+ADDED_R12 = [
+    "image_phash_near_dup",
+    "audio_fingerprint_near_dup",
+    "video_framehash_near_dup",
+    "image_dedup_survivors",
+    "streaming_pq_index_ingest",
+    "streaming_ivfpq_index_ingest",
+]
 LEGACY = list(HEADLINE)
 HEADLINE = (
-    HEADLINE + ADDED_R7 + ADDED_R7B + ADDED_R8 + ADDED_R9 + ADDED_R10 + ADDED_R11
+    HEADLINE
+    + ADDED_R7
+    + ADDED_R7B
+    + ADDED_R8
+    + ADDED_R9
+    + ADDED_R10
+    + ADDED_R11
+    + ADDED_R12
 )
 
 
@@ -215,6 +233,7 @@ def main() -> None:
         ADDED_R9,
         ADDED_R10,
         ADDED_R11,
+        ADDED_R12,
     ):
         names = [n for n in group if n in reg]
 

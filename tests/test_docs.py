@@ -19,19 +19,29 @@ README = Path(__file__).resolve().parents[1] / "README.md"
 
 
 def test_readme_oracle_counts_match_registry():
+    """Only the LATEST '### Round N status' section is held to the live
+    count — earlier sections are historical records of what was true
+    when those rounds closed and must not be rewritten."""
     n = len(get_registry())
     text = README.read_text()
-    # "oracle 305/305" style claims — every one must be the live count.
-    claims = re.findall(r"oracle (\d+)/(\d+)", text)
-    assert claims, "README should state the full-catalog oracle count"
+    heads = list(re.finditer(r"### Round \d+ status", text))
+    assert heads, "README should carry a Round status section"
+    latest = text[heads[-1].start():]
+    # "oracle 311/311" style claims in the latest section must be live.
+    claims = re.findall(r"oracle (\d+)/(\d+)", latest)
+    assert claims, (
+        "the latest Round status section should state the full-catalog "
+        "oracle count (oracle N/N)"
+    )
     for a, b in claims:
         assert int(a) == int(b) == n, (
-            f"README claims oracle {a}/{b} but the registry has {n} "
-            "queries — update the latest Round status section"
+            f"latest Round status claims oracle {a}/{b} but the registry "
+            f"has {n} queries — add/refresh the Round status section"
         )
-    # "-> 305 oracle-gated queries" style claims (arrow growth notation:
-    # only the RIGHT side of the arrow must be current).
-    for m in re.findall(r"→ (\d+) oracle-gated queries", text):
+    # "-> 311 oracle-gated queries" growth notation: the RIGHT side of
+    # the arrow must be current in the latest section.
+    for m in re.findall(r"→ (\d+) oracle-gated queries", latest):
         assert int(m) == n, (
-            f"README claims {m} oracle-gated queries; registry has {n}"
+            f"latest Round status claims {m} oracle-gated queries; "
+            f"registry has {n}"
         )
