@@ -1545,3 +1545,57 @@ def hamming_band_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def hamming_band_pairs_cross(
+    left: DataFrame,
+    right: DataFrame,
+    band_bits: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """hamming_band_pairs between TWO hash tables (each with id/h_lo/
+    h_hi): every (left id, right id) pair within ``max_hamming``,
+    candidates from the shared band equi-join, verified with
+    bit_count(xor). Unlike the self-join form this keeps id_a == id_b
+    matches — a batch replayed against a store already containing it
+    self-matches at Hamming 0, which is exactly the replay-skip an
+    idempotent dedup-at-ingest loop wants. Same scale shape: candidates
+    only from the 2^band_bits-bucket join, never a product."""
+    assert 64 % band_bits == 0
+    nbands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    half_bands = 32 // band_bits
+
+    def banded(df: DataFrame, suffix: str) -> DataFrame:
+        vals = [
+            F.shiftright(
+                F.col("h_lo") if b < half_bands else F.col("h_hi"),
+                (b % half_bands) * band_bits,
+            ).bitwiseAND(F.lit(mask))
+            for b in range(nbands)
+        ]
+        return df.select(
+            F.col("id").alias(f"id_{suffix}"),
+            F.col("h_lo").alias(f"lo_{suffix}"),
+            F.col("h_hi").alias(f"hi_{suffix}"),
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws(":", F.lit(str(b)), v.cast("string"))
+                        for b, v in enumerate(vals)
+                    ]
+                )
+            ).alias("bkey"),
+        )
+
+    a = banded(left, "a")
+    b = banded(right, "b")
+    ham = F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) + F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    )
+    return (
+        a.join(b, "bkey")
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

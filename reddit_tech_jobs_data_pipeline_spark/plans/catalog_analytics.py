@@ -626,10 +626,9 @@ def _phash_gray_sql() -> str:
     return ", ".join(cols)
 
 
-def _phash_cte_body() -> str:
-    """The shared CTE chain (md5 blocks → grays → hash halves → band
-    join → verified ``pairs``), composed by both the pair query and the
-    survivor materialization."""
+def _phash_hx_ctes() -> str:
+    """CTEs from documents to per-doc hash halves ``hx(id, h_lo, h_hi)``
+    — the arithmetic twin of image_ahash over the planted-family PPMs."""
     ssum = " + ".join(f"g{j}" for j in range(64))
     lo = " + ".join(
         f"(CASE WHEN 64*g{j} > ssum THEN {1 << j} ELSE 0 END)" for j in range(32)
@@ -648,20 +647,34 @@ def _phash_cte_body() -> str:
     ),
     px AS (SELECT doc_id, {_phash_gray_sql()} FROM m),
     s AS (SELECT *, {ssum} AS ssum FROM px),
-    hx AS (SELECT doc_id AS id, {lo} AS h_lo, {hi} AS h_hi FROM s),
-    band AS (
+    hx AS (SELECT doc_id AS id, {lo} AS h_lo, {hi} AS h_hi FROM s)"""
+
+
+def _phash_band_cte(src: str, name: str) -> str:
+    """One banding CTE over a hash table ``src(id, h_lo, h_hi)`` — the
+    SQL twin of the 4×16-bit split in dedup.hamming_band_pairs."""
+    return f"""{name} AS (
       SELECT id, h_lo, h_hi, b.band_i,
         CASE b.band_i WHEN 0 THEN h_lo % 65536 WHEN 1 THEN h_lo // 65536
              WHEN 2 THEN h_hi % 65536 ELSE h_hi // 65536 END AS bval
-      FROM hx, (SELECT unnest([0, 1, 2, 3]) AS band_i) b
-    ),
+      FROM {src}, (SELECT unnest([0, 1, 2, 3]) AS band_i) b
+    )"""
+
+
+_PHASH_HAM = "bit_count(xor(a.h_lo, b2.h_lo)) + bit_count(xor(a.h_hi, b2.h_hi))"
+
+
+def _phash_cte_body() -> str:
+    """The shared CTE chain (hashes → band join → verified ``pairs``),
+    composed by the pair query and the survivor materialization."""
+    return f"""{_phash_hx_ctes()},
+    {_phash_band_cte("hx", "band")},
     pairs AS (
       SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
-        CAST(bit_count(xor(a.h_lo, b2.h_lo))
-           + bit_count(xor(a.h_hi, b2.h_hi)) AS BIGINT) AS hamming
+        CAST({_PHASH_HAM} AS BIGINT) AS hamming
       FROM band a
       JOIN band b2 ON a.band_i = b2.band_i AND a.bval = b2.bval AND a.id < b2.id
-      WHERE bit_count(xor(a.h_lo, b2.h_lo)) + bit_count(xor(a.h_hi, b2.h_hi)) <= 2
+      WHERE {_PHASH_HAM} <= 2
     )"""
 
 
@@ -1037,3 +1050,55 @@ def image_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", F.coalesce("n", F.lit(1)).cast("long").alias("cluster_size"))
         .orderBy("id")
     )
+
+
+@register(
+    "streaming_image_dedup_ingest",
+    f"""
+    WITH {_phash_hx_ctes()},
+    b1 AS (SELECT * FROM hx WHERE id % 4 < 2),
+    b2 AS (SELECT * FROM hx WHERE id % 4 >= 2),
+    {_phash_band_cte("b1", "band1")},
+    {_phash_band_cte("b2", "band2")},
+    d1 AS (
+      SELECT DISTINCT b2.id FROM band1 a
+      JOIN band1 b2 ON a.band_i = b2.band_i AND a.bval = b2.bval AND a.id < b2.id
+      WHERE {_PHASH_HAM} <= 2
+    ),
+    s1 AS (SELECT * FROM b1 WHERE id NOT IN (SELECT id FROM d1)),
+    {_phash_band_cte("s1", "bands1")},
+    d2 AS (
+      SELECT DISTINCT a.id FROM band2 a
+      JOIN bands1 b2 ON a.band_i = b2.band_i AND a.bval = b2.bval
+      WHERE {_PHASH_HAM} <= 2
+      UNION
+      SELECT DISTINCT b2.id FROM band2 a
+      JOIN band2 b2 ON a.band_i = b2.band_i AND a.bval = b2.bval AND a.id < b2.id
+      WHERE {_PHASH_HAM} <= 2
+    ),
+    s2 AS (SELECT * FROM b2 WHERE id NOT IN (SELECT id FROM d2))
+    SELECT id FROM s1 UNION ALL SELECT id FROM s2 ORDER BY id
+    """,
+    tags=["multimodal", "dedup", "streaming", "incremental", "scale"],
+)
+def streaming_image_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup-AT-INGEST end to end through the real streaming
+    engine (streaming/image_ingest.py) — the image modality's
+    streaming_incremental_dedup: the planted-family images arrive in
+    two micro-batches (family members doc_id % 4 < 2, then the rest),
+    each batch is decoded + aHashed once, deduped against the persisted
+    hash store (cross band join; an arrival within Hamming ≤ 2 of any
+    stored survivor drops) and against itself (larger id of a verified
+    pair drops), and survivors append their 3-long hash rows — the
+    corpus of accepted images exists only as its hash store, rasters
+    are never re-read. Replay safety is structural: a replayed batch's
+    survivors self-match at Hamming 0 against the store and drop
+    (pinned in tests/test_image_phash.py). The oracle replays both
+    rounds in SQL over the same md5-derived hashes, so the streaming
+    composition (mtime batch order, store append, dup routing) must
+    preserve the batch operator's exact semantics to hash-match."""
+    from reddit_tech_jobs_data_pipeline_spark.streaming.image_ingest import (
+        run_image_dedup_ingest_batchlike,
+    )
+
+    return run_image_dedup_ingest_batchlike(spark, sf_dir)

@@ -266,3 +266,32 @@ def test_vfh_family_planting_shares_frames(spark):
     assert len(pairs) == 6 * 6  # 6 families x C(4,2) pairs
     for r in pairs:
         assert r.id_a // 4 == r.id_b // 4 and r.shared_frames == 2
+
+
+def test_image_ingest_replay_skips_structurally(spark, tmp_path):
+    """A replayed image batch's survivors self-match at Hamming 0
+    against the store and are never appended twice; a second distinct
+    batch dedups against the stored survivors."""
+    from reddit_tech_jobs_data_pipeline_spark.plans.catalog_analytics import (
+        _phash_blobs,
+    )
+    from reddit_tech_jobs_data_pipeline_spark.streaming.image_ingest import (
+        ingest_batch_image_hashes,
+    )
+
+    store = str(tmp_path / "img_store")
+    docs = spark.range(32).select(F.col("id").alias("doc_id"))
+    blobs = _phash_blobs(docs)
+    b1 = blobs.filter(F.col("id") % 4 < 2)
+    b2 = blobs.filter(F.col("id") % 4 >= 2)
+
+    ingest_batch_image_hashes(b1, store)
+    n1 = spark.read.parquet(store).count()
+    assert 0 < n1 < b1.count()  # batch-internal family dups dropped
+    ingest_batch_image_hashes(b1, store)  # replay: structural skip
+    assert spark.read.parquet(store).count() == n1
+    ingest_batch_image_hashes(b2, store)
+    n2 = spark.read.parquet(store).count()
+    assert n1 <= n2 < n1 + b2.count()  # b2 mostly collides with store
+    ids = {r.id for r in spark.read.parquet(store).select("id").collect()}
+    assert len(ids) == n2  # no id appended twice
