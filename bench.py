@@ -190,6 +190,7 @@ ADDED_R12 = [
     "image_dedup_survivors",
     "streaming_pq_index_ingest",
     "streaming_ivfpq_index_ingest",
+    "streaming_image_dedup_ingest",
 ]
 LEGACY = list(HEADLINE)
 HEADLINE = (
