@@ -295,3 +295,45 @@ def test_image_ingest_replay_skips_structurally(spark, tmp_path):
     assert n1 <= n2 < n1 + b2.count()  # b2 mostly collides with store
     ids = {r.id for r in spark.read.parquet(store).select("id").collect()}
     assert len(ids) == n2  # no id appended twice
+
+
+def test_hamming_band_pairs_property_vs_bruteforce(spark):
+    """Property check: on random 64-bit hashes, the banded pair set
+    equals the brute-force O(n²) pair set for every distance within the
+    pigeonhole guarantee (max_hamming ≤ nbands-1 = 3). Deterministic
+    seeds, several rounds — cheaper and more targeted than a Hypothesis
+    drive around a Spark job per example."""
+    import random
+
+    for seed in (3, 17, 91):
+        rng = random.Random(seed)
+        n = 40
+        base = [(rng.getrandbits(32), rng.getrandbits(31)) for _ in range(n // 2)]
+        rows = []
+        for i in range(n):
+            lo, hi = base[i % len(base)]
+            # half the rows are perturbed copies within small distance
+            if i >= len(base):
+                for _ in range(rng.randint(0, 3)):
+                    b = rng.randrange(63)
+                    if b < 32:
+                        lo ^= 1 << b
+                    else:
+                        hi ^= 1 << (b - 32)
+            rows.append((i, lo, hi))
+        df = spark.createDataFrame(rows, "id long, h_lo long, h_hi long")
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in hamming_band_pairs(df, band_bits=16, max_hamming=3).collect()
+        }
+
+        def ham(a, b):
+            return bin((a[1] ^ b[1]) | ((a[2] ^ b[2]) << 32)).count("1")
+
+        want = {
+            (a[0], b[0]): ham(a, b)
+            for i, a in enumerate(rows)
+            for b in rows[i + 1:]
+            if ham(a, b) <= 3
+        }
+        assert got == want, f"seed {seed}"
