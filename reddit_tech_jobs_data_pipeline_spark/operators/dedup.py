@@ -1479,6 +1479,58 @@ def leakage_safe_split(
     return grouped.withColumn("split", split)
 
 
+def _hamming_band_explode(
+    df: DataFrame, band_bits: int, id_cols: tuple[str, ...] = ("id",)
+) -> DataFrame:
+    """Explode a hash table (``id_cols`` + lo/hi) into one row per
+    (row, band) with the band's integer value as a string key ``bkey``
+    — the shared banding step of the Hamming LSH family."""
+    nbands = 64 // band_bits
+    half_bands = 32 // band_bits
+    mask = (1 << band_bits) - 1
+    vals = [
+        F.shiftright(
+            F.col("lo") if b < half_bands else F.col("hi"),
+            (b % half_bands) * band_bits,
+        ).bitwiseAND(F.lit(mask))
+        for b in range(nbands)
+    ]
+    return df.select(
+        *id_cols,
+        "lo",
+        "hi",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(":", F.lit(str(b)), v.cast("string"))
+                    for b, v in enumerate(vals)
+                ]
+            )
+        ).alias("bkey"),
+    )
+
+
+def _apply_max_band_df(banded: DataFrame, max_band_df: int | None) -> DataFrame:
+    """Optional hot-bucket lever: drop band keys carrying more than
+    ``max_band_df`` DISTINCT hashes before the self/cross join — the
+    Hamming family's ``max_gram_df``. Exact-hash collapse already
+    de-duplicates identical fingerprints, so a surviving hot bucket
+    means many DISTINCT hashes share a band value (near-degenerate
+    content: monochrome-with-noise images, near-silence) and would
+    candidate-pair quadratically. Dropping the key costs recall only
+    for pairs whose ONLY matching band is the hot one — the documented
+    trade every LSH family here offers."""
+    if max_band_df is None:
+        return banded
+    hot = (
+        banded.groupBy("bkey")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_band_df)
+        .select("bkey")
+    )
+    return banded.join(F.broadcast(hot), "bkey", "left_anti")
+
+
 def hamming_band_pairs(
     hashes: DataFrame,
     id_col: str = "id",
@@ -1486,65 +1538,116 @@ def hamming_band_pairs(
     hi_col: str = "h_hi",
     band_bits: int = 16,
     max_hamming: int = 2,
+    max_band_df: int | None = None,
+    exact_pairs: bool = True,
 ) -> DataFrame:
     """Near-dup pairs over a PACKED 64-bit fingerprint (two 32-bit
-    longs, e.g. multimodal.image_ahash): band the 64 bits into
-    64/band_bits integer blocks, equi-join ids sharing a block value,
-    verify exact Hamming with bit_count(xor) on each half. The banding
-    guarantee is the simhash_near_dup_pairs pigeonhole: a pair within
-    Hamming ≤ nbands-1 differs in at most nbands-1 bands, so at least
-    one band matches exactly — at the default 4×16 every pair within
-    Hamming ≤ 3 is found, a superset of the max_hamming=2 verify.
+    longs, e.g. multimodal.image_ahash): collapse identical hashes,
+    band the 64 bits into 64/band_bits integer blocks, equi-join
+    DISTINCT hashes sharing a block value, verify exact Hamming with
+    bit_count(xor) on each half, then expand back to member ids. The
+    banding guarantee is the simhash_near_dup_pairs pigeonhole: a pair
+    within Hamming ≤ nbands-1 differs in at most nbands-1 bands, so at
+    least one band matches exactly — at the default 4×16 every pair
+    within Hamming ≤ 3 is found, a superset of the max_hamming=2
+    verify. ``max_hamming`` must stay inside that guarantee (asserted):
+    a larger cutoff would silently under-report pairs.
+
+    Degenerate-content safety (the 100 TB case the planted fixtures
+    don't exercise): real corpora carry BULK identical fingerprints —
+    monochrome images all aHash to one value, silence collides, black
+    frames are the classic CBVR hot key — and a naive band self-join
+    over B identical hashes emits nbands·B² candidate rows. Here the
+    band join only ever sees ONE representative per distinct hash
+    (exact-hash collapse first: groupBy (lo, hi), min id — lossless,
+    identical hashes ARE duplicates), so identical-content floods cost
+    the join nothing. Two levers on top:
+
+    - ``max_band_df``: drop band keys still shared by more than this
+      many DISTINCT hashes before the join (near-degenerate content;
+      recall trade documented in _apply_max_band_df).
+    - ``exact_pairs=False``: emit the LINEAR connectivity-preserving
+      edge set instead of all member pairs — (group min → member) star
+      edges at Hamming 0 plus one representative pair per verified
+      distinct-hash pair. Same connected components, same survivor set
+      under the "drop id_b" rule (every non-minimal member still
+      appears as id_b), but a B-sized identical-hash group contributes
+      B-1 rows instead of B(B-1)/2 — the mode clustering and
+      dedup-at-ingest callers want. Default True preserves the
+      all-pairs contract (hamming column included).
 
     Scale shape (same as the text LSH families): candidates come ONLY
-    from the band equi-join — never an all-pairs product — and 16-bit
-    bands give 65536 buckets, so unrelated images (expected Hamming
-    ~32) almost never share a bucket; the verify is pure integer
-    xor/bit_count, codegen'd. Hash extraction (the mapInPandas decode)
-    dominates; this stage is two narrow shuffles (band join, distinct).
-    """
-    assert 64 % band_bits == 0
+    from the band equi-join over distinct hashes — never an all-pairs
+    product — and 16-bit bands give 65536 buckets, so unrelated images
+    (expected Hamming ~32) almost never share a bucket; the verify is
+    pure integer xor/bit_count, codegen'd, and runs BEFORE the distinct
+    so the dedup shuffle carries only true near-dups. Hash extraction
+    (the mapInPandas decode) dominates end to end."""
+    assert 64 % band_bits == 0 and band_bits <= 32, "bands must split the two 32-bit halves"
     nbands = 64 // band_bits
-    mask = (1 << band_bits) - 1
-    base = hashes.select(
+    assert max_hamming < nbands, (
+        f"pigeonhole guarantee is Hamming <= {nbands - 1} at {band_bits}-bit bands; "
+        f"max_hamming={max_hamming} would silently under-report pairs"
+    )
+    members = hashes.select(
         F.col(id_col).alias("id"), F.col(lo_col).alias("lo"), F.col(hi_col).alias("hi")
     )
-    half_bands = 32 // band_bits
-    band_vals = [
-        (
-            F.shiftright(F.col("lo") if b < half_bands else F.col("hi"),
-                         (b % half_bands) * band_bits)
-            .bitwiseAND(F.lit(mask))
-        )
-        for b in range(nbands)
-    ]
-    banded = base.select(
-        "id",
-        "lo",
-        "hi",
-        F.explode(
-            F.array(*[
-                F.concat_ws(":", F.lit(str(b)), v.cast("string"))
-                for b, v in enumerate(band_vals)
-            ])
-        ).alias("bkey"),
-    )
+    reps = members.groupBy("lo", "hi").agg(F.min("id").alias("id"))
+    banded = _apply_max_band_df(_hamming_band_explode(reps, band_bits), max_band_df)
     a = banded.select(
-        F.col("id").alias("id_a"), F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a"), "bkey"
+        F.col("id").alias("rid_a"), F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a"), "bkey"
     )
     b = banded.select(
-        F.col("id").alias("id_b"), F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b"), "bkey"
+        F.col("id").alias("rid_b"), F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b"), "bkey"
     )
     ham = F.bit_count(
         F.col("lo_a").bitwiseXOR(F.col("lo_b"))
     ) + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-    return (
+    rep_pairs = (
         a.join(b, "bkey")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("rid_a") < F.col("rid_b"))
+        .filter(ham <= max_hamming)
+        .select("rid_a", "lo_a", "hi_a", "rid_b", "lo_b", "hi_b", ham.alias("hamming"))
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )
+    # star edges: every non-minimal member of an identical-hash group
+    # pairs with its group min at Hamming 0 (linear, output-inherent)
+    star = (
+        members.join(
+            reps.select(F.col("id").alias("id_a"), "lo", "hi"), ["lo", "hi"]
+        )
+        .filter(F.col("id") > F.col("id_a"))
+        .select("id_a", F.col("id").alias("id_b"), F.lit(0).cast("int").alias("hamming"))
+    )
+    if not exact_pairs:
+        return rep_pairs.select(
+            F.col("rid_a").alias("id_a"), F.col("rid_b").alias("id_b"), "hamming"
+        ).unionByName(star)
+    # full expansion: every member of group A x every member of group B
+    # (distinct hash pairs appear once, groups are disjoint), plus ALL
+    # within-group pairs (self-join on the exact hash — quadratic only
+    # in true Hamming-0 duplicates, which the all-pairs OUTPUT is)
+    ga = members.select(F.col("id").alias("ma"), F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a"))
+    gb = members.select(F.col("id").alias("mb"), F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b"))
+    cross = (
+        rep_pairs.join(ga, ["lo_a", "hi_a"])
+        .join(gb, ["lo_b", "hi_b"])
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            "hamming",
+        )
+    )
+    within = (
+        members.join(gb, (F.col("lo") == F.col("lo_b")) & (F.col("hi") == F.col("hi_b")))
+        .filter(F.col("id") < F.col("mb"))
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("mb").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def hamming_band_pairs_cross(
@@ -1552,6 +1655,8 @@ def hamming_band_pairs_cross(
     right: DataFrame,
     band_bits: int = 16,
     max_hamming: int = 2,
+    max_band_df: int | None = None,
+    expand_right: bool = True,
 ) -> DataFrame:
     """hamming_band_pairs between TWO hash tables (each with id/h_lo/
     h_hi): every (left id, right id) pair within ``max_hamming``,
@@ -1559,43 +1664,156 @@ def hamming_band_pairs_cross(
     bit_count(xor). Unlike the self-join form this keeps id_a == id_b
     matches — a batch replayed against a store already containing it
     self-matches at Hamming 0, which is exactly the replay-skip an
-    idempotent dedup-at-ingest loop wants. Same scale shape: candidates
-    only from the 2^band_bits-bucket join, never a product."""
-    assert 64 % band_bits == 0
+    idempotent dedup-at-ingest loop wants.
+
+    Same degenerate-content armor as the self form: BOTH sides collapse
+    to distinct hashes before banding (a store full of monochrome
+    images is one rep row), the band join runs rep-vs-rep, the Hamming
+    verify runs before the distinct, and ``max_band_df`` drops band
+    keys still hot across the two rep sets (applied to the union so a
+    key hot on either side is capped). The left (batch) side always
+    expands back to member ids — every matching batch id must be
+    reported; ``expand_right=False`` keeps the right side as one
+    representative per hash (linear; the dedup-at-ingest caller only
+    asks WHETHER a batch id matched the store, not against which store
+    rows). Candidates only from the 2^band_bits-bucket join, never a
+    product."""
+    assert 64 % band_bits == 0 and band_bits <= 32, "bands must split the two 32-bit halves"
     nbands = 64 // band_bits
-    mask = (1 << band_bits) - 1
-    half_bands = 32 // band_bits
+    assert max_hamming < nbands, (
+        f"pigeonhole guarantee is Hamming <= {nbands - 1} at {band_bits}-bit bands; "
+        f"max_hamming={max_hamming} would silently under-report pairs"
+    )
 
-    def banded(df: DataFrame, suffix: str) -> DataFrame:
-        vals = [
-            F.shiftright(
-                F.col("h_lo") if b < half_bands else F.col("h_hi"),
-                (b % half_bands) * band_bits,
-            ).bitwiseAND(F.lit(mask))
-            for b in range(nbands)
-        ]
-        return df.select(
-            F.col("id").alias(f"id_{suffix}"),
-            F.col("h_lo").alias(f"lo_{suffix}"),
-            F.col("h_hi").alias(f"hi_{suffix}"),
-            F.explode(
-                F.array(
-                    *[
-                        F.concat_ws(":", F.lit(str(b)), v.cast("string"))
-                        for b, v in enumerate(vals)
-                    ]
-                )
-            ).alias("bkey"),
+    def _norm(df: DataFrame) -> DataFrame:
+        return df.select("id", F.col("h_lo").alias("lo"), F.col("h_hi").alias("hi"))
+
+    lmem, rmem = _norm(left), _norm(right)
+    lreps = lmem.groupBy("lo", "hi").agg(F.min("id").alias("id"))
+    rreps = rmem.groupBy("lo", "hi").agg(F.min("id").alias("id"))
+    lb = _hamming_band_explode(lreps, band_bits)
+    rb = _hamming_band_explode(rreps, band_bits)
+    if max_band_df is not None:
+        hot = (
+            lb.select("bkey", "lo", "hi").unionByName(rb.select("bkey", "lo", "hi"))
+            .distinct()
+            .groupBy("bkey")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_band_df)
+            .select("bkey")
         )
-
-    a = banded(left, "a")
-    b = banded(right, "b")
+        lb = lb.join(F.broadcast(hot), "bkey", "left_anti")
+        rb = rb.join(F.broadcast(hot), "bkey", "left_anti")
+    a = lb.select(
+        F.col("id").alias("rid_a"), F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a"), "bkey"
+    )
+    b = rb.select(
+        F.col("id").alias("rid_b"), F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b"), "bkey"
+    )
     ham = F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) + F.bit_count(
         F.col("hi_a").bitwiseXOR(F.col("hi_b"))
     )
-    return (
+    rep_pairs = (
         a.join(b, "bkey")
-        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(ham <= max_hamming)
+        .select("lo_a", "hi_a", "rid_b", "lo_b", "hi_b", ham.alias("hamming"))
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+    )
+    expanded = rep_pairs.join(
+        lmem.select(F.col("id").alias("id_a"), F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a")),
+        ["lo_a", "hi_a"],
+    )
+    if not expand_right:
+        return expanded.select("id_a", F.col("rid_b").alias("id_b"), "hamming")
+    return expanded.join(
+        rmem.select(F.col("id").alias("id_b"), F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b")),
+        ["lo_b", "hi_b"],
+    ).select("id_a", "id_b", "hamming")
+
+
+def _drop_hot_frame_hashes(fh: DataFrame, max_frame_df: int | None) -> DataFrame:
+    """The CBVR stop-frame lever: drop frame hashes carried by more than
+    ``max_frame_df`` distinct items before the vote join. Black frames,
+    station idents, intro cards and test patterns are shared by
+    unboundedly many real-world videos — a frame hash held by B items
+    yields B² vote-join rows, and such frames carry no duplicate
+    evidence anyway (sharing a black frame does not make two videos
+    copies; the ≥min_shared vote already assumes shared DISTINCT
+    content frames). Recall cost: only pairs whose shared-frame budget
+    depended on a stop frame."""
+    if max_frame_df is None:
+        return fh
+    hot = (
+        fh.groupBy("h_lo", "h_hi")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_frame_df)
+        .select("h_lo", "h_hi")
+    )
+    return fh.join(F.broadcast(hot), ["h_lo", "h_hi"], "left_anti")
+
+
+def shared_hash_vote_pairs(
+    frame_hashes: DataFrame,
+    min_shared: int = 2,
+    max_frame_df: int | None = None,
+) -> DataFrame:
+    """Item pairs sharing ≥ ``min_shared`` DISTINCT 64-bit frame hashes
+    — the content-based-video-retrieval blocking vote over a per-frame
+    perceptual-hash table (id, h_lo, h_hi; multimodal.video_frame_hashes
+    produces it). Items are never compared pairwise: candidates come
+    only from the frame-hash equi-join, and the per-item hash set is
+    deduplicated FIRST so the join input is one row per (item, distinct
+    hash) and the vote is a plain count. ``max_frame_df`` is the
+    hot-frame cap (see _drop_hot_frame_hashes) — the lever that keeps
+    the equi-join linear when real corpora flood a single frame hash
+    (black frames), exactly the max_gram_df/max_band_df dial the text
+    and fingerprint families carry."""
+    fh = _drop_hot_frame_hashes(
+        frame_hashes.select("id", "h_lo", "h_hi").distinct(), max_frame_df
+    )
+    a = fh.select(F.col("id").alias("id_a"), "h_lo", "h_hi")
+    b = fh.select(F.col("id").alias("id_b"), "h_lo", "h_hi")
+    return (
+        a.join(b, ["h_lo", "h_hi"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared)
+    )
+
+
+def shared_hash_vote_pairs_cross(
+    left: DataFrame,
+    right: DataFrame,
+    min_shared: int = 2,
+    max_frame_df: int | None = None,
+) -> DataFrame:
+    """shared_hash_vote_pairs between TWO per-frame hash tables: every
+    (left id, right id) pair sharing ≥ ``min_shared`` distinct frame
+    hashes. Keeps id_a == id_b matches — a video replayed against a
+    store already holding its frames self-matches on ALL of them, the
+    structural replay-skip the dedup-at-ingest loop wants (the
+    hamming_band_pairs_cross contract, vote-shaped). The hot-frame cap
+    counts an item once per side it appears on (the union is
+    per-side-distinct), so a frame hot on either side is dropped from
+    both before the join."""
+    lfh = left.select("id", "h_lo", "h_hi").distinct()
+    rfh = right.select("id", "h_lo", "h_hi").distinct()
+    if max_frame_df is not None:
+        hot = (
+            lfh.select("h_lo", "h_hi").unionByName(rfh.select("h_lo", "h_hi"))
+            .groupBy("h_lo", "h_hi")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_frame_df)
+            .select("h_lo", "h_hi")
+        )
+        lfh = lfh.join(F.broadcast(hot), ["h_lo", "h_hi"], "left_anti")
+        rfh = rfh.join(F.broadcast(hot), ["h_lo", "h_hi"], "left_anti")
+    a = lfh.select(F.col("id").alias("id_a"), "h_lo", "h_hi")
+    b = rfh.select(F.col("id").alias("id_b"), "h_lo", "h_hi")
+    return (
+        a.join(b, ["h_lo", "h_hi"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared)
     )

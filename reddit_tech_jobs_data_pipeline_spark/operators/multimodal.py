@@ -70,6 +70,33 @@ def synthesize_blobs(docs: DataFrame) -> DataFrame:
     )
 
 
+def _parse_p6_header(content: bytes, pos: int = 0) -> tuple[int, int, int, int]:
+    """Parse one binary-PPM (P6) header starting at ``pos``: ASCII tokens
+    "P6 <w> <h> <maxval>" separated by whitespace, '#' comments running
+    to end-of-line, one whitespace byte after maxval, then the raster.
+    Returns (w, h, maxval, raster_offset). The ONE P6 tokenizer — both
+    the single-image decode and the concatenated-frame walk call it, so
+    their byte-offset arithmetic can never diverge (a desync would
+    silently corrupt every frame hash after the first)."""
+    if content[pos : pos + 2] != b"P6":
+        raise ValueError("not a P6 header")
+    p, tokens = pos + 2, []
+    while len(tokens) < 3:
+        while p < len(content) and content[p : p + 1].isspace():
+            p += 1
+        if content[p : p + 1] == b"#":
+            while p < len(content) and content[p : p + 1] != b"\n":
+                p += 1
+            continue
+        start = p
+        while p < len(content) and not content[p : p + 1].isspace():
+            p += 1
+        tokens.append(int(content[start:p]))
+    p += 1  # single whitespace after maxval, then raster
+    w, h, maxval = tokens
+    return w, h, maxval, p
+
+
 def decode_image(content: bytes):
     """REAL pure-numpy decode of uncompressed raster formats — binary
     PPM (P6) and 24-bit uncompressed BMP — returning an (H, W, 3) uint8
@@ -79,22 +106,7 @@ def decode_image(content: bytes):
     import numpy as np
 
     if content[:2] == b"P6":
-        # PPM P6: ASCII header "P6 <w> <h> <maxval>" (tokens separated by
-        # whitespace, '#' comments run to end-of-line), then raw RGB bytes
-        pos, tokens = 2, []
-        while len(tokens) < 3:
-            while pos < len(content) and content[pos : pos + 1].isspace():
-                pos += 1
-            if content[pos : pos + 1] == b"#":
-                while pos < len(content) and content[pos : pos + 1] != b"\n":
-                    pos += 1
-                continue
-            start = pos
-            while pos < len(content) and not content[pos : pos + 1].isspace():
-                pos += 1
-            tokens.append(int(content[start:pos]))
-        pos += 1  # single whitespace after maxval, then raster
-        w, h, maxval = tokens
+        w, h, maxval, pos = _parse_p6_header(content)
         if maxval > 255:
             raise ValueError("16-bit PPM not supported")
         raster = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=pos)
@@ -421,6 +433,26 @@ def audio_energy_windows(
     return blobs.mapInPandas(_batches, schema=AUDIO_WINDOW_SCHEMA)
 
 
+_POW2_32 = None
+
+
+def _pack_halves(bits) -> tuple[int, int]:
+    """Pack a 0/1 int64 vector (≤64 bits, LSB-first, split at bit 32)
+    into two 32-bit longs via one numpy dot against powers of two —
+    bit-identical to the per-bit shift-add it replaces (the pure-python
+    property tests pin the resulting hashes), but vectorized: the last
+    per-row Python arithmetic in the fingerprint hot loops is gone."""
+    global _POW2_32
+    import numpy as np
+
+    if _POW2_32 is None:
+        _POW2_32 = np.int64(1) << np.arange(32, dtype=np.int64)
+    n = len(bits)
+    lo = int(bits[:32] @ _POW2_32[: min(32, n)])
+    hi = int(bits[32:] @ _POW2_32[: n - 32]) if n > 32 else 0
+    return lo, hi
+
+
 AHASH_SCHEMA = T.StructType(
     [
         T.StructField("id", T.LongType(), False),
@@ -470,8 +502,7 @@ def image_ahash(blobs: DataFrame, hash_h: int = 8, hash_w: int = 8) -> DataFrame
                 flat = gray.reshape(-1)
                 s = int(flat.sum())
                 bits = (n_px * flat > s).astype(np.int64)
-                lo = int(sum(int(bits[j]) << j for j in range(32)))
-                hi = int(sum(int(bits[32 + j]) << j for j in range(32)))
+                lo, hi = _pack_halves(bits)
                 out["id"].append(_id)
                 out["h_lo"].append(lo)
                 out["h_hi"].append(hi)
@@ -517,8 +548,7 @@ def audio_fingerprint(blobs: DataFrame, window: int = 2) -> DataFrame:
                 seg = mono[: n_frames * window].reshape(n_frames, window)
                 e = (seg * seg).sum(axis=1)  # int64-exact
                 bits = (e[1:] > e[:-1]).astype(np.int64)  # 63 comparisons
-                lo = int(sum(int(bits[j]) << j for j in range(32)))
-                hi = int(sum(int(bits[32 + j]) << j for j in range(31)))
+                lo, hi = _pack_halves(bits)
                 out["id"].append(_id)
                 out["h_lo"].append(lo)
                 out["h_hi"].append(hi)
@@ -540,24 +570,12 @@ FRAME_HASH_SCHEMA = T.StructType(
 def _p6_frame_bounds(content: bytes, pos: int) -> int:
     """Byte length of the P6 frame starting at ``pos`` (header tokens +
     raster), so a concatenated-frame stream can be walked frame by
-    frame. Raises ValueError on anything that isn't a P6 header."""
-    if content[pos : pos + 2] != b"P6":
-        raise ValueError("not a P6 frame boundary")
-    p, tokens = pos + 2, []
-    while len(tokens) < 3:
-        while p < len(content) and content[p : p + 1].isspace():
-            p += 1
-        if content[p : p + 1] == b"#":
-            while p < len(content) and content[p : p + 1] != b"\n":
-                p += 1
-            continue
-        start = p
-        while p < len(content) and not content[p : p + 1].isspace():
-            p += 1
-        tokens.append(int(content[start:p]))
-    p += 1  # single whitespace after maxval
-    w, h, _maxval = tokens
-    return (p - pos) + w * h * 3
+    frame — offsets come from the SAME header parser decode_image uses
+    (_parse_p6_header), so the walk and the per-frame decode can never
+    disagree on where a raster ends. Raises ValueError on anything that
+    isn't a P6 header."""
+    w, h, _maxval, raster_offset = _parse_p6_header(content, pos)
+    return (raster_offset - pos) + w * h * 3
 
 
 def video_frame_hashes(blobs: DataFrame, hash_h: int = 8, hash_w: int = 8) -> DataFrame:
@@ -602,12 +620,11 @@ def video_frame_hashes(blobs: DataFrame, hash_h: int = 8, hash_w: int = 8) -> Da
                     flat = gray.reshape(-1)
                     s = int(flat.sum())
                     bits = (n_px * flat > s).astype(np.int64)
+                    lo, hi = _pack_halves(bits)
                     out["id"].append(_id)
                     out["frame_idx"].append(fi)
-                    out["h_lo"].append(int(sum(int(bits[j]) << j for j in range(32))))
-                    out["h_hi"].append(
-                        int(sum(int(bits[32 + j]) << j for j in range(32)))
-                    )
+                    out["h_lo"].append(lo)
+                    out["h_hi"].append(hi)
             yield pd.DataFrame(out)
 
     return blobs.select("id", "content").mapInPandas(_batches, schema=FRAME_HASH_SCHEMA)

@@ -744,12 +744,13 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _afp_oracle_sql() -> str:
-    """Unrolled DuckDB twin of the energy-delta audio fingerprint: 128
-    little-endian int16 samples reconstructed from md5 hex (the
-    multimodal_real_decode_audio arithmetic), 64 two-sample frame
-    energies, 63 delta-sign bits packed into two 32-bit longs, then the
-    same band/verify SQL as the image phash."""
+def _afp_hx_ctes() -> str:
+    """CTEs from documents to per-clip fingerprint halves ``hx(id, h_lo,
+    h_hi)`` — the arithmetic twin of audio_fingerprint over the
+    planted-family WAVs: 128 little-endian int16 samples reconstructed
+    from md5 hex (the multimodal_real_decode_audio arithmetic), 64
+    two-sample frame energies, 63 delta-sign bits packed into two
+    32-bit longs."""
 
     def hb(h: str, b: int) -> str:
         return (
@@ -780,8 +781,7 @@ def _afp_oracle_sql() -> str:
         f"md5('af:' || CAST(doc_id // 4 AS VARCHAR) || ':{k}') AS m{k}"
         for k in range(16)
     )
-    return f"""
-    WITH m AS (
+    return f"""m AS (
       SELECT doc_id, md5('af:' || CAST(doc_id // 4 AS VARCHAR) || ':p') AS mp,
              {mcols}
       FROM documents
@@ -789,19 +789,20 @@ def _afp_oracle_sql() -> str:
     u AS (SELECT doc_id, {", ".join(ucols)} FROM m),
     sN AS (SELECT doc_id, {", ".join(scols)} FROM u),
     e AS (SELECT doc_id, {", ".join(ecols)} FROM sN),
-    hx AS (SELECT doc_id AS id, {lo} AS h_lo, {hi} AS h_hi FROM e),
-    band AS (
-      SELECT id, h_lo, h_hi, b.band_i,
-        CASE b.band_i WHEN 0 THEN h_lo % 65536 WHEN 1 THEN h_lo // 65536
-             WHEN 2 THEN h_hi % 65536 ELSE h_hi // 65536 END AS bval
-      FROM hx, (SELECT unnest([0, 1, 2, 3]) AS band_i) b
-    )
+    hx AS (SELECT doc_id AS id, {lo} AS h_lo, {hi} AS h_hi FROM e)"""
+
+
+def _afp_oracle_sql() -> str:
+    """Unrolled DuckDB twin of the energy-delta audio fingerprint
+    (_afp_hx_ctes), then the same band/verify SQL as the image phash."""
+    return f"""
+    WITH {_afp_hx_ctes()},
+    {_phash_band_cte("hx", "band")}
     SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
-      CAST(bit_count(xor(a.h_lo, b2.h_lo))
-         + bit_count(xor(a.h_hi, b2.h_hi)) AS BIGINT) AS hamming
+      CAST({_PHASH_HAM} AS BIGINT) AS hamming
     FROM band a
     JOIN band b2 ON a.band_i = b2.band_i AND a.bval = b2.bval AND a.id < b2.id
-    WHERE bit_count(xor(a.h_lo, b2.h_lo)) + bit_count(xor(a.h_hi, b2.h_hi)) <= 2
+    WHERE {_PHASH_HAM} <= 2
     ORDER BY id_a, id_b
     """
 
@@ -880,12 +881,21 @@ def audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _vfh_oracle_sql() -> str:
-    """Unrolled DuckDB twin of the per-frame perceptual hash: each doc
-    carries 4 frames (frame f of family doc_id DIV 4, except frame
-    doc_id % 4 which is doc-specific), every frame aHashes exactly like
-    the image oracle, and videos pair when they share >= 2 distinct
-    frame hashes."""
+# The hot-frame cap wired into the video query AND its oracle twin: a
+# frame hash carried by more distinct videos is a stop frame (black
+# frame / ident card class) and is dropped before the vote join. The
+# planted families peak at 4 videos per shared frame hash, so the cap
+# is semantically inert at fixture scale while staying oracle-verified
+# end to end (a real trigger changes both engines identically).
+_VFH_MAX_FRAME_DF = 16
+
+
+def _vfh_hx_ctes() -> str:
+    """CTEs from documents to per-FRAME hash halves ``hx(id, f, h_lo,
+    h_hi)`` — the arithmetic twin of video_frame_hashes over the
+    planted-family clips: each doc carries 4 frames (frame f of family
+    doc_id DIV 4, except frame doc_id % 4 which is doc-specific), every
+    frame aHashes exactly like the image oracle."""
 
     def hexb(h: str, j: int) -> str:
         c = 2 * j + 1
@@ -903,9 +913,7 @@ def _vfh_oracle_sql() -> str:
         f"(CASE WHEN 64*g{j + 32} > ssum THEN {1 << j} ELSE 0 END)" for j in range(32)
     )
     mcols = ", ".join(f"md5(fkey || ':{k}') AS m{k}" for k in range(4))
-    shared = "count(DISTINCT CAST(a.h_lo AS VARCHAR) || ':' || CAST(a.h_hi AS VARCHAR))"
-    return f"""
-    WITH fr AS (
+    return f"""fr AS (
       SELECT doc_id, f.f,
         CASE WHEN f.f = doc_id % 4
              THEN 'vf:' || CAST(doc_id AS VARCHAR) || ':v'
@@ -916,10 +924,27 @@ def _vfh_oracle_sql() -> str:
     m AS (SELECT doc_id, f, {mcols} FROM fr),
     px AS (SELECT doc_id, f, {", ".join(gcols)} FROM m),
     s AS (SELECT *, {ssum} AS ssum FROM px),
-    hx AS (SELECT doc_id AS id, f, {lo} AS h_lo, {hi} AS h_hi FROM s)
-    SELECT a.id AS id_a, b.id AS id_b, CAST({shared} AS BIGINT) AS shared_frames
-    FROM hx a JOIN hx b ON a.h_lo = b.h_lo AND a.h_hi = b.h_hi AND a.id < b.id
-    GROUP BY 1, 2 HAVING {shared} >= 2
+    hx AS (SELECT doc_id AS id, f, {lo} AS h_lo, {hi} AS h_hi FROM s)"""
+
+
+def _vfh_oracle_sql() -> str:
+    """Unrolled DuckDB twin of the per-frame perceptual hash
+    (_vfh_hx_ctes): videos pair when they share >= 2 distinct frame
+    hashes — after the _VFH_MAX_FRAME_DF stop-frame cap, mirrored here
+    as the fok/hxd CTEs."""
+    return f"""
+    WITH {_vfh_hx_ctes()},
+    fok AS (
+      SELECT h_lo, h_hi FROM (
+        SELECT h_lo, h_hi, count(DISTINCT id) AS c FROM hx GROUP BY 1, 2
+      ) WHERE c <= {_VFH_MAX_FRAME_DF}
+    ),
+    hxd AS (
+      SELECT DISTINCT id, h_lo, h_hi FROM hx JOIN fok USING (h_lo, h_hi)
+    )
+    SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS shared_frames
+    FROM hxd a JOIN hxd b ON a.h_lo = b.h_lo AND a.h_hi = b.h_hi AND a.id < b.id
+    GROUP BY 1, 2 HAVING count(*) >= 2
     ORDER BY id_a, id_b
     """
 
@@ -975,21 +1000,25 @@ def video_framehash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     share 3 of 4 frames pairwise-intersecting in 2, so every family
     pair survives and volume stays linear.
 
-    The pairing is ONE frame-hash equi-join + a grouped distinct count
-    — videos are never compared pairwise, and the join key space (64-bit
-    hashes) keeps unrelated videos apart. The oracle recomputes frame
-    hashes from the md5 hex and replays the same join/vote in SQL."""
+    The pairing is ONE frame-hash equi-join + a grouped count (per-item
+    hash sets deduplicated first) — videos are never compared pairwise,
+    and the join key space (64-bit hashes) keeps unrelated videos
+    apart. The _VFH_MAX_FRAME_DF stop-frame cap
+    (dedup.shared_hash_vote_pairs) drops frame hashes shared by
+    unboundedly many videos — black frames, ident cards — BEFORE the
+    join, the lever that keeps candidate volume linear on real corpora
+    (such frames carry no duplicate evidence). The oracle recomputes
+    frame hashes from the md5 hex and replays the same cap + join/vote
+    in SQL."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.dedup import (
+        shared_hash_vote_pairs,
+    )
+
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     fh = multimodal.video_frame_hashes(_vfh_blobs(docs))
-    a = fh.select(F.col("id").alias("id_a"), "h_lo", "h_hi")
-    b = fh.select(F.col("id").alias("id_b"), "h_lo", "h_hi")
-    key = F.concat_ws(":", F.col("h_lo").cast("string"), F.col("h_hi").cast("string"))
     return (
-        a.join(b, ["h_lo", "h_hi"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.countDistinct(key).alias("shared_frames"))
-        .filter(F.col("shared_frames") >= 2)
+        shared_hash_vote_pairs(fh, min_shared=2, max_frame_df=_VFH_MAX_FRAME_DF)
+        .select("id_a", "id_b", F.col("shared_frames").cast("long").alias("shared_frames"))
         .orderBy("id_a", "id_b")
     )
 
@@ -1037,7 +1066,10 @@ def image_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         hamming_band_pairs,
     )
 
-    pairs = hamming_band_pairs(hashes, band_bits=16, max_hamming=2)
+    # exact_pairs=False: the CC only needs connectivity, and the linear
+    # star-edge form keeps identical-hash floods (monochrome bulk) from
+    # expanding to B² edges before the contraction even starts
+    pairs = hamming_band_pairs(hashes, band_bits=16, max_hamming=2, exact_pairs=False)
     clusters = cluster_near_dups_star(pairs.select("id_a", "id_b"))
     sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
     dupes = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
@@ -1052,10 +1084,18 @@ def image_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "streaming_image_dedup_ingest",
-    f"""
-    WITH {_phash_hx_ctes()},
+def _two_round_fp_ingest_sql(hx_ctes: str) -> str:
+    """The shared two-micro-batch dedup-at-ingest replay for WHOLE-ITEM
+    fingerprints, parameterized on the modality's hash derivation CTEs
+    (must end in ``hx(id, h_lo, h_hi)``): batch 1 (id % 4 < 2) dedups
+    internally, batch 2 dedups against batch 1's survivors AND
+    internally, and the final store is the union of survivor ids —
+    exactly fingerprint_ingest.ingest_batch_fingerprints' rules, so the
+    streaming composition (mtime batch order, store append, dup
+    routing) must preserve the batch operator's semantics to
+    hash-match."""
+    return f"""
+    WITH {hx_ctes},
     b1 AS (SELECT * FROM hx WHERE id % 4 < 2),
     b2 AS (SELECT * FROM hx WHERE id % 4 >= 2),
     {_phash_band_cte("b1", "band1")},
@@ -1078,7 +1118,12 @@ def image_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s2 AS (SELECT * FROM b2 WHERE id NOT IN (SELECT id FROM d2))
     SELECT id FROM s1 UNION ALL SELECT id FROM s2 ORDER BY id
-    """,
+    """
+
+
+@register(
+    "streaming_image_dedup_ingest",
+    _two_round_fp_ingest_sql(_phash_hx_ctes()),
     tags=["multimodal", "dedup", "streaming", "incremental", "scale"],
 )
 def streaming_image_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1102,3 +1147,96 @@ def streaming_image_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_image_dedup_ingest_batchlike(spark, sf_dir)
+
+
+@register(
+    "streaming_audio_dedup_ingest",
+    _two_round_fp_ingest_sql(_afp_hx_ctes()),
+    tags=["multimodal", "dedup", "streaming", "incremental", "scale"],
+)
+def streaming_audio_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio dedup-AT-INGEST end to end through the real streaming
+    engine — the energy-delta fingerprint riding the SAME
+    modality-agnostic store + band-join loop as images
+    (streaming/fingerprint_ingest.py; the fingerprints share the
+    (id, h_lo, h_hi) shape, so nothing modality-specific exists below
+    the decode): planted-family clips arrive in two micro-batches,
+    each batch is decoded + fingerprinted once
+    (multimodal.audio_fingerprint), deduped against the persisted
+    store and itself, and survivors append 3 longs per clip — the
+    accepted audio corpus exists only as its fingerprint store, samples
+    are never re-read. The oracle replays both rounds in SQL over the
+    same md5-derived fingerprints (the _afp_hx_ctes arithmetic), so an
+    endianness bug, a batch-order break, or a dup-routing error all
+    break the value hash."""
+    from reddit_tech_jobs_data_pipeline_spark.streaming.fingerprint_ingest import (
+        run_audio_dedup_ingest_batchlike,
+    )
+
+    return run_audio_dedup_ingest_batchlike(spark, sf_dir)
+
+
+def _vfh_two_round_sql() -> str:
+    """Two-micro-batch replay of the per-frame VOTE ingest
+    (fingerprint_ingest.ingest_batch_frame_votes): per-video distinct
+    frame hashes, batch 1 dedups internally (≥2 shared frames, larger
+    id drops), batch 2 votes against batch 1's surviving frame store
+    AND internally, final store ids = union of survivors."""
+    return f"""
+    WITH {_vfh_hx_ctes()},
+    hxd AS (SELECT DISTINCT id, h_lo, h_hi FROM hx),
+    b1 AS (SELECT * FROM hxd WHERE id % 4 < 2),
+    b2 AS (SELECT * FROM hxd WHERE id % 4 >= 2),
+    p1 AS (
+      SELECT a.id AS ia, b.id AS ib, count(*) AS c
+      FROM b1 a JOIN b1 b ON a.h_lo = b.h_lo AND a.h_hi = b.h_hi AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    d1 AS (SELECT DISTINCT ib AS id FROM p1 WHERE c >= 2),
+    s1 AS (SELECT * FROM b1 WHERE id NOT IN (SELECT id FROM d1)),
+    px2 AS (
+      SELECT a.id AS ia, s.id AS isid, count(*) AS c
+      FROM b2 a JOIN s1 s ON a.h_lo = s.h_lo AND a.h_hi = s.h_hi
+      GROUP BY 1, 2
+    ),
+    p2 AS (
+      SELECT a.id AS ia, b.id AS ib, count(*) AS c
+      FROM b2 a JOIN b2 b ON a.h_lo = b.h_lo AND a.h_hi = b.h_hi AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    d2 AS (
+      SELECT DISTINCT ia AS id FROM px2 WHERE c >= 2
+      UNION
+      SELECT DISTINCT ib AS id FROM p2 WHERE c >= 2
+    ),
+    s2 AS (SELECT * FROM b2 WHERE id NOT IN (SELECT id FROM d2))
+    SELECT DISTINCT id FROM (SELECT id FROM s1 UNION ALL SELECT id FROM s2)
+    ORDER BY id
+    """
+
+
+@register(
+    "streaming_video_dedup_ingest",
+    _vfh_two_round_sql(),
+    tags=["multimodal", "dedup", "streaming", "incremental", "scale"],
+)
+def streaming_video_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video dedup-AT-INGEST end to end through the real streaming
+    engine — the per-frame VOTE variant of the fingerprint store
+    (streaming/fingerprint_ingest.ingest_batch_frame_votes): each
+    micro-batch's clips are walked + frame-decoded + aHashed once
+    (multimodal.video_frame_hashes), an arrival sharing ≥ 2 distinct
+    frame hashes with ANY single stored video drops (the CBVR blocking
+    vote, dedup.shared_hash_vote_pairs_cross), batch-internal pairs
+    drop the larger id, and survivors append one row per distinct
+    frame hash — the accepted video corpus exists only as its frame
+    store, rasters never re-read. The store carries frames (not
+    whole-clip hashes), so a later re-edited copy that keeps ≥2
+    keyframes of ANY accepted video still dedups. The oracle replays
+    both rounds' votes in SQL over the same md5-derived frame
+    hashes."""
+    from reddit_tech_jobs_data_pipeline_spark.streaming.fingerprint_ingest import (
+        run_video_dedup_ingest_batchlike,
+    )
+
+    return run_video_dedup_ingest_batchlike(spark, sf_dir)

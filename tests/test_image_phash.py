@@ -337,3 +337,40 @@ def test_hamming_band_pairs_property_vs_bruteforce(spark):
             if ham(a, b) <= 3
         }
         assert got == want, f"seed {seed}"
+
+
+def test_frame_vote_ingest_rules_and_replay(spark, tmp_path):
+    """The per-frame vote ingest (fingerprint_ingest.ingest_batch_frame_votes):
+    ≥2 shared distinct frame hashes with the store or an earlier batch
+    member drops the arrival; replays are total via the id-presence
+    skip — even for a stored video with a single distinct frame, which
+    could never out-vote the ≥2 threshold against itself."""
+    from reddit_tech_jobs_data_pipeline_spark.streaming.fingerprint_ingest import (
+        ingest_batch_frame_votes,
+    )
+
+    store = str(tmp_path / "frame_store")
+
+    def fh(rows):
+        return spark.createDataFrame(rows, "id long, h_lo long, h_hi long")
+
+    # batch 1: videos 0/1 share frames (1,1),(2,2) -> 1 drops; video 9
+    # has ONE distinct frame (the sub-threshold replay edge case)
+    b1 = fh([(0, 1, 1), (0, 2, 2), (0, 3, 3),
+             (1, 1, 1), (1, 2, 2), (1, 4, 4),
+             (9, 50, 50)])
+    ingest_batch_frame_votes(b1, store)
+    ids = {r.id for r in spark.read.parquet(store).select("id").distinct().collect()}
+    assert ids == {0, 9}
+    n_rows = spark.read.parquet(store).count()
+
+    ingest_batch_frame_votes(b1, store)  # replay: id-presence skip
+    assert spark.read.parquet(store).count() == n_rows
+
+    # batch 2: video 2 shares 2 frames with stored video 0 -> drops;
+    # video 3 shares only 1 -> survives
+    b2 = fh([(2, 1, 1), (2, 3, 3), (2, 7, 7),
+             (3, 1, 1), (3, 8, 8)])
+    ingest_batch_frame_votes(b2, store)
+    ids = {r.id for r in spark.read.parquet(store).select("id").distinct().collect()}
+    assert ids == {0, 9, 3}
