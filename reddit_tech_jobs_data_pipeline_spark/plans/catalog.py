@@ -491,6 +491,9 @@ _WINDOW_PROMOTED = [
     "streaming_cusum_monitor",   # r10: restartable streaming CUSUM
     "ann_srp_index_topk",        # r11: persisted SRP index probe
     "knn_label_vote_accuracy",   # r11 stats2 family (holdout bounded r12)
+    "streaming_pq_index_ingest",       # r12: streaming index ingest (r12 item 3)
+    "streaming_video_dedup_ingest",    # r13: per-frame vote dedup-at-ingest
+    "multimodal_combined_clusters",    # r13: cross-modal duplicate identity
 ]
 _PROMOTE_AT = 26  # after the reference-surface + hygiene/classifier block
 

@@ -610,11 +610,11 @@ def _phash_gray_sql() -> str:
     """g0..g63 for the oracle: the same md5-derived gray bytes the Spark
     side renders into PPM pixels, as hex-char arithmetic (the
     multimodal_real_decode precedent). g0 is the variant pixel (byte
-    doc_id%4 of the family's ':p' block); g1..g63 are bytes 1..15 of
-    block ':0' then all of ':1'..':3'."""
+    vidx of the family's ':p' block, vidx carried by the m CTE);
+    g1..g63 are bytes 1..15 of block ':0' then all of ':1'..':3'."""
     cols = [
-        "((strpos('0123456789abcdef', substr(mp, 2*(doc_id % 4)+1, 1)) - 1) * 16 + "
-        "(strpos('0123456789abcdef', substr(mp, 2*(doc_id % 4)+2, 1)) - 1)) AS g0"
+        "((strpos('0123456789abcdef', substr(mp, 2*vidx+1, 1)) - 1) * 16 + "
+        "(strpos('0123456789abcdef', substr(mp, 2*vidx+2, 1)) - 1)) AS g0"
     ]
     for j in range(1, 64):
         h = f"m{j // 16}"
@@ -626,9 +626,18 @@ def _phash_gray_sql() -> str:
     return ", ".join(cols)
 
 
-def _phash_hx_ctes() -> str:
-    """CTEs from documents to per-doc hash halves ``hx(id, h_lo, h_hi)``
-    — the arithmetic twin of image_ahash over the planted-family PPMs."""
+def _phash_hx_ctes(
+    src: str = "documents",
+    id_expr: str = "doc_id",
+    fam_expr: str = "doc_id // 4",
+    var_expr: str = "doc_id % 4",
+) -> str:
+    """CTEs from ``src`` to per-item hash halves ``hx(id, h_lo, h_hi)``
+    — the arithmetic twin of image_ahash over the planted-family PPMs.
+    Parameterized on the id / family / variant expressions so the same
+    chain renders over ``documents`` (default) or the injected-copy
+    ``corpus`` id space (copies re-host their original's image:
+    fam/var keyed on id % 100000)."""
     ssum = " + ".join(f"g{j}" for j in range(64))
     lo = " + ".join(
         f"(CASE WHEN 64*g{j} > ssum THEN {1 << j} ELSE 0 END)" for j in range(32)
@@ -636,14 +645,15 @@ def _phash_hx_ctes() -> str:
     hi = " + ".join(
         f"(CASE WHEN 64*g{j + 32} > ssum THEN {1 << j} ELSE 0 END)" for j in range(32)
     )
+    blocks = ",\n        ".join(
+        f"md5('ph:' || CAST({fam_expr} AS VARCHAR) || ':{k}') AS m{k}"
+        for k in range(4)
+    )
     return f"""m AS (
-      SELECT doc_id,
-        md5('ph:' || CAST(doc_id // 4 AS VARCHAR) || ':p') AS mp,
-        md5('ph:' || CAST(doc_id // 4 AS VARCHAR) || ':0') AS m0,
-        md5('ph:' || CAST(doc_id // 4 AS VARCHAR) || ':1') AS m1,
-        md5('ph:' || CAST(doc_id // 4 AS VARCHAR) || ':2') AS m2,
-        md5('ph:' || CAST(doc_id // 4 AS VARCHAR) || ':3') AS m3
-      FROM documents
+      SELECT {id_expr} AS doc_id, ({var_expr}) AS vidx,
+        md5('ph:' || CAST({fam_expr} AS VARCHAR) || ':p') AS mp,
+        {blocks}
+      FROM {src}
     ),
     px AS (SELECT doc_id, {_phash_gray_sql()} FROM m),
     s AS (SELECT *, {ssum} AS ssum FROM px),
@@ -685,10 +695,13 @@ def _phash_oracle_sql() -> str:
     """
 
 
-def _phash_blobs(docs: DataFrame) -> DataFrame:
+def _phash_blobs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Render each document's family-derived 8×8 grayscale image as REAL
     binary P6 PPM bytes (r=g=b=gray byte), entirely in Catalyst binary
-    expressions — no Python in the synthesis path."""
+    expressions — no Python in the synthesis path. ``id_col`` names the
+    OUTPUT id when it differs from the ``doc_id`` render key (the
+    injected-copy corpus: copies carry their own id but re-host their
+    original's image, so pixels derive from doc_id = id % 100000)."""
 
     def pix(j: int):
         if j == 0:
@@ -705,7 +718,7 @@ def _phash_blobs(docs: DataFrame) -> DataFrame:
     for j in range(64):
         p = pix(j)
         parts += [p, p, p]
-    return docs.select(F.col("doc_id").alias("id"), F.concat(*parts).alias("content"))
+    return docs.select(F.col(id_col).alias("id"), F.concat(*parts).alias("content"))
 
 
 @register(
@@ -1059,6 +1072,13 @@ def image_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighting (a 40-copy image should not weigh 40×). The oracle
     replays CC as a recursive min-reachable-id CTE over the same
     pairs."""
+    return _image_survivors_df(spark, sf_dir).orderBy("id")
+
+
+def _image_survivors_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, cluster_size) of image-dedup survivors, unordered — the
+    composable core of image_dedup_survivors, reused as a stage by the
+    multimodal export chain (multimodal_corpus_export_e2e)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     hashes = multimodal.image_ahash(_phash_blobs(docs))
     from reddit_tech_jobs_data_pipeline_spark.operators.dedup import (
@@ -1075,13 +1095,9 @@ def image_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     dupes = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
     base = docs.select(F.col("doc_id").alias("id"))
     survivors = base.join(dupes, "id", "left_anti")
-    return (
-        survivors.join(
-            clusters.join(sizes, "cluster_id").select("id", "n"), "id", "left"
-        )
-        .select("id", F.coalesce("n", F.lit(1)).cast("long").alias("cluster_size"))
-        .orderBy("id")
-    )
+    return survivors.join(
+        clusters.join(sizes, "cluster_id").select("id", "n"), "id", "left"
+    ).select("id", F.coalesce("n", F.lit(1)).cast("long").alias("cluster_size"))
 
 
 def _two_round_fp_ingest_sql(hx_ctes: str) -> str:

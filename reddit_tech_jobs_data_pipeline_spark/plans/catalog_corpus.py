@@ -1183,6 +1183,141 @@ def corpus_export_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multimodal_export_sql() -> str:
+    """Recursive-CTE twin of the multimodal export chain: the
+    corpus_export_e2e CTEs with the image-survivor stage (the
+    image_dedup_survivors recursive CC) anti-joined in between the span
+    clip and the split."""
+    from reddit_tech_jobs_data_pipeline_spark.plans.catalog_analytics import (
+        _phash_cte_body,
+    )
+
+    return f"""
+    WITH RECURSIVE {_phash_cte_body()},
+    iedges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT src, src FROM iedges
+      UNION
+      SELECT e.src, r.label FROM iedges e JOIN reach r ON e.dst = r.id
+    ),
+    cl AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+    csizes AS (SELECT cluster_id, count(*) AS n FROM cl GROUP BY cluster_id),
+    surv AS (
+      SELECT d0.doc_id AS sid, CAST(coalesce(sz.n, 1) AS BIGINT) AS cluster_size
+      FROM documents d0
+      LEFT JOIN cl ON cl.id = d0.doc_id
+      LEFT JOIN csizes sz ON sz.cluster_id = cl.cluster_id
+      WHERE cl.id IS NULL OR cl.id = cl.cluster_id
+    ),
+    d AS (SELECT doc_id, {_TOKS} AS ws FROM documents WHERE text IS NOT NULL),
+    b AS (SELECT doc_id, len(ws) AS n_tok, ws FROM d WHERE len(ws) > 0),
+    g AS (
+      SELECT doc_id, CAST(gs AS BIGINT) AS pos,
+             substr(md5(array_to_string(list_slice(ws, gs + 1, gs + 8), ' ')), 1, 16) AS gh
+      FROM b, unnest(range(0, greatest(n_tok - 7, 0))) t(gs)
+    ),
+    keepers AS (
+      SELECT gh, min(doc_id) AS keeper
+      FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+    ),
+    covered AS (
+      SELECT DISTINCT g.doc_id, CAST(tp AS BIGINT) AS tpos
+      FROM g JOIN keepers USING (gh), unnest(range(g.pos, g.pos + 8)) u(tp)
+      WHERE g.doc_id <> keepers.keeper
+    ),
+    clipped AS (
+      SELECT b.doc_id, b.n_tok,
+             b.n_tok - coalesce(c.n_cov, 0) AS n_clean
+      FROM b LEFT JOIN (SELECT doc_id, count(*) AS n_cov FROM covered GROUP BY doc_id) c
+        USING (doc_id)
+    ),
+    kept AS (
+      SELECT doc_id, n_clean FROM clipped
+      WHERE n_clean >= 10 AND (n_tok - n_clean) * 2 < n_tok
+    ),
+    kept_img AS (
+      SELECT k.doc_id, k.n_clean, s2.cluster_size
+      FROM kept k JOIN surv s2 ON s2.sid = k.doc_id
+    ),
+    split AS (
+      SELECT doc_id, n_clean, cluster_size,
+             ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS sb
+      FROM kept_img
+    ),
+    train AS (SELECT doc_id, n_clean, cluster_size FROM split WHERE sb < 98),
+    sharded AS (
+      SELECT doc_id, n_clean, cluster_size,
+             ('0x' || substr(md5('s0:1:' || CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 8 AS shard
+      FROM train
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_clean) AS BIGINT) AS n_tokens,
+           CAST(sum(cluster_size) AS BIGINT) AS n_represented,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM sharded GROUP BY shard
+    """
+
+
+@register(
+    "multimodal_corpus_export_e2e",
+    _multimodal_export_sql(),
+    tags=["corpus", "dedup", "multimodal", "sampling", "iterative", "scale"],
+)
+def multimodal_corpus_export_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_export_e2e with the IMAGE modality composed in — proving
+    the multimodal dedup family is a pipeline stage, not a standalone
+    query: exact-substring span clip → keep docs >= 10 clean tokens and
+    < 50% clipped → IMAGE-dedup survivor anti-join (the
+    image_dedup_survivors CC: a doc whose perceptual-hash cluster
+    representative is another doc drops; survivors carry cluster_size)
+    → 98% train split → epoch-shuffle shard keys → per-shard manifest.
+    The manifest gains n_represented = Σ cluster_size: how many RAW
+    corpus items each shard stands for — the provenance weight mixture
+    balancing needs so a 40-copy image family doesn't weigh 40×.
+
+    100 TB shape: the span clip and the phash CC are the two audited
+    heavyweights (inverted-index skeleton; linear star-edge band join +
+    bounded-round contraction); the image stage adds ONE doc-keyed
+    hash join to the chain — dedup evidence flows by id, never by
+    payload."""
+    from reddit_tech_jobs_data_pipeline_spark.operators import shuffling
+    from reddit_tech_jobs_data_pipeline_spark.plans.catalog_analytics import (
+        _image_survivors_df,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    clipped = dedup_ops.duplicate_span_clip(docs, n=8)
+    kept = clipped.select(
+        "doc_id", (F.col("n_tok") - F.col("n_removed")).alias("n_clean"), "n_tok"
+    ).filter(
+        (F.col("n_clean") >= 10)
+        & ((F.col("n_tok") - F.col("n_clean")) * 2 < F.col("n_tok"))
+    )
+    surv = _image_survivors_df(spark, sf_dir).withColumnRenamed("id", "doc_id")
+    kept_img = kept.join(surv, "doc_id")
+    sb = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long") % 100
+    train = kept_img.filter(sb < 98).select("doc_id", "n_clean", "cluster_size")
+    sharded = train.withColumn(
+        "shard", shuffling.shard_key("doc_id", seed="s0", epoch=1, num_shards=8)
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_clean").cast("long").alias("n_tokens"),
+        F.sum("cluster_size").cast("long").alias("n_represented"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )
+
+
 @register(
     "bigram_backoff_logprob",
     f"""
@@ -1434,6 +1569,114 @@ def combined_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("id_a"), F.col("mid").alias("id_b"))
     )
     return dedup_ops.cluster_near_dups_star(tpairs.unionByName(upairs))
+
+
+def _multimodal_combined_sql() -> str:
+    """Recursive-CTE twin of the three-evidence union: text-LSH pairs +
+    URL star edges (combined_dedup_clusters' CTEs) + image perceptual-
+    hash pairs over the corpus id space (copies re-host their
+    original's image: the phash hx chain keyed on id % 100000, so every
+    copy pairs with its original at Hamming 0 and with its original's
+    family at the family distance)."""
+    from reddit_tech_jobs_data_pipeline_spark.plans.catalog_analytics import (
+        _PHASH_HAM,
+        _phash_band_cte,
+        _phash_hx_ctes,
+    )
+
+    return f"""
+    WITH RECURSIVE {_SC_CORPUS_SQL}, {_SC_SHINGLE_SQL},
+    {_sc_minhash_sql(16, 4)},
+    {_SC_JACCARD_VERIFY_SQL.format(candidate_filter="JOIN cand ON cand.id_a = a.id AND cand.id_b = b.id")},
+    tpairs AS (SELECT id_a, id_b FROM scored WHERE jaccard_raw >= 0.7),
+    {_CORPUS_URL_SQL},
+    ukeep AS (SELECT canon_url, min(id) AS mid FROM curls GROUP BY canon_url),
+    upairs AS (
+      SELECT c.id AS id_a, k.mid AS id_b
+      FROM curls c JOIN ukeep k USING (canon_url)
+      WHERE c.id <> k.mid
+    ),
+    {_phash_hx_ctes(src="corpus", id_expr="id", fam_expr="(id % 100000) // 4", var_expr="(id % 100000) % 4")},
+    {_phash_band_cte("hx", "iband")},
+    ipairs AS (
+      SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+      FROM iband a
+      JOIN iband b2 ON a.band_i = b2.band_i AND a.bval = b2.bval AND a.id < b2.id
+      WHERE {_PHASH_HAM} <= 2
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM tpairs
+      UNION SELECT id_b, id_a FROM tpairs
+      UNION SELECT id_a, id_b FROM upairs
+      UNION SELECT id_b, id_a FROM upairs
+      UNION SELECT id_a, id_b FROM ipairs
+      UNION SELECT id_b, id_a FROM ipairs
+    ),
+    reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    )
+    SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+    """
+
+
+@register(
+    "multimodal_combined_clusters",
+    _multimodal_combined_sql(),
+    tags=["dedup", "multimodal", "urls", "iterative", "scale"],
+)
+def multimodal_combined_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL duplicate identity (extends combined_dedup_clusters,
+    whose URL ∪ text-LSH union misses a document whose text changed but
+    whose IMAGE is identical): edge set = canonical-URL star edges ∪
+    MinHash-LSH verified text pairs ∪ perceptual-hash image pairs, one
+    O(log n) star-contraction CC over all three. The planted corpus
+    makes every evidence type load-bearing somewhere — image families
+    (doc_id DIV 4) link docs whose texts and URLs are unrelated, the
+    injected copies (+100000, text lightly edited, image re-hosted
+    unchanged) link via BOTH text and a Hamming-0 image edge, and URL
+    groups cut across both — so the transitive closure crosses
+    modalities (pinned in tests/test_scale_ops.py).
+
+    100 TB shape: each edge builder is the existing audited plan (URL
+    canonicalize groupBy; LSH band join + verify; phash band join in
+    the LINEAR star-edge mode — connectivity-equivalent, no B²
+    expansion on identical-image floods); the union is shuffle-free
+    concatenation and the CC is the same bounded-round contraction
+    every clustering here uses."""
+    from reddit_tech_jobs_data_pipeline_spark.functions import urls as U
+    from reddit_tech_jobs_data_pipeline_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+    from reddit_tech_jobs_data_pipeline_spark.operators.multimodal import image_ahash
+    from reddit_tech_jobs_data_pipeline_spark.plans.catalog_analytics import (
+        _phash_blobs,
+    )
+    from reddit_tech_jobs_data_pipeline_spark.plans.catalog_scale import _corpus_df
+
+    corpus = _corpus_df(spark, sf_dir)
+    tpairs = dedup_ops.minhash_lsh_dedup_pairs(
+        corpus, "text", "id", num_hashes=16, bands=4, n=3, threshold=0.7
+    ).select("id_a", "id_b")
+    curls = corpus.select(
+        "id", U.canonicalize_url(_raw_url_col(F.col("id"))).alias("canon_url")
+    )
+    ukeep = curls.groupBy("canon_url").agg(F.min("id").alias("mid"))
+    upairs = (
+        curls.join(ukeep, "canon_url")
+        .filter(F.col("id") != F.col("mid"))
+        .select(F.col("id").alias("id_a"), F.col("mid").alias("id_b"))
+    )
+    iblobs = _phash_blobs(
+        corpus.select("id", (F.col("id") % 100000).alias("doc_id")), id_col="id"
+    )
+    ipairs = hamming_band_pairs(
+        image_ahash(iblobs), max_hamming=2, exact_pairs=False
+    ).select("id_a", "id_b")
+    return dedup_ops.cluster_near_dups_star(
+        tpairs.unionByName(upairs).unionByName(ipairs)
+    )
 
 
 _BM25_K1, _BM25_B, _RRF_K = 1.2, 0.75, 60

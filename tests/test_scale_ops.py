@@ -516,3 +516,37 @@ class TestAudioEnergyWindows:
         assert set(out) == {(1, 0), (1, 1)}
         assert out[(1, 0)] == (0.0, True)
         assert out[(1, 1)] == (20000.0, False)
+
+
+def test_multimodal_combined_clusters_image_edge_is_load_bearing(spark):
+    """Cross-modal duplicate identity: two docs in the same planted
+    IMAGE family (consecutive doc_ids, unrelated texts and URLs) must
+    land in one multimodal_combined_clusters cluster while the
+    text+URL-only combined_dedup_clusters keeps them apart — the image
+    edge alone carries the link."""
+    from reddit_tech_jobs_data_pipeline_spark.plans.catalog_corpus import (
+        combined_dedup_clusters,
+        multimodal_combined_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    multi = {
+        r.id: r.cluster_id for r in multimodal_combined_clusters(spark, sf).collect()
+    }
+    textonly = {
+        r.id: r.cluster_id for r in combined_dedup_clusters(spark, sf).collect()
+    }
+    # find an image family (4k, 4k+1) linked multimodally but not by text/URL
+    witnessed = False
+    for k in range(0, 40, 4):
+        a, b = k, k + 1
+        if multi.get(a) is not None and multi.get(a) == multi.get(b):
+            same_text_cluster = (
+                a in textonly and b in textonly and textonly[a] == textonly[b]
+            )
+            if not same_text_cluster:
+                witnessed = True
+                break
+    assert witnessed, "no image-only link found in the first 10 families"
+    # injected copies re-host their original's image: Hamming-0 edge
+    assert multi.get(0) is not None and multi.get(0) == multi.get(100000)
