@@ -192,6 +192,12 @@ ADDED_R12 = [
     "streaming_ivfpq_index_ingest",
     "streaming_image_dedup_ingest",
 ]
+ADDED_R13 = [
+    "streaming_audio_dedup_ingest",
+    "streaming_video_dedup_ingest",
+    "multimodal_combined_clusters",
+    "multimodal_corpus_export_e2e",
+]
 LEGACY = list(HEADLINE)
 HEADLINE = (
     HEADLINE
@@ -202,6 +208,7 @@ HEADLINE = (
     + ADDED_R10
     + ADDED_R11
     + ADDED_R12
+    + ADDED_R13
 )
 
 
@@ -235,6 +242,7 @@ def main() -> None:
         ADDED_R10,
         ADDED_R11,
         ADDED_R12,
+        ADDED_R13,
     ):
         names = [n for n in group if n in reg]
 
