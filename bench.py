@@ -197,6 +197,8 @@ ADDED_R13 = [
     "streaming_video_dedup_ingest",
     "multimodal_combined_clusters",
     "multimodal_corpus_export_e2e",
+    "multimodal_duplicate_census",
+    "image_dedup_monochrome_flood",
 ]
 LEGACY = list(HEADLINE)
 HEADLINE = (

@@ -757,13 +757,181 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _afp_hx_ctes() -> str:
-    """CTEs from documents to per-clip fingerprint halves ``hx(id, h_lo,
-    h_hi)`` — the arithmetic twin of audio_fingerprint over the
+def _phash_blobs_mixed(docs: DataFrame) -> DataFrame:
+    """_phash_blobs with a PLANTED DEGENERATE FLOOD: every 25th doc
+    renders MONOCHROME (all 64 pixels the same gray — the gray byte
+    varies per doc, from md5, but aHash maps EVERY monochrome image to
+    (0, 0): no pixel is strictly above the mean, all bits clear). This
+    is the real-world failure mode the hot-content levers exist for —
+    bulk identical fingerprints from distinct payloads — planted so the
+    exact-hash collapse fires against the oracle, not only in unit
+    fixtures. Flood size grows with the corpus (ids % 25), so the
+    degenerate population scales like production monochrome bulk."""
+
+    def pix(j: int):
+        if j == 0:
+            return F.expr(
+                "substring(unhex(md5(concat('ph:', CAST(doc_id DIV 4 AS STRING), "
+                "':p'))), CAST(doc_id % 4 AS INT) + 1, 1)"
+            )
+        return F.expr(
+            f"substring(unhex(md5(concat('ph:', CAST(doc_id DIV 4 AS STRING), "
+            f"':{j // 16}'))), {j % 16 + 1}, 1)"
+        )
+
+    mono_byte = F.expr(
+        "substring(unhex(md5(concat('mono:', CAST(doc_id AS STRING)))), 1, 1)"
+    )
+    parts, mono_parts = [F.lit(b"P6\n8 8\n255\n")], [F.lit(b"P6\n8 8\n255\n")]
+    for j in range(64):
+        pf, pm = pix(j), mono_byte
+        parts += [pf, pf, pf]
+        mono_parts += [pm, pm, pm]
+    # two filtered branches unioned, NOT a when/otherwise over both
+    # 193-part concats: the single conditional tree exceeded the JVM
+    # method limit and fell back to interpreted evaluation (and
+    # CollapseProject undoes any staging split); each branch alone
+    # codegens like _phash_blobs does
+    fam = docs.filter(F.col("doc_id") % 25 != 0).select(
+        F.col("doc_id").alias("id"), F.concat(*parts).alias("content")
+    )
+    mono = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("id"), F.concat(*mono_parts).alias("content")
+    )
+    return fam.unionByName(mono)
+
+
+def _phash_mixed_hx_ctes() -> str:
+    """hx for the mixed fixture: the standard family hash chain, with
+    every 25th id overridden to the monochrome (0, 0) — exactly what
+    aHash computes for a constant raster (no pixel strictly above the
+    mean)."""
+    return f"""{_phash_hx_ctes()},
+    hxm AS (
+      SELECT id,
+             CASE WHEN id % 25 = 0 THEN 0 ELSE h_lo END AS h_lo,
+             CASE WHEN id % 25 = 0 THEN 0 ELSE h_hi END AS h_hi
+      FROM hx
+    )"""
+
+
+@register(
+    "multimodal_duplicate_census",
+    f"""
+    WITH {_phash_mixed_hx_ctes()}
+    SELECT h_lo, h_hi, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(id) AS BIGINT) AS rep_id
+    FROM hxm GROUP BY h_lo, h_hi HAVING count(*) >= 2
+    ORDER BY n_members DESC, h_lo, h_hi
+    """,
+    tags=["multimodal", "dedup", "observability", "scale"],
+)
+def multimodal_duplicate_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-content OBSERVABILITY surface for the fingerprint family:
+    every exact-fingerprint group with ≥ 2 members, its size and its
+    representative — the census an operator reads before (or after)
+    turning the max_band_df / max_frame_df dials, because a capped key
+    should be a visible population, not a silent drop. Run against the
+    degenerate-flood fixture (every 25th doc monochrome → one (0,0)
+    group whose size grows with the corpus) so the census actually has
+    a flood to report, oracle-checked. One groupBy on the 2-long hash —
+    the cheapest possible pass over the fingerprint store; at 100 TB
+    this is the same shape as any key-frequency profile."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    hashes = multimodal.image_ahash(_phash_blobs_mixed(docs))
+    return (
+        hashes.groupBy("h_lo", "h_hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("id").cast("long").alias("rep_id"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .orderBy(F.col("n_members").desc(), "h_lo", "h_hi")
+    )
+
+
+@register(
+    "image_dedup_monochrome_flood",
+    f"""
+    WITH RECURSIVE {_phash_mixed_hx_ctes()},
+    {_phash_band_cte("hxm", "band")},
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+      FROM band a
+      JOIN band b2 ON a.band_i = b2.band_i AND a.bval = b2.bval AND a.id < b2.id
+      WHERE {_PHASH_HAM} <= 2
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    cl AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+    sizes AS (SELECT cluster_id, count(*) AS n FROM cl GROUP BY cluster_id)
+    SELECT d.doc_id AS id, CAST(coalesce(sz.n, 1) AS BIGINT) AS cluster_size
+    FROM documents d
+    LEFT JOIN cl ON cl.id = d.doc_id
+    LEFT JOIN sizes sz ON sz.cluster_id = cl.cluster_id
+    WHERE cl.id IS NULL OR cl.id = cl.cluster_id
+    ORDER BY id
+    """,
+    tags=["multimodal", "dedup", "iterative", "scale"],
+)
+def image_dedup_monochrome_flood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """image_dedup_survivors against the DEGENERATE-FLOOD fixture — the
+    r12 verdict's scale-killer scenario run end to end with the levers
+    on and value-hash-checked against the oracle: every 25th doc is a
+    monochrome image (distinct bytes, ONE fingerprint), so without the
+    exact-hash collapse the band join would explode quadratically in
+    the flood; with it, the flood is one representative row through the
+    join, the star-edge mode emits |flood|-1 linear edges, and the CC
+    collapses the whole flood to a single survivor whose cluster_size
+    IS the flood census (plus every normal family surviving as usual).
+    The oracle replays full band-join pairs + recursive CC — component
+    equivalence of the star-edge form is therefore checked against an
+    independent engine on a real flood, not just in unit tests."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.dedup import (
+        cluster_near_dups_star,
+        hamming_band_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    hashes = multimodal.image_ahash(_phash_blobs_mixed(docs))
+    pairs = hamming_band_pairs(hashes, band_bits=16, max_hamming=2, exact_pairs=False)
+    clusters = cluster_near_dups_star(pairs.select("id_a", "id_b"))
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
+    dupes = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
+    base = docs.select(F.col("doc_id").alias("id"))
+    survivors = base.join(dupes, "id", "left_anti")
+    return (
+        survivors.join(
+            clusters.join(sizes, "cluster_id").select("id", "n"), "id", "left"
+        )
+        .select("id", F.coalesce("n", F.lit(1)).cast("long").alias("cluster_size"))
+        .orderBy("id")
+    )
+
+
+def _afp_hx_ctes(
+    src: str = "documents",
+    id_expr: str = "doc_id",
+    fam_expr: str = "doc_id // 4",
+    var_expr: str = "doc_id % 4",
+    prefix: str = "",
+) -> str:
+    """CTEs from ``src`` to per-clip fingerprint halves ``{prefix}hx(id,
+    h_lo, h_hi)`` — the arithmetic twin of audio_fingerprint over the
     planted-family WAVs: 128 little-endian int16 samples reconstructed
     from md5 hex (the multimodal_real_decode_audio arithmetic), 64
     two-sample frame energies, 63 delta-sign bits packed into two
-    32-bit longs."""
+    32-bit longs. Parameterized like _phash_hx_ctes (id / family /
+    variant expressions for the injected-copy corpus, where copies
+    re-host their original's clip); ``prefix`` renames the CTEs so the
+    chain can coexist with the image chain in one WITH clause."""
 
     def hb(h: str, b: int) -> str:
         return (
@@ -772,10 +940,10 @@ def _afp_hx_ctes() -> str:
         )
 
     ucols = [
-        "(((strpos('0123456789abcdef', substr(mp, 4*(doc_id % 4)+1, 1)) - 1) * 16 + "
-        "(strpos('0123456789abcdef', substr(mp, 4*(doc_id % 4)+2, 1)) - 1)) + 256 * "
-        "((strpos('0123456789abcdef', substr(mp, 4*(doc_id % 4)+3, 1)) - 1) * 16 + "
-        "(strpos('0123456789abcdef', substr(mp, 4*(doc_id % 4)+4, 1)) - 1))) AS u0"
+        "(((strpos('0123456789abcdef', substr(mp, 4*vidx+1, 1)) - 1) * 16 + "
+        "(strpos('0123456789abcdef', substr(mp, 4*vidx+2, 1)) - 1)) + 256 * "
+        "((strpos('0123456789abcdef', substr(mp, 4*vidx+3, 1)) - 1) * 16 + "
+        "(strpos('0123456789abcdef', substr(mp, 4*vidx+4, 1)) - 1))) AS u0"
     ]
     for i in range(1, 128):
         k, j = i // 8, i % 8
@@ -791,18 +959,20 @@ def _afp_hx_ctes() -> str:
         f"(CASE WHEN e{j + 33} > e{j + 32} THEN {1 << j} ELSE 0 END)" for j in range(31)
     )
     mcols = ", ".join(
-        f"md5('af:' || CAST(doc_id // 4 AS VARCHAR) || ':{k}') AS m{k}"
+        f"md5('af:' || CAST({fam_expr} AS VARCHAR) || ':{k}') AS m{k}"
         for k in range(16)
     )
-    return f"""m AS (
-      SELECT doc_id, md5('af:' || CAST(doc_id // 4 AS VARCHAR) || ':p') AS mp,
+    pf = prefix
+    return f"""{pf}m AS (
+      SELECT {id_expr} AS doc_id, ({var_expr}) AS vidx,
+             md5('af:' || CAST({fam_expr} AS VARCHAR) || ':p') AS mp,
              {mcols}
-      FROM documents
+      FROM {src}
     ),
-    u AS (SELECT doc_id, {", ".join(ucols)} FROM m),
-    sN AS (SELECT doc_id, {", ".join(scols)} FROM u),
-    e AS (SELECT doc_id, {", ".join(ecols)} FROM sN),
-    hx AS (SELECT doc_id AS id, {lo} AS h_lo, {hi} AS h_hi FROM e)"""
+    {pf}u AS (SELECT doc_id, vidx, {", ".join(ucols)} FROM {pf}m),
+    {pf}sN AS (SELECT doc_id, {", ".join(scols)} FROM {pf}u),
+    {pf}e AS (SELECT doc_id, {", ".join(ecols)} FROM {pf}sN),
+    {pf}hx AS (SELECT doc_id AS id, {lo} AS h_lo, {hi} AS h_hi FROM {pf}e)"""
 
 
 def _afp_oracle_sql() -> str:
@@ -829,11 +999,13 @@ _AFP_WAV_HEADER = (
 )
 
 
-def _afp_blobs(docs: DataFrame) -> DataFrame:
+def _afp_blobs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Render each document's family-derived 128-sample clip as a REAL
     PCM16 WAV — sample bytes straight from md5 digests (sample 0 is the
     per-doc variant pair), header + payload all Catalyst binary
-    expressions."""
+    expressions. ``id_col`` names the OUTPUT id when it differs from
+    the ``doc_id`` render key (the injected-copy corpus: copies carry
+    their own id but re-host their original's clip)."""
     p0 = F.expr(
         "substring(unhex(md5(concat('af:', CAST(doc_id DIV 4 AS STRING), ':p'))), "
         "2*CAST(doc_id % 4 AS INT)+1, 2)"
@@ -853,7 +1025,7 @@ def _afp_blobs(docs: DataFrame) -> DataFrame:
                 f"':{k}'))), 1, 16)"
             )
         )
-    return docs.select(F.col("doc_id").alias("id"), F.concat(*parts).alias("content"))
+    return docs.select(F.col(id_col).alias("id"), F.concat(*parts).alias("content"))
 
 
 @register(

@@ -1580,6 +1580,7 @@ def _multimodal_combined_sql() -> str:
     family at the family distance)."""
     from reddit_tech_jobs_data_pipeline_spark.plans.catalog_analytics import (
         _PHASH_HAM,
+        _afp_hx_ctes,
         _phash_band_cte,
         _phash_hx_ctes,
     )
@@ -1589,14 +1590,7 @@ def _multimodal_combined_sql() -> str:
     {_sc_minhash_sql(16, 4)},
     {_SC_JACCARD_VERIFY_SQL.format(candidate_filter="JOIN cand ON cand.id_a = a.id AND cand.id_b = b.id")},
     tpairs AS (SELECT id_a, id_b FROM scored WHERE jaccard_raw >= 0.7),
-    {_CORPUS_URL_SQL},
-    ukeep AS (SELECT canon_url, min(id) AS mid FROM curls GROUP BY canon_url),
-    upairs AS (
-      SELECT c.id AS id_a, k.mid AS id_b
-      FROM curls c JOIN ukeep k USING (canon_url)
-      WHERE c.id <> k.mid
-    ),
-    {_phash_hx_ctes(src="corpus", id_expr="id", fam_expr="(id % 100000) // 4", var_expr="(id % 100000) % 4")},
+    {_phash_hx_ctes(src="(SELECT id FROM corpus WHERE (id % 100000) % 20 < 4) isrc", id_expr="id", fam_expr="(id % 100000) // 4", var_expr="(id % 100000) % 4")},
     {_phash_band_cte("hx", "iband")},
     ipairs AS (
       SELECT DISTINCT a.id AS id_a, b2.id AS id_b
@@ -1604,13 +1598,21 @@ def _multimodal_combined_sql() -> str:
       JOIN iband b2 ON a.band_i = b2.band_i AND a.bval = b2.bval AND a.id < b2.id
       WHERE {_PHASH_HAM} <= 2
     ),
+    {_afp_hx_ctes(src="(SELECT id FROM corpus WHERE (id % 100000) % 50 = 1) asrc", id_expr="id", fam_expr="((id % 100000) // 25) // 4", var_expr="((id % 100000) // 25) % 4", prefix="a")},
+    {_phash_band_cte("ahx", "aband")},
+    apairs AS (
+      SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+      FROM aband a
+      JOIN aband b2 ON a.band_i = b2.band_i AND a.bval = b2.bval AND a.id < b2.id
+      WHERE {_PHASH_HAM} <= 2
+    ),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM tpairs
       UNION SELECT id_b, id_a FROM tpairs
-      UNION SELECT id_a, id_b FROM upairs
-      UNION SELECT id_b, id_a FROM upairs
       UNION SELECT id_a, id_b FROM ipairs
       UNION SELECT id_b, id_a FROM ipairs
+      UNION SELECT id_a, id_b FROM apairs
+      UNION SELECT id_b, id_a FROM apairs
     ),
     reach(id, label) AS (
       SELECT src, src FROM edges
@@ -1627,30 +1629,47 @@ def _multimodal_combined_sql() -> str:
     tags=["dedup", "multimodal", "urls", "iterative", "scale"],
 )
 def multimodal_combined_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CROSS-MODAL duplicate identity (extends combined_dedup_clusters,
-    whose URL ∪ text-LSH union misses a document whose text changed but
-    whose IMAGE is identical): edge set = canonical-URL star edges ∪
-    MinHash-LSH verified text pairs ∪ perceptual-hash image pairs, one
+    """CROSS-MODAL duplicate identity by CONTENT evidence (the
+    companion of combined_dedup_clusters, whose URL ∪ text-LSH union
+    misses a document whose text changed but whose IMAGE or AUDIO is
+    identical): edge set = MinHash-LSH verified text pairs ∪
+    perceptual-hash image pairs ∪ audio-fingerprint pairs, one
     O(log n) star-contraction CC over all three. The planted corpus
-    makes every evidence type load-bearing somewhere — image families
-    (doc_id DIV 4) link docs whose texts and URLs are unrelated, the
-    injected copies (+100000, text lightly edited, image re-hosted
-    unchanged) link via BOTH text and a Hamming-0 image edge, and URL
-    groups cut across both — so the transitive closure crosses
-    modalities (pinned in tests/test_scale_ops.py).
+    makes every modality load-bearing — SPARSE image families (each
+    20-block's first four docs share an image; most images are unique,
+    as in any real corpus) link docs whose texts are unrelated, the
+    sparse audio families STRADDLE the image blocks (every 50th doc,
+    family key spanning a 100-id block, so an audio pair links two
+    docs unrelated in every other modality), and the injected copies
+    (+100000, text lightly edited, image re-hosted unchanged) link via
+    BOTH text and a Hamming-0 image edge — pinned both ways in
+    tests/test_scale_ops.py (the link exists with the modality's
+    edges, vanishes without).
 
-    100 TB shape: each edge builder is the existing audited plan (URL
-    canonicalize groupBy; LSH band join + verify; phash band join in
-    the LINEAR star-edge mode — connectivity-equivalent, no B²
-    expansion on identical-image floods); the union is shuffle-free
-    concatenation and the CC is the same bounded-round contraction
-    every clustering here uses."""
-    from reddit_tech_jobs_data_pipeline_spark.functions import urls as U
+    Evidence DENSITY is a correctness dial for transitive clustering,
+    measured on this fixture: uniting the synthetic URL star groups
+    and an every-doc image tiling percolated all 550 ids into ONE
+    cluster (the classic dedup over-merge, where coarse or saturating
+    edge types weld unrelated clusters through chains). Hence this
+    query unions content evidence at realistic sparsity and leaves URL
+    evidence to combined_dedup_clusters; production unions more types
+    only when their precision holds, or gates the CC with a
+    cluster-size cap.
+
+    100 TB shape: each edge builder is the existing audited plan (LSH
+    band join + verify; fingerprint band joins in the LINEAR star-edge
+    mode — connectivity-equivalent, no B² expansion on identical-media
+    floods); the union is shuffle-free concatenation and the CC is the
+    same bounded-round contraction every clustering here uses."""
     from reddit_tech_jobs_data_pipeline_spark.operators.dedup import (
         hamming_band_pairs,
     )
-    from reddit_tech_jobs_data_pipeline_spark.operators.multimodal import image_ahash
+    from reddit_tech_jobs_data_pipeline_spark.operators.multimodal import (
+        audio_fingerprint,
+        image_ahash,
+    )
     from reddit_tech_jobs_data_pipeline_spark.plans.catalog_analytics import (
+        _afp_blobs,
         _phash_blobs,
     )
     from reddit_tech_jobs_data_pipeline_spark.plans.catalog_scale import _corpus_df
@@ -1659,23 +1678,32 @@ def multimodal_combined_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tpairs = dedup_ops.minhash_lsh_dedup_pairs(
         corpus, "text", "id", num_hashes=16, bands=4, n=3, threshold=0.7
     ).select("id_a", "id_b")
-    curls = corpus.select(
-        "id", U.canonicalize_url(_raw_url_col(F.col("id"))).alias("canon_url")
-    )
-    ukeep = curls.groupBy("canon_url").agg(F.min("id").alias("mid"))
-    upairs = (
-        curls.join(ukeep, "canon_url")
-        .filter(F.col("id") != F.col("mid"))
-        .select(F.col("id").alias("id_a"), F.col("mid").alias("id_b"))
-    )
-    iblobs = _phash_blobs(
-        corpus.select("id", (F.col("id") % 100000).alias("doc_id")), id_col="id"
-    )
+    corpus_keyed = corpus.select("id", (F.col("id") % 100000).alias("doc_id"))
+    # sparse image evidence — only each 20-block's first four docs carry
+    # the family image (most real images are unique; a corpus where
+    # EVERY image has near-dups percolates any transitive clustering,
+    # measured below in the URL note)
+    image_keyed = corpus_keyed.filter(F.col("doc_id") % 20 < 4)
     ipairs = hamming_band_pairs(
-        image_ahash(iblobs), max_hamming=2, exact_pairs=False
+        image_ahash(_phash_blobs(image_keyed, id_col="id")),
+        max_hamming=2,
+        exact_pairs=False,
+    ).select("id_a", "id_b")
+    # sparse audio evidence STRADDLING the image families: every 50th
+    # doc (offset 1) carries a clip whose family key spans a 100-id
+    # block, so an audio pair links two docs whose images, texts and
+    # URLs are all unrelated — the edge type is load-bearing, not an
+    # echo of the image families (pinned in tests)
+    audio_keyed = corpus_keyed.filter(F.col("doc_id") % 50 == 1).select(
+        "id", (F.col("doc_id") / 25).cast("long").alias("doc_id")
+    )
+    apairs = hamming_band_pairs(
+        audio_fingerprint(_afp_blobs(audio_keyed, id_col="id")),
+        max_hamming=2,
+        exact_pairs=False,
     ).select("id_a", "id_b")
     return dedup_ops.cluster_near_dups_star(
-        tpairs.unionByName(upairs).unionByName(ipairs)
+        tpairs.unionByName(ipairs).unionByName(apairs)
     )
 
 

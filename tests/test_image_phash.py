@@ -374,3 +374,22 @@ def test_frame_vote_ingest_rules_and_replay(spark, tmp_path):
     ingest_batch_frame_votes(b2, store)
     ids = {r.id for r in spark.read.parquet(store).select("id").distinct().collect()}
     assert ids == {0, 9, 3}
+
+
+def test_monochrome_flood_fixture_collapses_to_one_survivor(spark):
+    """The degenerate-flood fixture (every 25th doc monochrome): all
+    flood members share fingerprint (0,0) — distinct bytes, one hash —
+    and the survivor materialization collapses them to the single
+    minimum id with cluster_size = |flood|."""
+    from reddit_tech_jobs_data_pipeline_spark.plans.catalog_analytics import (
+        image_dedup_monochrome_flood,
+        multimodal_duplicate_census,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    census = multimodal_duplicate_census(spark, sf).collect()
+    top = census[0]
+    assert (top.h_lo, top.h_hi, top.rep_id) == (0, 0, 0) and top.n_members == 20
+    surv = {r.id: r.cluster_size for r in image_dedup_monochrome_flood(spark, sf).collect()}
+    assert surv[0] == 20  # the flood's one survivor carries the census
+    assert not any(i for i in surv if i % 25 == 0 and i > 0)  # rest dropped

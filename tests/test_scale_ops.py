@@ -550,3 +550,53 @@ def test_multimodal_combined_clusters_image_edge_is_load_bearing(spark):
     assert witnessed, "no image-only link found in the first 10 families"
     # injected copies re-host their original's image: Hamming-0 edge
     assert multi.get(0) is not None and multi.get(0) == multi.get(100000)
+
+
+def test_multimodal_combined_clusters_audio_edge_is_load_bearing(spark):
+    """The sparse audio families straddle the image families: docs 1 and
+    51 share an audio family (block 0) but nothing else — different
+    image families (0 vs 12), unrelated texts, different canonical URL
+    hosts — so their shared cluster must be carried by the audio edge
+    alone: present in the four-evidence clustering, absent from a CC
+    over the SAME edges minus audio."""
+    from pyspark.sql import functions as F
+
+    from reddit_tech_jobs_data_pipeline_spark.operators import dedup as dedup_ops
+    from reddit_tech_jobs_data_pipeline_spark.operators.multimodal import image_ahash
+    from reddit_tech_jobs_data_pipeline_spark.plans.catalog_analytics import (
+        _phash_blobs,
+    )
+    from reddit_tech_jobs_data_pipeline_spark.plans.catalog_corpus import (
+        multimodal_combined_clusters,
+    )
+    from reddit_tech_jobs_data_pipeline_spark.plans.catalog_scale import _corpus_df
+
+    sf = "/root/testdata/sf0.001"
+    multi = {
+        r.id: r.cluster_id for r in multimodal_combined_clusters(spark, sf).collect()
+    }
+    assert multi.get(1) is not None and multi.get(1) == multi.get(51)
+
+    corpus = _corpus_df(spark, sf)
+    tpairs = dedup_ops.minhash_lsh_dedup_pairs(
+        corpus, "text", "id", num_hashes=16, bands=4, n=3, threshold=0.7
+    ).select("id_a", "id_b")
+    ipairs = dedup_ops.hamming_band_pairs(
+        image_ahash(
+            _phash_blobs(
+                corpus.select("id", (F.col("id") % 100000).alias("doc_id")).filter(
+                    F.col("doc_id") % 20 < 4
+                ),
+                id_col="id",
+            )
+        ),
+        max_hamming=2,
+        exact_pairs=False,
+    ).select("id_a", "id_b")
+    no_audio = {
+        r.id: r.cluster_id
+        for r in dedup_ops.cluster_near_dups_star(
+            tpairs.unionByName(ipairs)
+        ).collect()
+    }
+    assert no_audio.get(1) != no_audio.get(51) or no_audio.get(1) is None
