@@ -199,6 +199,7 @@ ADDED_R13 = [
     "multimodal_corpus_export_e2e",
     "multimodal_duplicate_census",
     "image_dedup_monochrome_flood",
+    "video_shot_boundaries",
 ]
 LEGACY = list(HEADLINE)
 HEADLINE = (

@@ -916,6 +916,120 @@ def image_dedup_monochrome_flood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shot_blobs(docs: DataFrame) -> DataFrame:
+    """Render each document as a 6-frame raw clip with a PLANTED SHOT
+    STRUCTURE: frames 0-2 render from shot key 0, frames 3-5 from shot
+    key 1 (keys salted per doc), so consecutive frames are identical
+    within a shot and ~32 Hamming bits apart across the cut at frame 3
+    — the fixture shot-boundary detection needs (the 4-frame _vfh_blobs
+    clips are all-distinct frames, where every transition is trivially
+    a cut). Same staged-digest projection trick as _vfh_blobs."""
+    staged = docs.select(
+        F.col("doc_id").alias("id"),
+        *[
+            F.expr(
+                f"unhex(md5(concat('sb:', CAST(doc_id AS STRING), ':{f // 3}:{k}')))"
+            ).alias(f"b_{f // 3}_{k}")
+            for f in (0, 3)
+            for k in range(4)
+        ],
+    )
+    parts = []
+    for f in range(6):
+        parts.append(F.lit(b"P6\n8 8\n255\n"))
+        for j in range(64):
+            px = F.expr(f"substring(b_{f // 3}_{j // 16}, {j % 16 + 1}, 1)")
+            parts += [px, px, px]
+    return staged.select("id", F.concat(*parts).alias("content"))
+
+
+def _shot_oracle_sql() -> str:
+    """Twin of the shot-boundary walk: per-frame aHash from the shot
+    key (frame f uses key f // 3), then per-frame Hamming against the
+    previous frame and the integer cut test."""
+
+    def hexb(h: str, j: int) -> str:
+        c = 2 * j + 1
+        return (
+            f"((strpos('0123456789abcdef', substr({h}, {c}, 1)) - 1) * 16 + "
+            f"(strpos('0123456789abcdef', substr({h}, {c + 1}, 1)) - 1))"
+        )
+
+    gcols = [f"{hexb(f'm{j // 16}', j % 16)} AS g{j}" for j in range(64)]
+    ssum = " + ".join(f"g{j}" for j in range(64))
+    lo = " + ".join(
+        f"(CASE WHEN 64*g{j} > ssum THEN {1 << j} ELSE 0 END)" for j in range(32)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN 64*g{j + 32} > ssum THEN {1 << j} ELSE 0 END)" for j in range(32)
+    )
+    mcols = ", ".join(
+        f"md5('sb:' || CAST(doc_id AS VARCHAR) || ':' || CAST(f // 3 AS VARCHAR) "
+        f"|| ':{k}') AS m{k}"
+        for k in range(4)
+    )
+    return f"""
+    WITH fr AS (
+      SELECT doc_id, f.f
+      FROM documents, (SELECT unnest([0, 1, 2, 3, 4, 5]) AS f) f
+    ),
+    m AS (SELECT doc_id, f, {mcols} FROM fr),
+    px AS (SELECT doc_id, f, {", ".join(gcols)} FROM m),
+    s AS (SELECT *, {ssum} AS ssum FROM px),
+    hx AS (SELECT doc_id AS id, f, {lo} AS h_lo, {hi} AS h_hi FROM s)
+    SELECT a.id, CAST(a.f AS INT) AS frame_idx,
+           CAST(bit_count(xor(a.h_lo, p.h_lo))
+              + bit_count(xor(a.h_hi, p.h_hi)) AS BIGINT) AS hamming_prev,
+           (bit_count(xor(a.h_lo, p.h_lo))
+              + bit_count(xor(a.h_hi, p.h_hi))) > 10 AS is_cut
+    FROM hx a JOIN hx p ON a.id = p.id AND a.f = p.f + 1
+    ORDER BY a.id, a.f
+    """
+
+
+@register(
+    "video_shot_boundaries",
+    _shot_oracle_sql(),
+    tags=["multimodal", "window", "scale"],
+)
+def video_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection by perceptual-hash delta — the standard
+    content-based segmentation primitive (a hard cut moves most of the
+    frame's luminance pattern, so consecutive-frame aHash Hamming jumps
+    from ~0 within a shot to ~32 across a cut): walk + decode + aHash
+    every frame (multimodal.video_frame_hashes — one mapInPandas pass,
+    rasters never shuffle), then ONE lag window per video over the
+    3-long frame rows and the integer cut test hamming > 10. The
+    planted clips carry two 3-frame shots, so exactly frame 3 cuts per
+    video; within-shot deltas are 0. The oracle recomputes frame
+    hashes from the md5 hex and replays the lag as a self-join.
+
+    100 TB: segmentation cost = the decode pass (honest per-frame
+    work) + a window over (id, frame_idx) — shuffle weight is 3 longs
+    per frame, never pixels; downstream shot-level dedup rides the
+    same vote machinery as whole-video dedup, keyed on cut-bounded
+    segments instead of clips."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    fh = multimodal.video_frame_hashes(_shot_blobs(docs))
+    w = Window.partitionBy("id").orderBy("frame_idx")
+    ham = F.bit_count(
+        F.col("h_lo").bitwiseXOR(F.lag("h_lo").over(w))
+    ) + F.bit_count(F.col("h_hi").bitwiseXOR(F.lag("h_hi").over(w)))
+    return (
+        fh.select("id", "frame_idx", ham.alias("hamming_prev"))
+        .filter(F.col("hamming_prev").isNotNull())
+        .select(
+            "id",
+            "frame_idx",
+            F.col("hamming_prev").cast("long").alias("hamming_prev"),
+            (F.col("hamming_prev") > 10).alias("is_cut"),
+        )
+        .orderBy("id", "frame_idx")
+    )
+
+
 def _afp_hx_ctes(
     src: str = "documents",
     id_expr: str = "doc_id",

@@ -393,3 +393,21 @@ def test_monochrome_flood_fixture_collapses_to_one_survivor(spark):
     surv = {r.id: r.cluster_size for r in image_dedup_monochrome_flood(spark, sf).collect()}
     assert surv[0] == 20  # the flood's one survivor carries the census
     assert not any(i for i in surv if i % 25 == 0 and i > 0)  # rest dropped
+
+
+def test_shot_boundaries_cut_exactly_at_the_planted_shot_change(spark):
+    """The planted 6-frame clips hold two 3-frame shots: within-shot
+    consecutive deltas are Hamming 0, the single cut at frame 3 moves
+    ~half the bits — the is_cut column must flag exactly frame 3."""
+    from reddit_tech_jobs_data_pipeline_spark.plans.catalog_analytics import (
+        video_shot_boundaries,
+    )
+
+    rows = video_shot_boundaries(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "no frames"
+    for r in rows:
+        assert r.is_cut == (r.frame_idx == 3), (r.id, r.frame_idx, r.hamming_prev)
+        if r.frame_idx != 3:
+            assert r.hamming_prev == 0
+        else:
+            assert r.hamming_prev > 10
