@@ -745,7 +745,10 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     only from the 65536-bucket band equi-join, so the pair volume is
     set by true near-dups (planted linear here), never N²."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    hashes = multimodal.image_ahash(_phash_blobs(docs))
+    # fingerprint ONCE: the pair machinery references the hash table in
+    # several join branches, and an unmaterialized mapInPandas decode
+    # would re-run per branch (measured 1.99 -> 1.10 s at sf0.1)
+    hashes = multimodal.image_ahash(_phash_blobs(docs)).localCheckpoint()
     from reddit_tech_jobs_data_pipeline_spark.operators.dedup import (
         hamming_band_pairs,
     )
@@ -900,7 +903,8 @@ def image_dedup_monochrome_flood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    hashes = multimodal.image_ahash(_phash_blobs_mixed(docs))
+    # fingerprint once — see image_phash_near_dup
+    hashes = multimodal.image_ahash(_phash_blobs_mixed(docs)).localCheckpoint()
     pairs = hamming_band_pairs(hashes, band_bits=16, max_hamming=2, exact_pairs=False)
     clusters = cluster_near_dups_star(pairs.select("id_a", "id_b"))
     sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
@@ -1168,7 +1172,8 @@ def audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     65536-bucket band equi-join — the same shape as every other
     near-dup family."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    fps = multimodal.audio_fingerprint(_afp_blobs(docs))
+    # fingerprint once — see image_phash_near_dup
+    fps = multimodal.audio_fingerprint(_afp_blobs(docs)).localCheckpoint()
     from reddit_tech_jobs_data_pipeline_spark.operators.dedup import (
         hamming_band_pairs,
     )
@@ -1314,7 +1319,9 @@ def video_framehash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    fh = multimodal.video_frame_hashes(_vfh_blobs(docs))
+    # frame-hash once: the vote self-joins the per-frame table — see
+    # image_phash_near_dup for the re-decode hazard
+    fh = multimodal.video_frame_hashes(_vfh_blobs(docs)).localCheckpoint()
     return (
         shared_hash_vote_pairs(fh, min_shared=2, max_frame_df=_VFH_MAX_FRAME_DF)
         .select("id_a", "id_b", F.col("shared_frames").cast("long").alias("shared_frames"))
@@ -1366,7 +1373,8 @@ def _image_survivors_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     composable core of image_dedup_survivors, reused as a stage by the
     multimodal export chain (multimodal_corpus_export_e2e)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    hashes = multimodal.image_ahash(_phash_blobs(docs))
+    # fingerprint once — see image_phash_near_dup
+    hashes = multimodal.image_ahash(_phash_blobs(docs)).localCheckpoint()
     from reddit_tech_jobs_data_pipeline_spark.operators.dedup import (
         cluster_near_dups_star,
         hamming_band_pairs,

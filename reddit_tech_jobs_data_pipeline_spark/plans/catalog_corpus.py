@@ -1685,7 +1685,7 @@ def multimodal_combined_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured below in the URL note)
     image_keyed = corpus_keyed.filter(F.col("doc_id") % 20 < 4)
     ipairs = hamming_band_pairs(
-        image_ahash(_phash_blobs(image_keyed, id_col="id")),
+        image_ahash(_phash_blobs(image_keyed, id_col="id")).localCheckpoint(),
         max_hamming=2,
         exact_pairs=False,
     ).select("id_a", "id_b")
@@ -1698,7 +1698,7 @@ def multimodal_combined_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", (F.col("doc_id") / 25).cast("long").alias("doc_id")
     )
     apairs = hamming_band_pairs(
-        audio_fingerprint(_afp_blobs(audio_keyed, id_col="id")),
+        audio_fingerprint(_afp_blobs(audio_keyed, id_col="id")).localCheckpoint(),
         max_hamming=2,
         exact_pairs=False,
     ).select("id_a", "id_b")
