@@ -44,16 +44,38 @@ def _sq_dist(a: Column, b: Column) -> Column:
 
 
 def assign_clusters(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest centroid per vector: broadcast the centroid table, score
-    every (vector, centroid) pair, keep the argmin (tie → lowest cid)."""
-    scored = vecs.join(F.broadcast(centroids)).withColumn(
-        "dist", _sq_dist(F.col("v"), F.col("cvec"))
+    """Nearest centroid per vector: collapse the (tiny) centroid table
+    to ONE array row, broadcast it, and take the argmin with a
+    higher-order-function fold — a map-only projection over the vectors.
+
+    The former shape (broadcast join ×k row explosion + a
+    row_number window partitioned by vec_id) shuffled |vecs|·k rows and
+    sorted them just to keep one; this computes the same argmin with
+    ZERO exchanges on the vector side (r14, guide §2.4). Every
+    per-centroid distance is the identical `_sq_dist` sequential fold,
+    and `array_min` over (dist, cid) structs is exactly the old
+    (dist asc, cid asc) tie-break — a unique total order, so the result
+    is independent of the array's element order and bit-identical to
+    the window form (oracle-gated by every kmeans/PQ/SemDeDup query)."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.parallelism import fan_out
+
+    # the argmin is now a CPU-bound NARROW stage, so a small scan's
+    # 1-split parallelism would serialize it on one core — repair
+    # conditionally (no-op at scale where the scan has many splits)
+    vecs = fan_out(vecs)
+    cent_arr = centroids.agg(
+        F.collect_list(F.struct("cid", "cvec")).alias("__cents")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            _sq_dist(F.col("v"), c["cvec"]).alias("dist"), c["cid"].alias("cid")
+        ),
+    )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "v", "cid")
+        vecs.join(F.broadcast(cent_arr))
+        .select("vec_id", "v", F.array_min(scored)["cid"].alias("cid"))
+        .filter(F.col("cid").isNotNull())
     )
 
 

@@ -23,6 +23,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from reddit_tech_jobs_data_pipeline_spark.operators.parallelism import fan_out
+
 
 def _dvec(c: Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
@@ -298,21 +300,42 @@ def ivf_assign_cells(
     vec_col: str = "v",
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroid cells
-    (cosine). ``centroids`` is (cell_id, cvec) — small, broadcast; the
-    cross join is |vectors| × |cells| narrow rows, argmax via one window.
-    Scores rounded to 6 dp before ranking so cell choice is reproducible
-    across engines; exact ties break on cell_id."""
-    scored = vectors.crossJoin(F.broadcast(centroids)).select(
-        id_col,
-        vec_col,
-        "cell_id",
-        F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("cscore"),
+    (cosine). ``centroids`` is (cell_id, cvec) — small; it collapses to
+    ONE array row, broadcasts, and the top-nprobe cells come from a
+    higher-order sort over per-cell scores — a map-only projection.
+
+    r14 rewrite (guide §2.4): the former shape cross-joined |vectors| ×
+    |cells| rows and ran a row_number window (an exchange + sort of the
+    exploded table) to keep nprobe; this emits the same rows with zero
+    exchanges on the vector side. Scores are rounded to 6 dp before
+    ranking exactly as before (reproducible across engines); the sort
+    key (0.0 − cscore, cell_id) is the old (cscore DESC, cell_id ASC)
+    — `0.0 − x` rather than `−x` so a ±0.0 score cannot produce a
+    −0.0 ordering artifact — and is a unique total order, so the
+    result is independent of the array's element order."""
+    # NOTE: parallelism repair (fan_out) is the CALLER's job on the
+    # corpus side — this runs on tiny query sets too (every probe), and
+    # an unconditional repartition there is pure overhead
+    cent_arr = centroids.agg(
+        F.collect_list(F.struct("cell_id", "cvec")).alias("__cells")
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("cscore").desc(), F.col("cell_id"))
+    scored = F.transform(
+        F.col("__cells"),
+        lambda c: F.struct(
+            (F.lit(0.0) - F.round(cosine(F.col(vec_col), c["cvec"]), 6)).alias(
+                "nscore"
+            ),
+            c["cell_id"].alias("cell_id"),
+        ),
+    )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= nprobe)
-        .select(id_col, vec_col, "cell_id")
+        vectors.join(F.broadcast(cent_arr))
+        .select(
+            id_col,
+            vec_col,
+            F.explode(F.slice(F.array_sort(scored), 1, nprobe)).alias("__c"),
+        )
+        .select(id_col, vec_col, F.col("__c.cell_id").alias("cell_id"))
     )
 
 
@@ -338,7 +361,7 @@ def ivf_ann_topk(
     centroids = seeded_centroids(corpus, num_cells, id_col, vec_col)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("v"))
     q = queries.select(F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("v"))
-    c_cells = ivf_assign_cells(c, centroids, nprobe=1, id_col="neighbor_id")
+    c_cells = ivf_assign_cells(fan_out(c), centroids, nprobe=1, id_col="neighbor_id")
     q_cells = ivf_assign_cells(q, centroids, nprobe=nprobe, id_col="query_id")
     scored = (
         c_cells.withColumnRenamed("v", "cvec2")
@@ -415,7 +438,7 @@ def ivf_trained_ann_topk(
     ).select(F.col("cid").alias("cell_id"), "cvec")
     c = corpus.select(F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("v"))
     q = queries.select(F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("v"))
-    c_cells = ivf_assign_cells(c, centroids, nprobe=1, id_col="neighbor_id")
+    c_cells = ivf_assign_cells(fan_out(c), centroids, nprobe=1, id_col="neighbor_id")
     q_cells = ivf_assign_cells(q, centroids, nprobe=nprobe, id_col="query_id")
     scored = (
         c_cells.withColumnRenamed("v", "cvec2")
@@ -475,8 +498,11 @@ def write_ivf_index(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("v")
     )
-    assigned = ivf_assign_cells(c, centroids, nprobe=1, id_col="neighbor_id")
-    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    assigned = ivf_assign_cells(fan_out(c), centroids, nprobe=1, id_col="neighbor_id")
+    # cluster by cell before the partitioned write: one file per cell
+    # per build instead of one per (task x cell) — guide §6 (the
+    # pre-write hash distribution), and the probe opens fewer fragments
+    assigned.repartition("cell_id").write.mode("overwrite").partitionBy("cell_id").parquet(path)
 
 
 def append_ivf_index(
@@ -502,8 +528,8 @@ def append_ivf_index(
     c = corpus_delta.select(
         F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("v")
     )
-    assigned = ivf_assign_cells(c, centroids, nprobe=1, id_col="neighbor_id")
-    assigned.write.mode("append").partitionBy("cell_id").parquet(path)
+    assigned = ivf_assign_cells(fan_out(c), centroids, nprobe=1, id_col="neighbor_id")
+    assigned.repartition("cell_id").write.mode("append").partitionBy("cell_id").parquet(path)
 
 
 def _books_geometry_from_rows(rows, dim: int, who: str) -> tuple[int, int]:
@@ -913,36 +939,170 @@ def pq_encode(
     same as the IVF coarse quantizer), broadcast the codebooks, encode
     in one embarrassing-parallel pass (m broadcast-join argmins).
     """
-    from reddit_tech_jobs_data_pipeline_spark.operators.kmeans import (
-        assign_clusters,
-        lloyd_kmeans,
+    books = pq_train_books(corpus, m, ks, train_iters, dim, id_col, vec_col)
+    codes = pq_encode_with_books(corpus, books, m, dim, id_col, vec_col)
+    return codes, books
+
+
+def pq_train_books(
+    corpus: DataFrame,
+    m: int = 4,
+    ks: int = 8,
+    train_iters: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The training half of ``pq_encode``: m per-subspace Lloyd runs as
+    ONE dataflow keyed by ``sub``, producing the (sub, cid, cvec)
+    codebook table. Lazy — one materialization executes the whole
+    training.
+
+    r14 restructure (guide §2.4 / §1.2 "the distributed algorithm"):
+    the former shape ran m INDEPENDENT lloyd_kmeans DAGs and unioned
+    them — m init sorts, m×iters assignment passes and m×iters update
+    shuffles per materialization (the plan grew with m, and so did the
+    AQE job count). Here every iteration is ONE argmin projection
+    computing all m subspace assignments (the pq_encode_with_books
+    expression) and ONE (sub, cid) update aggregation — plan size and
+    shuffle count independent of m. The per-subspace arithmetic is
+    unchanged and bit-exact: identical `_sq_dist` sequential folds,
+    identical (dist, cid) argmin tie-break, identical vec_id-ordered
+    member fold in the update (update_centroids' contract), identical
+    lowest-k-vec_id init — so the books match the per-subspace
+    lloyd_kmeans output value-for-value (same oracle gates both)."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.kmeans import _sq_dist
+
+    if train_iters < 1:
+        raise ValueError("pq_train_books requires train_iters >= 1")
+    sub = dim // m
+    base = fan_out(
+        corpus.select(F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("__v"))
     )
+    # init: the ks lowest-vec_id vectors seed every subspace (cid =
+    # rank among the seeds — lloyd_kmeans' deterministic init, computed
+    # once and sliced per sub)
+    w = Window.orderBy("vec_id")
+    seeds = (
+        base.orderBy("vec_id")
+        .limit(ks)
+        .select((F.row_number().over(w) - 1).alias("cid"), F.col("__v"))
+    )
+    cents = seeds.select(
+        "cid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice("__v", s * sub + 1, sub).alias("cvec"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("__sc"),
+    ).select(F.col("__sc.sub").alias("sub"), "cid", F.col("__sc.cvec").alias("cvec"))
+    zeros = F.array_repeat(F.lit(0.0), sub)
+    for it in range(train_iters):
+        cent_arr = cents.agg(
+            F.collect_list(F.struct("sub", "cid", "cvec")).alias("__books")
+        )
+
+        def member_struct(s: int):
+            sl = F.slice(F.col("__v"), s * sub + 1, sub)
+            scored = F.transform(
+                F.filter(F.col("__books"), lambda b: b["sub"] == F.lit(s)),
+                lambda b: F.struct(
+                    _sq_dist(sl, b["cvec"]).alias("dist"), b["cid"].alias("cid")
+                ),
+            )
+            return F.struct(
+                F.lit(s).alias("sub"),
+                F.array_min(scored)["cid"].alias("cid"),
+                sl.alias("v"),
+            )
+
+        memb = (
+            base.join(F.broadcast(cent_arr))
+            .select(
+                "vec_id",
+                F.explode(
+                    F.array(*[member_struct(s) for s in range(m)])
+                ).alias("__m"),
+            )
+            .select(
+                "vec_id",
+                F.col("__m.sub").alias("sub"),
+                F.col("__m.cid").alias("cid"),
+                F.col("__m.v").alias("v"),
+            )
+        )
+        # update_centroids' ordered fold, grouped by (sub, cid): members
+        # fold in vec_id order — the bit-exact oracle-parity update
+        grouped = memb.groupBy("sub", "cid").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("members"),
+        )
+        summed = F.aggregate(
+            F.transform(F.col("members"), lambda mm: mm["v"]),
+            zeros,
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        )
+        cents = grouped.select(
+            "sub", "cid", F.transform(summed, lambda x: x / F.col("n")).alias("cvec")
+        )
+        if (it + 1) % 4 == 0 and it + 1 < train_iters:
+            cents = cents.localCheckpoint()
+    return cents.select("sub", "cid", "cvec")
+
+
+def pq_encode_with_books(
+    corpus: DataFrame,
+    books: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The encode half of ``pq_encode``: ALL m subspace codes in ONE
+    map-only pass. The codebook table (m×ks rows — KBs at any corpus
+    size) collapses to a single array row and rides a broadcast
+    nested-loop join; each ``code_s`` is a higher-order-function argmin
+    over that sub's centroids (identical `_sq_dist` fold, identical
+    (dist, cid) tie-break — a unique total order, so the value is
+    independent of the array's element order).
+
+    r14 rewrite (guide §2.4): the former shape ran one
+    ``assign_clusters`` per subspace — m broadcast-join ×ks row
+    explosions, m row_number windows (each an exchange + sort of the
+    corpus) — then re-joined the m assignment tables on vec_id (m-1
+    more joins). This emits the same (vec_id, code_0..code_{m-1}) rows
+    from one projection with zero exchanges on the corpus side, which
+    is also the 100 TB encode shape: broadcast the KB model, one
+    embarrassing-parallel pass."""
+    from reddit_tech_jobs_data_pipeline_spark.operators.kmeans import _sq_dist
 
     sub = dim // m
-    # no fan_out here, deliberately: the encode plan re-references the
-    # corpus from many branches (m trainings + m assigns), and an A/B at
-    # sf0.1 measured the extra repartition exchanges costing ~1.8× (3.6 s
-    # -> 5.7-7 s) — the subspace sweeps are exchange-bound, not scan-bound.
-    # The train+encode stays the LAZY join form deliberately: an r11 A/B
-    # of collect-books + frozen-expression encode (the append_pq_index
-    # shape) measured 9.6 s vs 5.9 s for this combined build at sf0.1 —
-    # the eager books collect serializes the 8 single-partition k-means
-    # subtrees into their own job instead of letting the one write job
-    # pipeline them, so the expression path only wins when the books
-    # ALREADY exist (appends, probes over persisted indexes).
-    base = corpus.select(F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("__v"))
-    codes = None
-    books = None
-    for s in range(m):
-        sv = base.select("vec_id", F.slice("__v", s * sub + 1, sub).alias("v"))
-        cents = lloyd_kmeans(sv, k=ks, dim=sub, iterations=train_iters, vec_col="v")
-        book = cents.select(F.lit(s).alias("sub"), "cid", "cvec")
-        books = book if books is None else books.unionByName(book)
-        assigned = assign_clusters(sv, cents.select("cid", "cvec")).select(
-            "vec_id", F.col("cid").alias(f"code_{s}")
+    base = fan_out(
+        corpus.select(F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("__v"))
+    )
+    books_arr = books.agg(
+        F.collect_list(F.struct("sub", "cid", "cvec")).alias("__books")
+    )
+
+    def code_expr(s: int):
+        sl = F.slice(F.col("__v"), s * sub + 1, sub)
+        scored = F.transform(
+            F.filter(F.col("__books"), lambda b: b["sub"] == F.lit(s)),
+            lambda b: F.struct(
+                _sq_dist(sl, b["cvec"]).alias("dist"), b["cid"].alias("cid")
+            ),
         )
-        codes = assigned if codes is None else codes.join(assigned, "vec_id")
-    return codes, books
+        return F.array_min(scored)["cid"].alias(f"code_{s}")
+
+    return base.join(F.broadcast(books_arr)).select(
+        "vec_id", *[code_expr(s) for s in range(m)]
+    )
 
 
 def pq_topk(
@@ -984,9 +1144,12 @@ def pq_topk(
     localCheckpointed at the train/score boundary (the ivfpq_topk
     rationale: lazy, they are re-derived per consuming branch — the
     persisted write_pq_index path is the production form)."""
-    codes, books = pq_encode(corpus, m, ks, train_iters, dim, id_col, vec_col)
-    codes = codes.localCheckpoint()
-    books = books.localCheckpoint()
+    # train ONCE (books checkpoint executes all m subspace trainings in
+    # one job), then the encode is a single map-only pass against the
+    # materialized KB model — r14: the former pq_encode-then-checkpoint
+    # order re-ran the m trainings for each of codes/books
+    books = pq_train_books(corpus, m, ks, train_iters, dim, id_col, vec_col).localCheckpoint()
+    codes = pq_encode_with_books(corpus, books, m, dim, id_col, vec_col).localCheckpoint()
     c = _pq_reconstruct(codes, books, m)
     q = queries.select(
         F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qvec")
@@ -994,18 +1157,37 @@ def pq_topk(
     return _pq_adc_rerank(c, q, corpus, k, rerank_n, id_col, vec_col)
 
 
-def _pq_reconstruct(codes: DataFrame, books: DataFrame, m: int) -> DataFrame:
-    """Codebook reconstruction: m broadcast joins (the codebooks are
-    m×ks rows — KBs at any corpus size) re-expand each code row to the
-    concatenated centroid vector. Returns (neighbor_id, cvec)."""
-    rec = codes
+def _book_literal_parts(book_rows, m: int) -> list[Column]:
+    """Per-subspace centroid lookup expressions from COLLECTED book rows
+    — the model rides the plan as literal arrays (dense cid→cvec tables;
+    gaps from centroids that lost all members are zero-filled and
+    unreferenced), `element_at` is whole-stage-codegen'd, and no join or
+    broadcast exchange exists at all. Shared by the persisted-index
+    probes and the inline reconstruct."""
+    by_sub: dict[int, dict[int, list[float]]] = {}
+    for r in book_rows:
+        by_sub.setdefault(int(r.sub), {})[int(r.cid)] = [float(x) for x in r.cvec]
+    parts = []
     for s in range(m):
-        part = books.filter(F.col("sub") == s).select(
-            F.col("cid").alias(f"code_{s}"), F.col("cvec").alias(f"__p{s}")
-        )
-        rec = rec.join(F.broadcast(part), f"code_{s}")
-    rvec = F.concat(*[F.col(f"__p{s}") for s in range(m)])
-    return rec.select(F.col("vec_id").alias("neighbor_id"), rvec.alias("cvec"))
+        cmap = by_sub[s]
+        width = len(next(iter(cmap.values())))
+        table = [cmap.get(cid, [0.0] * width) for cid in range(max(cmap) + 1)]
+        lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in table])
+        parts.append(F.element_at(lit, F.col(f"code_{s}") + 1))
+    return parts
+
+
+def _pq_reconstruct(codes: DataFrame, books: DataFrame, m: int) -> DataFrame:
+    """Codebook reconstruction to (neighbor_id, cvec). ``books`` must be
+    MATERIALIZED (localCheckpointed or read back from disk) — it is
+    collected here (bounded: the m×ks-row model, never data) and inlined
+    as literal lookup arrays. The former shape ran m broadcast hash
+    joins (one per subspace); the literal path is one map-only
+    projection with zero exchanges (r14, guide §2.4 — the
+    pq_index_topk contract, now shared by the inline forms; collected
+    doubles round-trip bit-identically through F.lit)."""
+    rvec = F.concat(*_book_literal_parts(books.collect(), m))
+    return codes.select(F.col("vec_id").alias("neighbor_id"), rvec.alias("cvec"))
 
 
 def _pq_adc_rerank(
@@ -1078,7 +1260,8 @@ def write_pq_index(
     disk. Centroid vectors are doubles; parquet round-trips them
     bit-identically, so a probe scores exactly like the in-memory path
     and the same oracle gates both."""
-    codes, books = pq_encode(corpus, m, ks, train_iters, dim, id_col, vec_col)
+    books = pq_train_books(corpus, m, ks, train_iters, dim, id_col, vec_col).localCheckpoint()
+    codes = pq_encode_with_books(corpus, books, m, dim, id_col, vec_col)
     codes.write.mode("overwrite").parquet(f"{path}/codes")
     books.coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
 
@@ -1113,18 +1296,7 @@ def pq_index_topk(
         raise ValueError(f"pq_index_topk: empty/corrupt index at {index_path}")
     if rerank_n > 0 and corpus is None:
         raise ValueError("pq_index_topk: rerank_n > 0 requires the raw corpus")
-    by_sub: dict[int, dict[int, list[float]]] = {}
-    for r in book_rows:
-        by_sub.setdefault(int(r.sub), {})[int(r.cid)] = [float(x) for x in r.cvec]
-    parts = []
-    for s in range(m):
-        cmap = by_sub[s]
-        width = len(next(iter(cmap.values())))
-        # dense cid→centroid table; gaps (centroids that lost all members)
-        # are zero-filled and unreferenced — no code points at them
-        table = [cmap.get(cid, [0.0] * width) for cid in range(max(cmap) + 1)]
-        lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in table])
-        parts.append(F.element_at(lit, F.col(f"code_{s}") + 1))
+    parts = _book_literal_parts(book_rows, m)
     c = codes.select(
         F.col("vec_id").alias("neighbor_id"), F.concat(*parts).alias("cvec")
     )
@@ -1186,19 +1358,16 @@ def ivfpq_topk(
     production form (this form re-trains per call by design)."""
     cents = seeded_centroids(corpus, num_cells, id_col, vec_col).localCheckpoint()
     c = corpus.select(F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("v"))
-    assigned = ivf_assign_cells(c, cents, nprobe=1, id_col="vec_id")
+    assigned = ivf_assign_cells(fan_out(c), cents, nprobe=1, id_col="vec_id")
     resid = assigned.join(F.broadcast(cents), "cell_id").select(
         "vec_id",
         "cell_id",
         F.col("cvec").alias("coarse"),
         F.zip_with("v", "cvec", lambda a, b: a - b).alias("r"),
     ).localCheckpoint()
-    codes, books = pq_encode(
-        resid.select("vec_id", F.col("r").alias("embedding")),
-        m, ks, train_iters, dim,
-    )
-    codes = codes.localCheckpoint()
-    books = books.localCheckpoint()
+    resid_emb = resid.select("vec_id", F.col("r").alias("embedding"))
+    books = pq_train_books(resid_emb, m, ks, train_iters, dim).localCheckpoint()
+    codes = pq_encode_with_books(resid_emb, books, m, dim).localCheckpoint()
     rrec = _pq_reconstruct(codes, books, m).withColumnRenamed("cvec", "rrec")
     cand = rrec.join(
         resid.select(
@@ -1288,21 +1457,20 @@ def write_ivfpq_index(
         else seeded_centroids(corpus, num_cells, id_col, vec_col)
     ).localCheckpoint()
     c = corpus.select(F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("v"))
-    assigned = ivf_assign_cells(c, cents, nprobe=1, id_col="vec_id")
+    assigned = ivf_assign_cells(fan_out(c), cents, nprobe=1, id_col="vec_id")
     # checkpoint: referenced by both the encode below and the final
     # cell_id join — lazy, the assignment pass would run twice
     resid = assigned.join(F.broadcast(cents), "cell_id").select(
         "vec_id", "cell_id", F.zip_with("v", "cvec", lambda a, b: a - b).alias("r")
     ).localCheckpoint()
-    codes, books = pq_encode(
-        resid.select("vec_id", F.col("r").alias("embedding")),
-        m, ks, train_iters, dim,
-    )
+    resid_emb = resid.select("vec_id", F.col("r").alias("embedding"))
+    books = pq_train_books(resid_emb, m, ks, train_iters, dim).localCheckpoint()
+    codes = pq_encode_with_books(resid_emb, books, m, dim)
     cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/cents")
     books.coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
-    codes.join(resid.select("vec_id", "cell_id"), "vec_id").write.mode(
-        "overwrite"
-    ).partitionBy("cell_id").parquet(f"{path}/codes")
+    codes.join(resid.select("vec_id", "cell_id"), "vec_id").repartition(
+        "cell_id"
+    ).write.mode("overwrite").partitionBy("cell_id").parquet(f"{path}/codes")
 
 
 def append_ivfpq_index(
@@ -1335,7 +1503,7 @@ def append_ivfpq_index(
         F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("v")
     )
     _validate_vec_width(c, "v", m * sub_w, "append_ivfpq_index")
-    assigned = ivf_assign_cells(c, cents, nprobe=1, id_col="vec_id")
+    assigned = ivf_assign_cells(fan_out(c), cents, nprobe=1, id_col="vec_id")
     resid = assigned.join(F.broadcast(cents), "cell_id").select(
         "vec_id", "cell_id", F.zip_with("v", "cvec", lambda a, b: a - b).alias("r")
     )
@@ -1343,7 +1511,9 @@ def append_ivfpq_index(
         "vec_id",
         "cell_id",
         *_frozen_encode_exprs("r", rows, m, sub_w, cid_type),
-    ).write.mode("append").partitionBy("cell_id").parquet(f"{path}/codes")
+    ).repartition("cell_id").write.mode("append").partitionBy("cell_id").parquet(
+        f"{path}/codes"
+    )
 
 
 def ivfpq_index_topk(
@@ -1386,16 +1556,7 @@ def ivfpq_index_topk(
         F.col("cell_id").isin([int(c) for c in probed])
     )
     m = sum(1 for col in codes.columns if col.startswith("code_"))
-    by_sub: dict[int, dict[int, list[float]]] = {}
-    for r in book_rows:
-        by_sub.setdefault(int(r.sub), {})[int(r.cid)] = [float(x) for x in r.cvec]
-    parts = []
-    for s in range(m):
-        cmap = by_sub[s]
-        width = len(next(iter(cmap.values())))
-        table = [cmap.get(cid, [0.0] * width) for cid in range(max(cmap) + 1)]
-        lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in table])
-        parts.append(F.element_at(lit, F.col(f"code_{s}") + 1))
+    parts = _book_literal_parts(book_rows, m)
     # coarse centroid lookup rides the plan too: dense cell_id→cvec table
     max_cell = cent_rows[-1][0]
     cent_map = dict(cent_rows)
@@ -1643,7 +1804,7 @@ def write_srp_index(
         F.col(id_col).alias("neighbor_id"),
         _dvec(F.col(vec_col)).alias("cvec"),
         _srp_bucket(F.col(vec_col), planes).alias("sig"),
-    ).write.mode("overwrite").partitionBy("sig").parquet(path)
+    ).repartition("sig").write.mode("overwrite").partitionBy("sig").parquet(path)
 
 
 def append_srp_index(
@@ -1665,7 +1826,7 @@ def append_srp_index(
         F.col(id_col).alias("neighbor_id"),
         _dvec(F.col(vec_col)).alias("cvec"),
         _srp_bucket(F.col(vec_col), planes).alias("sig"),
-    ).write.mode("append").partitionBy("sig").parquet(path)
+    ).repartition("sig").write.mode("append").partitionBy("sig").parquet(path)
 
 
 def srp_index_topk(

@@ -3044,7 +3044,13 @@ def ann_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     day2 = emb.filter(F.col("vec_id") % 2 == 1)
     path = f"{tempfile.gettempdir()}/spark_graft_pq_append_{stable_work_key(sf_dir)}"
     shutil.rmtree(path, ignore_errors=True)
-    codes1, books = similarity.pq_encode(day1, m=8, ks=16, train_iters=1, dim=64)
+    # r14: train once (checkpoint), encode day 1 against the
+    # materialized books — the lazy tuple form re-ran the m trainings
+    # for each of the two writes
+    books = similarity.pq_train_books(
+        day1, m=8, ks=16, train_iters=1, dim=64
+    ).localCheckpoint()
+    codes1 = similarity.pq_encode_with_books(day1, books, m=8, dim=64)
     books.coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
     codes1.write.mode("append").parquet(f"{path}/codes")
     similarity.append_pq_index(spark, day2, path, dim=64)

@@ -130,7 +130,7 @@ def run_pq_ingest_batchlike(
 
     # the model: books trained ONCE on history (tag 0), codes NOT
     # written here — every code row arrives through the stream
-    _codes0, books = similarity.pq_encode(
+    books = similarity.pq_train_books(
         emb.filter(F.col("vec_id") % n_tags == 0), m=m, ks=ks, train_iters=1, dim=dim
     )
     books.coalesce(1).write.mode("overwrite").parquet(f"{index}/books")
