@@ -1574,7 +1574,13 @@ def hamming_band_pairs(
       appears as id_b), but a B-sized identical-hash group contributes
       B-1 rows instead of B(B-1)/2 — the mode clustering and
       dedup-at-ingest callers want. Default True preserves the
-      all-pairs contract (hamming column included).
+      all-pairs contract (hamming column included). INPUT CONTRACT for
+      exact_pairs=True: one row per id — the member expansion joins
+      back on (lo, hi), so duplicate (id, lo, hi) input rows (the
+      per-frame tables in this module have exactly that shape) would
+      emit duplicate pairs; pre-aggregate such tables (as the video
+      callers do) or use exact_pairs=False, whose star/rep edges
+      dedupe by construction (r13 ADVICE finding).
 
     Scale shape (same as the text LSH families): candidates come ONLY
     from the band equi-join over distinct hashes — never an all-pairs
@@ -1583,12 +1589,16 @@ def hamming_band_pairs(
     pure integer xor/bit_count, codegen'd, and runs BEFORE the distinct
     so the dedup shuffle carries only true near-dups. Hash extraction
     (the mapInPandas decode) dominates end to end."""
-    assert 64 % band_bits == 0 and band_bits <= 32, "bands must split the two 32-bit halves"
+    if 64 % band_bits != 0 or band_bits > 32:
+        raise ValueError("bands must split the two 32-bit halves")
     nbands = 64 // band_bits
-    assert max_hamming < nbands, (
-        f"pigeonhole guarantee is Hamming <= {nbands - 1} at {band_bits}-bit bands; "
-        f"max_hamming={max_hamming} would silently under-report pairs"
-    )
+    if max_hamming >= nbands:
+        # ValueError, not assert: the contract must survive python -O
+        # (r13 ADVICE finding)
+        raise ValueError(
+            f"pigeonhole guarantee is Hamming <= {nbands - 1} at {band_bits}-bit bands; "
+            f"max_hamming={max_hamming} would silently under-report pairs"
+        )
     members = hashes.select(
         F.col(id_col).alias("id"), F.col(lo_col).alias("lo"), F.col(hi_col).alias("hi")
     )
@@ -1678,12 +1688,16 @@ def hamming_band_pairs_cross(
     asks WHETHER a batch id matched the store, not against which store
     rows). Candidates only from the 2^band_bits-bucket join, never a
     product."""
-    assert 64 % band_bits == 0 and band_bits <= 32, "bands must split the two 32-bit halves"
+    if 64 % band_bits != 0 or band_bits > 32:
+        raise ValueError("bands must split the two 32-bit halves")
     nbands = 64 // band_bits
-    assert max_hamming < nbands, (
-        f"pigeonhole guarantee is Hamming <= {nbands - 1} at {band_bits}-bit bands; "
-        f"max_hamming={max_hamming} would silently under-report pairs"
-    )
+    if max_hamming >= nbands:
+        # ValueError, not assert: the contract must survive python -O
+        # (r13 ADVICE finding)
+        raise ValueError(
+            f"pigeonhole guarantee is Hamming <= {nbands - 1} at {band_bits}-bit bands; "
+            f"max_hamming={max_hamming} would silently under-report pairs"
+        )
 
     def _norm(df: DataFrame) -> DataFrame:
         return df.select("id", F.col("h_lo").alias("lo"), F.col("h_hi").alias("hi"))

@@ -1695,7 +1695,7 @@ def multimodal_combined_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # URLs are all unrelated — the edge type is load-bearing, not an
     # echo of the image families (pinned in tests)
     audio_keyed = corpus_keyed.filter(F.col("doc_id") % 50 == 1).select(
-        "id", (F.col("doc_id") / 25).cast("long").alias("doc_id")
+        "id", F.expr("doc_id DIV 25").alias("doc_id")
     )
     apairs = hamming_band_pairs(
         audio_fingerprint(_afp_blobs(audio_keyed, id_col="id")).localCheckpoint(),

@@ -38,6 +38,7 @@ from reddit_tech_jobs_data_pipeline_spark.streaming.incremental_dedup import (
     _recover_or_first_batch,
 )
 from reddit_tech_jobs_data_pipeline_spark.workdirs import stable_work_key
+from reddit_tech_jobs_data_pipeline_spark.streaming.tagfiles import write_tag_files
 
 #: sentinel line-hash carrying each batch's per-domain document count —
 #: real hashes are 32 hex chars, so collision is impossible by format
@@ -159,17 +160,7 @@ def run_boilerplate_ingest_batchlike(
     store = os.path.join(work, "store")
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(src_dir, exist_ok=True)
-    for i in range(n_tags):
-        tmp = os.path.join(src_dir, f"_tmp{i}")
-        (
-            pages.filter(F.col("doc_id") % n_tags == i)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        os.replace(part, os.path.join(src_dir, f"tag{i}.parquet"))
-        shutil.rmtree(tmp)
+    write_tag_files(pages, F.col("doc_id") % n_tags, src_dir, n_tags)
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:
         ingest_batch_line_df(batch, store, batch_key_expr=F.col("doc_id") % n_tags)

@@ -33,6 +33,7 @@ from reddit_tech_jobs_data_pipeline_spark.streaming.events import (
     _stream_shuffle_partitions,
 )
 from reddit_tech_jobs_data_pipeline_spark.workdirs import stable_work_key
+from reddit_tech_jobs_data_pipeline_spark.streaming.tagfiles import write_tag_files
 
 
 def baseline_histogram(
@@ -96,17 +97,7 @@ def _write_tag_files(
     under maxFilesPerTrigger=1 is then exactly one deterministic slice."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")
     os.makedirs(src_dir, exist_ok=True)
-    for i in range(n_tags):
-        tmp = os.path.join(src_dir, f"_tmp{i}")
-        (
-            ev.filter(F.col("user_id") % n_tags == i)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        os.replace(part, os.path.join(src_dir, f"tag{i}.parquet"))
-        shutil.rmtree(tmp)
+    write_tag_files(ev, F.col("user_id") % n_tags, src_dir, n_tags)
 
 
 def run_drift_psi_batchlike(

@@ -58,6 +58,7 @@ from reddit_tech_jobs_data_pipeline_spark.streaming.incremental_dedup import (
     _recover_or_first_batch,
 )
 from reddit_tech_jobs_data_pipeline_spark.workdirs import stable_work_key
+from reddit_tech_jobs_data_pipeline_spark.streaming.tagfiles import write_tag_files
 
 HASH_STORE_SCHEMA = T.StructType(
     [
@@ -178,18 +179,15 @@ def run_two_batch_ingest_batchlike(
     store = os.path.join(work, "store")
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(src_dir, exist_ok=True)
-    b1 = blobs.filter(F.col("id") % 4 < 2)
-    b2 = blobs.filter(F.col("id") % 4 >= 2)
-    for i, b in enumerate((b1, b2)):
-        tmp = os.path.join(src_dir, f"_tmp{i}")
-        b.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        os.replace(part, os.path.join(src_dir, f"batch{i}.parquet"))
-        shutil.rmtree(tmp)
-    # deterministic micro-batch order: mtime is the FileStreamSource key
-    now = _time.time()
-    os.utime(os.path.join(src_dir, "batch0.parquet"), (now - 100, now - 100))
-    os.utime(os.path.join(src_dir, "batch1.parquet"), (now, now))
+    # one scan, one shuffle; write_tag_files stamps increasing mtimes
+    # (the FileStreamSource ordering key) in batch order
+    write_tag_files(
+        blobs,
+        F.when(F.col("id") % 4 < 2, F.lit(0)).otherwise(F.lit(1)),
+        src_dir,
+        2,
+        prefix="batch",
+    )
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:
         ingest_fn(batch, store)

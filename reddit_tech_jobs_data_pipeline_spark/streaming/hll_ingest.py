@@ -42,6 +42,7 @@ from reddit_tech_jobs_data_pipeline_spark.streaming.incremental_dedup import (
     _recover_or_first_batch,
 )
 from reddit_tech_jobs_data_pipeline_spark.workdirs import stable_work_key
+from reddit_tech_jobs_data_pipeline_spark.streaming.tagfiles import write_tag_files
 
 _STORE_SCHEMA = T.StructType(
     [
@@ -118,17 +119,7 @@ def run_hll_ingest_batchlike(
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(src_dir, exist_ok=True)
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
-    for i in range(n_tags):
-        tmp = os.path.join(src_dir, f"_tmp{i}")
-        (
-            ev.filter(F.col("event_id") % n_tags == i)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        os.replace(part, os.path.join(src_dir, f"tag{i}.parquet"))
-        shutil.rmtree(tmp)
+    write_tag_files(ev, F.col("event_id") % n_tags, src_dir, n_tags)
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:
         ingest_batch_hll(batch, store, batch_key_expr=F.col("event_id") % n_tags)

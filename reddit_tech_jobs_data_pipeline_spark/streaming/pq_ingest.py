@@ -52,6 +52,7 @@ from reddit_tech_jobs_data_pipeline_spark.streaming.incremental_dedup import (
     _recover_or_first_batch,
 )
 from reddit_tech_jobs_data_pipeline_spark.workdirs import stable_work_key
+from reddit_tech_jobs_data_pipeline_spark.streaming.tagfiles import write_tag_files
 
 
 def ingest_batch_pq(
@@ -116,17 +117,7 @@ def run_pq_ingest_batchlike(
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(src_dir, exist_ok=True)
     emb = load_table(spark, sf_dir, "embeddings")
-    for i in range(n_tags):
-        tmp = os.path.join(src_dir, f"_tmp{i}")
-        (
-            emb.filter(F.col("vec_id") % n_tags == i)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        os.replace(part, os.path.join(src_dir, f"tag{i}.parquet"))
-        shutil.rmtree(tmp)
+    write_tag_files(emb, F.col("vec_id") % n_tags, src_dir, n_tags)
 
     # the model: books trained ONCE on history (tag 0), codes NOT
     # written here — every code row arrives through the stream
@@ -245,17 +236,7 @@ def run_ivfpq_ingest_batchlike(
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(src_dir, exist_ok=True)
     emb = load_table(spark, sf_dir, "embeddings")
-    for i in range(n_tags):
-        tmp = os.path.join(src_dir, f"_tmp{i}")
-        (
-            emb.filter(F.col("vec_id") % n_tags == i)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        os.replace(part, os.path.join(src_dir, f"tag{i}.parquet"))
-        shutil.rmtree(tmp)
+    write_tag_files(emb, F.col("vec_id") % n_tags, src_dir, n_tags)
 
     # models: frozen coarse quantizer + residual books trained on the
     # tag-0 history; the builder's codes are dropped — the stream is

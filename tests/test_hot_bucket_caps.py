@@ -195,13 +195,14 @@ def test_black_frame_cap_keeps_video_vote_linear(spark):
 def test_out_of_guarantee_calls_fail_loudly(spark):
     """max_hamming at or past the pigeonhole bound, and band_bits that
     cannot split the 32-bit halves, are contract violations — silent
-    under-reporting is worse than an assert."""
+    under-reporting is worse than a refused call. ValueError (not
+    assert) so the contract survives python -O (r13 ADVICE finding)."""
     df = spark.createDataFrame([(0, 1, 2)], "id long, h_lo long, h_hi long")
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         hamming_band_pairs(df, band_bits=16, max_hamming=4)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         hamming_band_pairs(df, band_bits=32, max_hamming=2)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         hamming_band_pairs(df, band_bits=64, max_hamming=2)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         hamming_band_pairs_cross(df, df, band_bits=16, max_hamming=4)

@@ -58,7 +58,12 @@ def contended_queries(d: dict) -> set[str]:
     tainted: set[int] = set()
     for i in drifted:
         tainted.update(range(max(0, i - every), i + every))
-    order = sorted(tail)
+    # tail_queries' JSON insertion order IS the run order (bench.py fills
+    # it sequentially over its sorted tail list) — use it directly instead
+    # of re-deriving by sorting names, which would silently mis-attribute
+    # contention flags if bench.py ever reorders/filters the tail
+    # (r13 ADVICE finding)
+    order = list(tail)
     return {name for idx, name in enumerate(order) if idx in tainted}
 
 
