@@ -220,14 +220,16 @@ def pagerank(
     driver-side literal (bounded, like the node-count probe); all other
     machinery (both numeric modes, checkpoint cadence) is shared.
     """
-    if not commutative:
-        # oracle-parity mode is the test-SF path by design (per-iteration
-        # broadcast + collect_list): fixed pin, unchanged cost profile
-        with iterative_shuffle_partitions(edges.sparkSession):
-            return _pagerank(edges, damping, iterations, commutative, symmetric, seeds)
-    # scale mode: cache + count OUTSIDE the pinned context — the edge
-    # derivation materializes at session sizing (right for a fact-scale
-    # join), and the count sizes the loop's pin to the data
+    # BOTH modes: cache + count OUTSIDE the pinned context — the edge
+    # derivation (a fact-scale co-occurrence join) materializes at
+    # session sizing, and the count sizes the loop's pin to the data.
+    # r14: the parity mode used to derive lazily UNDER the fixed pin,
+    # which ran the 999k-edge co-supply self-join at 8 shuffle
+    # partitions — measured at sf0.1, derive-first runs the same query
+    # 9.4 s -> 8.2 s (derivation 3.3-4.2 s at session sizing vs ~5 s
+    # pinned); values are untouched (cache+count only materializes).
+    # At test SF the rows-derived pin still resolves to the measured
+    # loop optimum of 8.
     edges = edges.cache()
     n_edges = edges.count()
     with iterative_shuffle_partitions(edges.sparkSession, rows=n_edges):
