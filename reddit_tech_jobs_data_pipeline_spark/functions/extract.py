@@ -114,6 +114,18 @@ def tokens(text: ColumnOrName) -> Column:
     return F.filter(F.split(F.lower(_col(text)), r"\W+"), lambda x: x != "")
 
 
+def bind1(col: Column, fn) -> Column:
+    """Let-binding for Catalyst expressions: evaluate ``col`` ONCE per row
+    and pass it to ``fn`` as a lambda variable. HOF lambdas re-evaluate
+    ordinary column references per mention (no common-subexpression
+    elimination in the interpreted HOF path), so an expression like the
+    shingle builder — which mentions its token array in the size guard,
+    the sequence bound and every slice — re-tokenizes the text 4-5x per
+    row; wrapping the tokens in a one-element array and referencing the
+    lambda variable instead makes it evaluate exactly once."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def technologies(title: ColumnOrName, keywords: Sequence[str] = vocab.TECH_KEYWORDS) -> Column:
     """Sorted list of dictionary keywords present in the token set.
 
@@ -122,9 +134,17 @@ def technologies(title: ColumnOrName, keywords: Sequence[str] = vocab.TECH_KEYWO
     deterministic where the reference's Python set order was not
     (SURVEY.md §7.4). NULL/empty title -> empty array (dag.py:84)."""
     t = _col(title)
-    toks = tokens(t)
-    present = F.array_sort(
-        F.filter(F.lit([*keywords]).cast("array<string>"), lambda k: F.array_contains(toks, k))
+    # bind1: the token array sits INSIDE the per-keyword filter lambda,
+    # so unbound it was re-tokenized once per keyword per row (30x for
+    # the reference vocab); let-bound it evaluates once
+    present = bind1(
+        tokens(t),
+        lambda toks: F.array_sort(
+            F.filter(
+                F.lit([*keywords]).cast("array<string>"),
+                lambda k: F.array_contains(toks, k),
+            )
+        ),
     )
     return F.when(t.isNull() | (t == ""), F.array().cast("array<string>")).otherwise(present)
 

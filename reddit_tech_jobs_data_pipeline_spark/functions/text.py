@@ -14,7 +14,12 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from reddit_tech_jobs_data_pipeline_spark.functions.extract import ColumnOrName, _col, tokens
+from reddit_tech_jobs_data_pipeline_spark.functions.extract import (
+    ColumnOrName,
+    _col,
+    bind1,
+    tokens,
+)
 
 # Tiny per-language marker-word lists for the n-gram/stopword heuristic.
 # Real deployments swap in fastText-style models via the pandas_udf escape
@@ -46,11 +51,17 @@ def bpe_ish_token_count(text: ColumnOrName) -> Column:
     return F.regexp_count(F.lower(_col(text)), F.lit(r"\w{1,4}|[^\w\s]"))
 
 
-def stopword_ratio(text: ColumnOrName, stopwords: Sequence[str] = DEFAULT_STOPWORDS) -> Column:
-    """Fraction of tokens that are stopwords; 0.0 for empty/NULL text."""
-    toks = tokens(text)
+def _stopword_ratio_from(toks: Column, stopwords: Sequence[str]) -> Column:
     hits = F.size(F.filter(toks, lambda t: t.isin([*stopwords])))
     return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: ColumnOrName, stopwords: Sequence[str] = DEFAULT_STOPWORDS) -> Column:
+    """Fraction of tokens that are stopwords; 0.0 for empty/NULL text.
+    Token array let-bound (bind1): its three mentions otherwise
+    re-tokenize the text three times — HOF expressions get no
+    common-subexpression elimination."""
+    return bind1(tokens(text), lambda t: _stopword_ratio_from(t, stopwords))
 
 
 def punct_ratio(text: ColumnOrName) -> Column:
@@ -61,27 +72,37 @@ def punct_ratio(text: ColumnOrName) -> Column:
     return F.when(n > 0, punct.cast("double") / n).otherwise(F.lit(0.0))
 
 
-def mean_token_len(text: ColumnOrName) -> Column:
-    toks = tokens(text)
+def _mean_token_len_from(toks: Column) -> Column:
     total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def mean_token_len(text: ColumnOrName) -> Column:
+    return bind1(tokens(text), _mean_token_len_from)
 
 
 def quality_score(text: ColumnOrName, stopwords: Sequence[str] = DEFAULT_STOPWORDS) -> Column:
     """Composite [0,1] quality heuristic: length band + stopword presence +
     low punctuation + sane mean token length. Deterministic, fully
-    expressible in ANSI SQL for the oracle."""
-    n_tok = token_count(text)
-    len_ok = (n_tok >= 5) & (n_tok <= 100000)
-    sw = stopword_ratio(text, stopwords)
-    pr = punct_ratio(text)
-    mtl = mean_token_len(text)
-    return (
-        len_ok.cast("double") * 0.4
-        + (sw > 0.05).cast("double") * 0.2
-        + (pr < 0.2).cast("double") * 0.2
-        + ((mtl >= 2.0) & (mtl <= 12.0)).cast("double") * 0.2
-    )
+    expressible in ANSI SQL for the oracle. One bind1 shares a single
+    tokenizer run across all three token-based terms (was 7 tokenizer
+    evaluations per row through the sub-functions' own mentions)."""
+    t = _col(text)
+    pr = punct_ratio(t)
+
+    def _score(toks: Column) -> Column:
+        n_tok = F.size(toks)
+        len_ok = (n_tok >= 5) & (n_tok <= 100000)
+        sw = _stopword_ratio_from(toks, stopwords)
+        mtl = _mean_token_len_from(toks)
+        return (
+            len_ok.cast("double") * 0.4
+            + (sw > 0.05).cast("double") * 0.2
+            + (pr < 0.2).cast("double") * 0.2
+            + ((mtl >= 2.0) & (mtl <= 12.0)).cast("double") * 0.2
+        )
+
+    return bind1(tokens(t), _score)
 
 
 def lang_id(
@@ -89,8 +110,15 @@ def lang_id(
 ) -> Column:
     """Marker-word language ID: score = count of marker hits in the token
     set per language; argmax wins, ties broken by language code order;
-    no hits -> 'und' (undetermined)."""
-    toks = tokens(text)
+    no hits -> 'und' (undetermined). Token array let-bound across the
+    per-language filters (one tokenizer run, not one per language)."""
+    return bind1(tokens(text), lambda toks: _lang_id_from(toks, markers))
+
+
+def _lang_id_from(
+    toks: Column, markers: Mapping[str, Sequence[str]] = DEFAULT_LANG_MARKERS
+) -> Column:
+    """lang_id over an already-bound token array (see lang_id)."""
 
     def _hits(kws: Sequence[str]):
         # NB: returns a 1-arg lambda; extra lambda params (even defaulted)
@@ -101,12 +129,12 @@ def lang_id(
     for code in sorted(markers):
         hits = F.size(F.filter(toks, _hits(markers[code])))
         scored.append(F.struct(hits.alias("score"), F.lit(code).alias("code")))
-    # array_max over (score, code) structs: max score, then max code — to get
-    # deterministic *lowest* code on ties we order codes descending in the
-    # struct comparison by negating: instead sort ascending and pick last of
-    # (score asc, code desc) == first of (score desc, code asc).
+    # array_max over (score, code) structs: max score, then max code — to
+    # get deterministic *lowest* code on ties we order codes descending in
+    # the struct comparison by negating: instead sort ascending and pick
+    # last of (score asc, code desc) == first of (score desc, code asc).
     arr = F.array(*scored)
-    best = F.array_sort(
+    top = F.array_sort(
         arr,
         lambda a, b: F.when(a["score"] > b["score"], -1)
         .when(a["score"] < b["score"], 1)
@@ -114,7 +142,13 @@ def lang_id(
         .when(a["code"] > b["code"], 1)
         .otherwise(0),
     )[0]
-    return F.when(best["score"] > 0, best["code"]).otherwise(F.lit("und"))
+    # nested bind1: ``top`` is mentioned twice below — without the
+    # binding the sort (and the per-language filters feeding it)
+    # would run twice per row
+    return bind1(
+        top,
+        lambda best: F.when(best["score"] > 0, best["code"]).otherwise(F.lit("und")),
+    )
 
 
 def rolling_fingerprint(text: ColumnOrName, mod: int = 1_000_000_007) -> Column:

@@ -50,18 +50,26 @@ def featurize_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     * f_distinct — distinct-token ratio (repetition prior)
     * f_wlen     — mean word length / 10, chars-minus-separators form
     """
-    ws = F.split(F.col(text_col), " ")
-    n = F.size(ws).cast("double")
-    stop = F.size(F.filter(ws, lambda t: (t == "the") | (t == "a"))).cast("double")
+    from reddit_tech_jobs_data_pipeline_spark.functions.extract import bind1
+
+    # bind1: the split array is mentioned ~7x across the four features
+    # (each size(ws) re-ran the split per mention — no CSE in the
+    # interpreted HOF path)
+    def _feats(ws: Column) -> Column:
+        n = F.size(ws).cast("double")
+        stop = F.size(F.filter(ws, lambda t: (t == "the") | (t == "a"))).cast("double")
+        return F.struct(
+            (n / 100.0).alias("f_len"),
+            (stop / n).alias("f_stop"),
+            (F.size(F.array_distinct(ws)).cast("double") / n).alias("f_distinct"),
+            (((F.length(text_col).cast("double") - (n - 1.0)) / n) / 10.0).alias(
+                "f_wlen"
+            ),
+        )
+
     return docs.select(
-        "*",
-        (n / 100.0).alias("f_len"),
-        (stop / n).alias("f_stop"),
-        (F.size(F.array_distinct(ws)).cast("double") / n).alias("f_distinct"),
-        (((F.length(text_col).cast("double") - (n - 1.0)) / n) / 10.0).alias(
-            "f_wlen"
-        ),
-    )
+        "*", bind1(F.split(F.col(text_col), " "), _feats).alias("__f")
+    ).select(*docs.columns, "__f.*")
 
 
 def standardize_features(

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from reddit_tech_jobs_data_pipeline_spark.functions.extract import tokens
+from reddit_tech_jobs_data_pipeline_spark.functions.extract import bind1, tokens
 from reddit_tech_jobs_data_pipeline_spark.functions.text import fingerprint
 
 
@@ -52,34 +52,49 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str, canonical: bool = Fal
 # ---------------------------------------------------------------------------
 
 def shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the token stream."""
-    toks = tokens(text)
-    k = F.size(toks) - (n - 1)
-    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
+    """Distinct word n-gram shingles of the token stream. The token
+    array is let-bound (bind1) so the tokenizer runs once per row, not
+    once per mention (size guard + sequence bound + slices)."""
+
+    def _sh(toks: Column) -> Column:
+        k = F.size(toks) - (n - 1)
+        return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), k),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "),
+                )
             )
         )
-    )
+
+    return bind1(tokens(text), _sh)
 
 
 def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(id, shingle) exploded pairs — the inverted-index edge list.
 
-    Tokenizes once into a materialized column before shingling (the
-    ``shingles`` expression otherwise re-evaluates the tokenizer for the
-    size guard and each slice), then explodes."""
-    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
-    k = F.size(F.col("__toks")) - (n - 1)
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
-            lambda i: F.array_join(F.slice(F.col("__toks"), i, n), " "),
-        )
+    The token array is let-bound (bind1) so the tokenizer runs once per
+    row — a materialized ``__toks`` column plus a ``filter(k >= 1)``
+    still tokenized twice, because predicate pushdown substitutes the
+    alias and re-evaluates the tokenizer inside the pushed filter. Short
+    docs are dropped by exploding an empty array instead of filtering."""
+
+    def _sh(toks: Column) -> Column:
+        k = F.size(toks) - (n - 1)
+        return F.when(
+            k >= 1,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), k),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(bind1(tokens(text_col), _sh)).alias("shingle"),
     )
-    return toks.filter(k >= 1).select("id", F.explode(sh).alias("shingle"))
 
 
 # ---------------------------------------------------------------------------
@@ -973,17 +988,24 @@ def _simhash_feats(text: Column | str, n: int = 1) -> Column:
     degenerate on low-entropy text: two docs with the same vocabulary
     but different word order collapse to one fingerprint, and the
     hamming join goes quadratic on the resulting cliques)."""
-    toks = tokens(text)
     if n <= 1:
-        return F.array_distinct(toks)
-    k = F.size(toks) - (n - 1)
-    sh = F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), k), lambda i: F.array_join(F.slice(toks, i, n), " ")
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(sh)
+        return F.array_distinct(tokens(text))
+
+    def _sh(toks: Column) -> Column:
+        k = F.size(toks) - (n - 1)
+        return F.array_distinct(
+            F.when(
+                k >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), k),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+
+    # bind1: the size guard, sequence bound and every slice all mention
+    # the token array — let-bind it so the text is tokenized once per row
+    return bind1(tokens(text), _sh)
 
 
 def simhash_bits(text: Column | str, width: int = 16, n: int = 1) -> Column:
@@ -1065,12 +1087,29 @@ def simhash_near_dup_pairs(
     from reddit_tech_jobs_data_pipeline_spark.operators.parallelism import fan_out
 
     # fingerprinting is the dominant (CPU-bound, narrow) cost; repair
-    # under-parallel inputs before it — no-op on many-split scans
-    base = fan_out(df).select(
-        F.col(id_col).alias("id"), _simhash_feats(text_col, n).alias("__f")
-    ).filter(F.size("__f") > 0)
-    base = base.select("id", _simhash_bits_from_feats(F.col("__f"), width).alias("bits"))
-    base = base.localCheckpoint()
+    # under-parallel inputs before it — no-op on many-split scans.
+    # The feature array is let-bound (bind1) across BOTH its consumers
+    # (size + vote fold) so shingling runs once per row, and the
+    # empty-doc filter runs AFTER the checkpoint: a filter on
+    # size(feats) placed before it is pushed below the projection with
+    # the whole feature expression inlined, re-tokenizing every row a
+    # second time.
+    from reddit_tech_jobs_data_pipeline_spark.functions.extract import bind1
+
+    packed = bind1(
+        _simhash_feats(text_col, n),
+        lambda f: F.struct(
+            F.size(f).alias("nf"),
+            _simhash_bits_from_feats(f, width).alias("bits"),
+        ),
+    )
+    base = (
+        fan_out(df)
+        .select(F.col(id_col).alias("id"), packed.alias("__p"))
+        .localCheckpoint()
+        .filter(F.col("__p.nf") > 0)
+        .select("id", F.col("__p.bits").alias("bits"))
+    )
     banded = base.select(
         "id",
         "bits",
@@ -1103,21 +1142,27 @@ def _positional_shingle_table(
 ) -> DataFrame:
     """(id, pos, shingle) — like _shingle_table but keeping every
     occurrence with its 1-based token position (no per-doc distinct):
-    position identity is what coverage accounting needs."""
-    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
-    k = F.size(F.col("__toks")) - (n - 1)
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.array_join(F.slice(F.col("__toks"), i, n), " ").alias("shingle"),
-        ),
-    )
-    return (
-        toks.filter(k >= 1)
-        .select("id", F.explode(pairs).alias("__ps"))
-        .select("id", F.col("__ps.pos").alias("pos"), F.col("__ps.shingle").alias("shingle"))
-    )
+    position identity is what coverage accounting needs. Token array
+    let-bound, short docs dropped via empty-array explode (see
+    _shingle_table)."""
+
+    def _ps(toks: Column) -> Column:
+        k = F.size(toks) - (n - 1)
+        return F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.array_join(F.slice(toks, i, n), " ").alias("shingle"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<pos:int,shingle:string>>"))
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(bind1(tokens(text_col), _ps)).alias("__ps"),
+    ).select("id", F.col("__ps.pos").alias("pos"), F.col("__ps.shingle").alias("shingle"))
 
 
 def contamination_coverage(
@@ -1332,12 +1377,26 @@ def repeated_ngram_coverage(
 
 def _tokenized_docs(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, __ws token array, __n_tok) for non-null, non-empty docs —
-    shared base of the repeated-n-gram family."""
+    shared base of the repeated-n-gram family.
+
+    localCheckpoint'd: both consumers (duplicate_span_clip,
+    repeated_ngram_coverage) reference the base 2-3 times (gram build,
+    token re-expansion, final join), each reference re-scanning and
+    re-tokenizing the corpus — and the n_tok filters otherwise push
+    below the projection and re-run the tokenizer per row (alias
+    substitution). One tokenizer pass materialized, measured 3.39 →
+    2.54 s for duplicate_span_clip at sf0.1. The tokenizer itself is
+    let-bound (bind1) so the array + its size cost one evaluation."""
+    packed = bind1(
+        tokens(text_col),
+        lambda t: F.struct(t.alias("__ws"), F.size(t).alias("__n_tok")),
+    )
     return (
         docs.filter(F.col(text_col).isNotNull())
-        .select(id_col, tokens(text_col).alias("__ws"))
-        .withColumn("__n_tok", F.size("__ws"))
-        .filter(F.col("__n_tok") > 0)
+        .select(id_col, packed.alias("__p"))
+        .localCheckpoint()
+        .filter(F.col("__p.__n_tok") > 0)
+        .select(id_col, F.col("__p.__ws").alias("__ws"), F.col("__p.__n_tok").alias("__n_tok"))
     )
 
 

@@ -50,17 +50,22 @@ def hashed_bigram_features(
     features. ``carry_cols`` ride along so callers never need a
     corpus-size join to recover per-doc attributes."""
     carry = list(carry_cols)
-    base = (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(id_col, *carry, tokens(text_col).alias("__ws"))
-        .filter(F.size("__ws") >= 2)
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        id_col, *carry, tokens(text_col).alias("__ws")
     )
+    # short docs are dropped by exploding an empty position list instead
+    # of a filter(size >= 2): the pushed-down filter re-ran the tokenizer
+    # per row (alias substitution), and sequence(0, size-2) alone would
+    # go DESCENDING for size < 2
+    positions = F.when(
+        F.size("__ws") >= 2, F.sequence(F.lit(0), F.size("__ws") - 2)
+    ).otherwise(F.array().cast("array<int>"))
     return (
         base.select(
             id_col,
             *carry,
             "__ws",
-            F.explode(F.sequence(F.lit(0), F.size("__ws") - 2)).alias("pos"),
+            F.explode(positions).alias("pos"),
         )
         .select(
             id_col,

@@ -943,9 +943,10 @@ def doc_chunking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffling. Degenerate docs (null/empty token list) produce no
     chunks on either engine."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    base = docs.select("doc_id", tokens("text").alias("ws")).filter(
-        F.size("ws") > 0
-    )
+    # no size(ws) > 0 filter: sequence(0, -1, 48) is empty, so explode
+    # drops zero-token docs anyway — the filter only forced a second
+    # tokenizer run via predicate pushdown (alias substitution)
+    base = docs.select("doc_id", tokens("text").alias("ws"))
     chunks = base.select(
         "doc_id",
         "ws",
@@ -1393,11 +1394,18 @@ def bigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = uni.agg(F.sum("c").cast("long").alias("n"))
     bg = (
-        toks.filter(F.size("ws") >= 2)
-        .select(
+        # empty-position explode drops short docs without a filter(size)
+        # whose pushdown would re-run the tokenizer per row; the when
+        # guard is required because sequence(0, size-2) goes DESCENDING
+        # for size < 2
+        toks.select(
             "doc_id",
             "ws",
-            F.explode(F.sequence(F.lit(0), F.size("ws") - 2)).alias("pos"),
+            F.explode(
+                F.when(
+                    F.size("ws") >= 2, F.sequence(F.lit(0), F.size("ws") - 2)
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("pos"),
         )
         .select(
             "doc_id",
@@ -1765,14 +1773,30 @@ def _bm25_scored(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFram
         # PySpark read the signature as the (element, index) filter form
         return lambda x: x == F.lit(term)
 
+    from reddit_tech_jobs_data_pipeline_spark.functions.extract import bind1
+
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    t = docs.select(
-        "doc_id",
-        F.size(tokens("text")).alias("dl"),
-        *[
-            F.size(F.filter(tokens("text"), _is(tt))).alias(f"tf{i}")
-            for i, tt in enumerate(terms)
-        ],
+    # bind1: one tokenizer run shared by dl and every per-term tf (was
+    # len(terms)+1 tokenizations per row)
+    packed = bind1(
+        tokens("text"),
+        lambda ws: F.struct(
+            F.size(ws).alias("dl"),
+            *[
+                F.size(F.filter(ws, _is(tt))).alias(f"tf{i}")
+                for i, tt in enumerate(terms)
+            ],
+        ),
+    )
+    # localCheckpoint: t feeds BOTH the stats agg and the scoring branch
+    # (two corpus passes before), and the tf>0 filter otherwise pushes
+    # below the projection re-inlining the packed expression per field —
+    # materializing (doc_id, dl, tf0..k) is 7 numbers/doc and leaves ONE
+    # tokenizer pass total
+    t = (
+        docs.select("doc_id", packed.alias("__p"))
+        .select("doc_id", "__p.*")
+        .localCheckpoint()
     )
     stats = t.agg(
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),

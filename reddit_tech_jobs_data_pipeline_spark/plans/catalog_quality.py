@@ -698,50 +698,57 @@ def gopher_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     length; cheaper than an explode+groupBy at every scale because it
     never leaves the row). 100 TB: embarrassingly parallel map."""
     from reddit_tech_jobs_data_pipeline_spark.functions import text as textfn
-    from reddit_tech_jobs_data_pipeline_spark.functions.extract import tokens
+    from reddit_tech_jobs_data_pipeline_spark.functions.extract import bind1, tokens
 
     docs = _t(spark, sf_dir, "documents")
-    ws = tokens(F.col("text"))
-    n = F.size(ws)
-    nf = n.cast("double")
     stop_arr = F.array(*[F.lit(s) for s in textfn.DEFAULT_STOPWORDS])
-    mean_wl = F.when(
-        n > 0,
-        F.aggregate(
-            F.transform(ws, lambda t: F.length(t)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).cast("double")
-        / nf,
-    ).otherwise(F.lit(0.0))
-    n_stop = F.size(F.filter(ws, lambda t: F.array_contains(stop_arr, t)))
-    alpha_ratio = F.when(
-        n > 0,
-        F.size(F.filter(ws, lambda t: t.rlike("^[a-z]+$"))).cast("double") / nf,
-    ).otherwise(F.lit(0.0))
-    top_freq = F.when(
-        n > 0,
-        F.array_max(
-            F.transform(
-                F.array_distinct(ws),
-                lambda w: F.size(F.filter(ws, lambda x: x == w)),
-            )
-        ).cast("double")
-        / nf,
-    ).otherwise(F.lit(0.0))
-    uniq_ratio = F.when(
-        n > 0, F.size(F.array_distinct(ws)).cast("double") / nf
-    ).otherwise(F.lit(0.0))
+
+    # bind1: ONE tokenizer run feeds all six features — the token array
+    # is mentioned ~10x across them (and top_freq's inner filter mentions
+    # it once per DISTINCT word), so unbound it re-tokenized the text
+    # O(distinct) times per row
+    def _feats(ws):
+        n = F.size(ws)
+        nf = n.cast("double")
+        mean_wl = F.when(
+            n > 0,
+            F.aggregate(
+                F.transform(ws, lambda t: F.length(t)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / nf,
+        ).otherwise(F.lit(0.0))
+        n_stop = F.size(F.filter(ws, lambda t: F.array_contains(stop_arr, t)))
+        alpha_ratio = F.when(
+            n > 0,
+            F.size(F.filter(ws, lambda t: t.rlike("^[a-z]+$"))).cast("double") / nf,
+        ).otherwise(F.lit(0.0))
+        top_freq = F.when(
+            n > 0,
+            F.array_max(
+                F.transform(
+                    F.array_distinct(ws),
+                    lambda w: F.size(F.filter(ws, lambda x: x == w)),
+                )
+            ).cast("double")
+            / nf,
+        ).otherwise(F.lit(0.0))
+        uniq_ratio = F.when(
+            n > 0, F.size(F.array_distinct(ws)).cast("double") / nf
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            n.cast("long").alias("n_words"),
+            mean_wl.alias("mean_wl"),
+            n_stop.alias("n_stop"),
+            alpha_ratio.alias("alpha_ratio"),
+            top_freq.alias("top_freq"),
+            uniq_ratio.alias("uniq_ratio"),
+        )
 
     feat = docs.select(
-        "doc_id",
-        n.cast("long").alias("n_words"),
-        mean_wl.alias("mean_wl"),
-        n_stop.alias("n_stop"),
-        alpha_ratio.alias("alpha_ratio"),
-        top_freq.alias("top_freq"),
-        uniq_ratio.alias("uniq_ratio"),
-    )
+        "doc_id", bind1(tokens(F.col("text")), _feats).alias("__q")
+    ).select("doc_id", "__q.*")
     rules = feat.select(
         "doc_id",
         "n_words",

@@ -159,17 +159,39 @@ _LANG_CASE = f"""
     tags=["text", "scale"],
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_tech_jobs_data_pipeline_spark.functions.extract import bind1, tokens
+
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
+
+    # one bind1 shares a single tokenizer run across the four token-based
+    # stats (each textfn call otherwise tokenizes independently — 4
+    # tokenizer evaluations per row in the r13 plan)
+    def _tok_stats(ws):
+        return F.struct(
+            F.size(ws).cast("long").alias("token_count"),
+            F.round(textfn._stopword_ratio_from(ws, textfn.DEFAULT_STOPWORDS), 4).alias(
+                "stopword_ratio"
+            ),
+            F.round(textfn._mean_token_len_from(ws), 4).alias("mean_token_len"),
+            textfn._lang_id_from(ws).alias("lang_pred"),
+        )
+
     return docs.select(
         "doc_id",
         textfn.char_count(t).cast("long").alias("char_count"),
-        textfn.token_count(t).cast("long").alias("token_count"),
         F.coalesce(textfn.bpe_ish_token_count(t), F.lit(0)).cast("long").alias("bpe_ish_tokens"),
-        F.round(textfn.stopword_ratio(t), 4).alias("stopword_ratio"),
         F.round(textfn.punct_ratio(t), 4).alias("punct_ratio"),
-        F.round(textfn.mean_token_len(t), 4).alias("mean_token_len"),
-        textfn.lang_id(t).alias("lang_pred"),
+        bind1(tokens(t), _tok_stats).alias("__ts"),
+    ).select(
+        "doc_id",
+        "char_count",
+        F.col("__ts.token_count").alias("token_count"),
+        "bpe_ish_tokens",
+        F.col("__ts.stopword_ratio").alias("stopword_ratio"),
+        "punct_ratio",
+        F.col("__ts.mean_token_len").alias("mean_token_len"),
+        F.col("__ts.lang_pred").alias("lang_pred"),
     )
 
 
