@@ -649,6 +649,19 @@ def _validate_vec_width(df: DataFrame, vec_col: str, dim: int, who: str) -> None
         )
 
 
+def load_pq_books(spark, path: str, dim: int, who: str = "load_pq_books"):
+    """Read + collect the frozen codebooks once: (rows, cid_type, m,
+    sub_w). The model is KBs and immutable after the build, so a caller
+    ingesting MANY deltas in one run (the streaming foreachBatch loop)
+    should load once and pass the result to every append instead of
+    re-reading + re-collecting per micro-batch."""
+    books = spark.read.parquet(f"{path}/books")
+    cid_type = dict(books.dtypes)["cid"]
+    rows = books.select("sub", "cid", "cvec").collect()
+    m, sub_w = _books_geometry_from_rows(rows, dim, who)
+    return rows, cid_type, m, sub_w
+
+
 def append_pq_index(
     spark,
     corpus_delta: DataFrame,
@@ -656,21 +669,23 @@ def append_pq_index(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    books_model=None,
 ) -> None:
     """Incremental PQ maintenance: encode a NEW batch with the index's
-    FROZEN codebooks (read from ``path/books``) and append the codes —
-    the codebook files are never touched. Per-subspace nearest-centroid
-    assignment is deterministic given the codebooks, so append ≡ re-encode
-    of the union: probes over the appended index match a from-scratch
-    encode with the same books (value-checked by ann_pq_index_append
-    against the full-corpus oracle). The encode is ONE map-only
-    projection over the DELTA (codebooks collected once — KBs — and
-    inlined as expressions, _frozen_encode_exprs), plus one
-    column-pruned validation scan; no joins, no shuffles."""
-    books = spark.read.parquet(f"{path}/books")
-    cid_type = dict(books.dtypes)["cid"]
-    rows = books.select("sub", "cid", "cvec").collect()
-    m, sub_w = _books_geometry_from_rows(rows, dim, "append_pq_index")
+    FROZEN codebooks (read from ``path/books``, or passed preloaded via
+    ``books_model`` = load_pq_books(...) when one run appends many
+    deltas) and append the codes — the codebook files are never touched.
+    Per-subspace nearest-centroid assignment is deterministic given the
+    codebooks, so append ≡ re-encode of the union: probes over the
+    appended index match a from-scratch encode with the same books
+    (value-checked by ann_pq_index_append against the full-corpus
+    oracle). The encode is ONE map-only projection over the DELTA
+    (codebooks collected once — KBs — and inlined as expressions,
+    _frozen_encode_exprs), plus one column-pruned validation scan; no
+    joins, no shuffles."""
+    rows, cid_type, m, sub_w = books_model or load_pq_books(
+        spark, path, dim, "append_pq_index"
+    )
     base = corpus_delta.select(
         F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("__v")
     )
@@ -1473,6 +1488,16 @@ def write_ivfpq_index(
     ).write.mode("overwrite").partitionBy("cell_id").parquet(f"{path}/codes")
 
 
+def load_ivfpq_model(spark, path: str, dim: int, who: str = "load_ivfpq_model"):
+    """Read both frozen IVF-PQ models once: (cents_df (checkpointed),
+    book rows, cid_type, m, sub_w). Same many-deltas-per-run rationale
+    as load_pq_books — the streaming ingest otherwise re-reads and
+    re-collects both models every micro-batch."""
+    cents = spark.read.parquet(f"{path}/cents").localCheckpoint()
+    rows, cid_type, m, sub_w = load_pq_books(spark, path, dim, who)
+    return cents, rows, cid_type, m, sub_w
+
+
 def append_ivfpq_index(
     spark,
     corpus_delta: DataFrame,
@@ -1480,6 +1505,7 @@ def append_ivfpq_index(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    model=None,
 ) -> None:
     """Incremental IVF-PQ maintenance — both models FROZEN: assign the
     new batch with the persisted coarse centroids, form residuals,
@@ -1493,12 +1519,12 @@ def append_ivfpq_index(
     inlined as expressions, _frozen_encode_exprs) over the DELTA only —
     the daily-ingest cost at 100 TB; hot-cell fragment buildup is
     maintenance.compact_ivf_index's job (layout-preserving;
-    compact_append_store refuses cell_id= dirs)."""
-    cents = spark.read.parquet(f"{path}/cents")
-    books = spark.read.parquet(f"{path}/books")
-    cid_type = dict(books.dtypes)["cid"]
-    rows = books.select("sub", "cid", "cvec").collect()
-    m, sub_w = _books_geometry_from_rows(rows, dim, "append_ivfpq_index")
+    compact_append_store refuses cell_id= dirs). ``model`` =
+    load_ivfpq_model(...) skips the per-call model re-read when one run
+    appends many deltas."""
+    cents, rows, cid_type, m, sub_w = model or load_ivfpq_model(
+        spark, path, dim, "append_ivfpq_index"
+    )
     c = corpus_delta.select(
         F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("v")
     )

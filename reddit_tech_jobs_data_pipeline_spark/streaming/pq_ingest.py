@@ -61,10 +61,15 @@ def ingest_batch_pq(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    books_model=None,
 ) -> None:
     """Encode one micro-batch with the index's frozen books and append
     its codes, idempotently: vectors whose id already has a code are
-    dropped (replay skip — a column-pruned anti-join on vec_id)."""
+    dropped (replay skip — a column-pruned anti-join on vec_id).
+    ``books_model`` (similarity.load_pq_books) lets a multi-batch run
+    load the frozen model once instead of re-reading it per batch; a
+    crash-replay in a fresh process simply reloads from disk — the
+    model is immutable after the build, so the encode is identical."""
     sp = batch.sparkSession
     codes_path = f"{index_path}/codes"
 
@@ -85,7 +90,10 @@ def ingest_batch_pq(
         )
     if new.isEmpty():
         return  # full replay: no empty fragment appended
-    similarity.append_pq_index(sp, new, index_path, dim=dim, id_col=id_col, vec_col=vec_col)
+    similarity.append_pq_index(
+        sp, new, index_path, dim=dim, id_col=id_col, vec_col=vec_col,
+        books_model=books_model,
+    )
 
 
 def run_pq_ingest_batchlike(
@@ -125,9 +133,12 @@ def run_pq_ingest_batchlike(
         emb.filter(F.col("vec_id") % n_tags == 0), m=m, ks=ks, train_iters=1, dim=dim
     )
     books.coalesce(1).write.mode("overwrite").parquet(f"{index}/books")
+    # frozen model loaded ONCE for the whole drain — per-batch reload
+    # was a parquet read + collect inside every micro-batch
+    books_model = similarity.load_pq_books(spark, index, dim, "stream_pq_ingest")
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:
-        ingest_batch_pq(batch, index, dim=dim)
+        ingest_batch_pq(batch, index, dim=dim, books_model=books_model)
         # flat codes table: the plain append-store compaction applies
         maintenance.run_store_maintenance(
             batch.sparkSession,
@@ -169,12 +180,14 @@ def ingest_batch_ivfpq(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    model=None,
 ) -> None:
     """Assign + residual-encode one micro-batch with the index's frozen
     coarse centroids AND residual codebooks, appending into the
     cell_id= directories, idempotently (column-pruned anti-join on the
     codes table's vec_ids — partition columns and m+1 small ints, never
-    raw vectors)."""
+    raw vectors). ``model`` (similarity.load_ivfpq_model) lets a
+    multi-batch run load both frozen models once — see ingest_batch_pq."""
     sp = batch.sparkSession
     codes_path = f"{index_path}/codes"
 
@@ -193,7 +206,7 @@ def ingest_batch_ivfpq(
     if new.isEmpty():
         return
     similarity.append_ivfpq_index(
-        sp, new, index_path, dim=dim, id_col=id_col, vec_col=vec_col
+        sp, new, index_path, dim=dim, id_col=id_col, vec_col=vec_col, model=model
     )
 
 
@@ -252,9 +265,12 @@ def run_ivfpq_ingest_batchlike(
         centroids=cents,
     )
     shutil.rmtree(f"{index}/codes")
+    # both frozen models loaded ONCE for the whole drain (see the PQ
+    # runner) — per-batch reload was 2 parquet reads + a collect each
+    ivfpq_model = similarity.load_ivfpq_model(spark, index, dim, "stream_ivfpq_ingest")
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:
-        ingest_batch_ivfpq(batch, index, dim=dim)
+        ingest_batch_ivfpq(batch, index, dim=dim, model=ivfpq_model)
         # layout-preserving compaction: cell_id= dirs must survive
         codes = f"{index}/codes"
         if maintenance_every > 0 and (batch_id + 1) % maintenance_every == 0:
