@@ -29,6 +29,31 @@ ITER_ROWS_PER_PARTITION = 2_000_000
 
 
 @contextlib.contextmanager
+def no_adaptive(spark: SparkSession):
+    """Disable AQE for an explicit-broadcast iterative loop, then restore.
+
+    AQE's per-query-stage execution splits every eager loop action
+    (localCheckpoint, convergence probe) into one job per shuffle stage;
+    in a loop whose join strategy is already fixed by explicit
+    ``F.broadcast`` hints (the oracle-parity pagerank / broadcast BFS —
+    test-SF paths by design), its runtime re-planning has nothing left
+    to decide and only multiplies scheduling round-trips. Measured at
+    sf0.1: pagerank_suppliers 7.3-9.1 s / 28 jobs with AQE vs
+    4.9-6.8 s / 14 jobs without, identical results. Loops whose join
+    sizes AQE must judge at runtime (the CC star-contraction, the
+    commutative scale modes) measured the OPPOSITE (combined_dedup
+    _clusters 9-12 s with AQE vs 15.4 s without: the runtime
+    broadcast-join conversion pays for the extra jobs) — so this is
+    opt-in per loop, not session config."""
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+@contextlib.contextmanager
 def iterative_shuffle_partitions(spark: SparkSession, rows: int | None = None):
     """Pin ``spark.sql.shuffle.partitions`` for an iterative operator's
     eager loop, then restore.
@@ -109,8 +134,12 @@ def bfs_min_hops(
     if broadcast:
         # test-SF mode by design (frontier/visited ship to every task):
         # fixed pin, derivation materializes lazily under it — unchanged
-        # cost profile
-        with iterative_shuffle_partitions(spark):
+        # cost profile. AQE off for the loop: every join is explicitly
+        # broadcast, so AQE only splits the per-level eager actions into
+        # per-stage jobs (measured 18 -> 13 jobs, ~4.3 -> ~3.4 s at
+        # sf0.1 — see no_adaptive; the billion-node mode below keeps AQE
+        # for its runtime join sizing).
+        with iterative_shuffle_partitions(spark), no_adaptive(spark):
             return _bfs_min_hops(spark, prepared, seed, max_hops, broadcast)
     # billion-node mode: materialize + count OUTSIDE the pinned context
     # (the edge derivation is a full-data shuffle that belongs at session
@@ -232,7 +261,16 @@ def pagerank(
     # loop optimum of 8.
     edges = edges.cache()
     n_edges = edges.count()
-    with iterative_shuffle_partitions(edges.sparkSession, rows=n_edges):
+    spark = edges.sparkSession
+    if not commutative:
+        # oracle-parity loop: every join is explicitly broadcast, so AQE
+        # has nothing to re-plan and only splits each eager iteration
+        # into per-stage jobs (measured 28 -> 14 jobs, ~7.3 -> ~4.9 s at
+        # sf0.1 — see no_adaptive). The commutative scale mode KEEPS AQE:
+        # its rank join sizes are runtime decisions.
+        with iterative_shuffle_partitions(spark, rows=n_edges), no_adaptive(spark):
+            return _pagerank(edges, damping, iterations, commutative, symmetric, seeds)
+    with iterative_shuffle_partitions(spark, rows=n_edges):
         return _pagerank(edges, damping, iterations, commutative, symmetric, seeds)
 
 
