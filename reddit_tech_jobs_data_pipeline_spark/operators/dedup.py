@@ -783,8 +783,12 @@ def _cluster_near_dups_star(edges: DataFrame, max_iter: int) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    from reddit_tech_jobs_data_pipeline_spark.plandump import dump_stage_plan
+
     for _ in range(max_iter):
-        nxt = _star_edges(_star_edges(edges, large=True), large=False).localCheckpoint()
+        round_df = _star_edges(_star_edges(edges, large=True), large=False)
+        dump_stage_plan(round_df, "cc_star_round")
+        nxt = round_df.localCheckpoint()
         stable = (
             nxt.join(edges, ["u", "v"], "left_anti").limit(1).isEmpty()
             and edges.join(nxt, ["u", "v"], "left_anti").limit(1).isEmpty()
@@ -1253,12 +1257,16 @@ def semantic_dedup(
         assign_clusters_two_level,
         lloyd_kmeans,
     )
+    from reddit_tech_jobs_data_pipeline_spark.operators.parallelism import fan_out
     from reddit_tech_jobs_data_pipeline_spark.operators.similarity import cosine
 
     vecs = emb.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
+    # assignment is a CPU-bound narrow stage; repair small-scan
+    # parallelism once here (assign_clusters no longer fans out per call)
+    vecs = fan_out(vecs)
     cents = lloyd_kmeans(
         emb, k=k, dim=dim, iterations=train_iters,
         id_col=id_col, vec_col=vec_col, commutative=commutative,

@@ -24,6 +24,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from reddit_tech_jobs_data_pipeline_spark.plandump import dump_stage_plan
+
 
 ITER_ROWS_PER_PARTITION = 2_000_000
 
@@ -44,7 +46,12 @@ def no_adaptive(spark: SparkSession):
     commutative scale modes) measured the OPPOSITE (combined_dedup
     _clusters 9-12 s with AQE vs 15.4 s without: the runtime
     broadcast-join conversion pays for the extra jobs) — so this is
-    opt-in per loop, not session config."""
+    opt-in per loop, not session config. ``SPARK_GRAFT_LOOP_AQE=on``
+    makes this a no-op — the measurement knob the interleaved keep-or-
+    revert A/Bs use (same affordance as SPARK_GRAFT_ITER_PARTITIONS)."""
+    if os.environ.get("SPARK_GRAFT_LOOP_AQE") == "on":
+        yield
+        return
     old = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
@@ -131,21 +138,22 @@ def bfs_min_hops(
         .distinct()
         .cache()
     )
-    if broadcast:
-        # test-SF mode by design (frontier/visited ship to every task):
-        # fixed pin, derivation materializes lazily under it — unchanged
-        # cost profile. AQE off for the loop: every join is explicitly
-        # broadcast, so AQE only splits the per-level eager actions into
-        # per-stage jobs (measured 18 -> 13 jobs, ~4.3 -> ~3.4 s at
-        # sf0.1 — see no_adaptive; the billion-node mode below keeps AQE
-        # for its runtime join sizing).
-        with iterative_shuffle_partitions(spark), no_adaptive(spark):
-            return _bfs_min_hops(spark, prepared, seed, max_hops, broadcast)
-    # billion-node mode: materialize + count OUTSIDE the pinned context
-    # (the edge derivation is a full-data shuffle that belongs at session
-    # sizing — measured at sf1.0, deriving under a pinned 8 made bfs 2.5×
-    # slower) and size the loop's pin from the count
+    # BOTH modes: materialize + count OUTSIDE the pinned context. The
+    # edge derivation (typically a fact-scale co-occurrence join) is a
+    # full-data shuffle that belongs at session sizing — measured at
+    # sf1.0, deriving under a pinned 8 made bfs 2.5× slower, and r14's
+    # driver bench showed the broadcast mode regressing (3.0 → 4.0 s)
+    # when no_adaptive landed while its derivation still filled lazily
+    # UNDER the pin with AQE off. The count sizes the loop's pin (test
+    # SF resolves to the measured optimum of 8 either way).
     n_edges = prepared.count()
+    if broadcast:
+        # AQE off for the loop only: every join is explicitly broadcast,
+        # so AQE has nothing to re-plan and only splits the per-level
+        # eager actions into per-stage jobs (see no_adaptive; the
+        # billion-node mode below keeps AQE for its runtime join sizing).
+        with iterative_shuffle_partitions(spark, rows=n_edges), no_adaptive(spark):
+            return _bfs_min_hops(spark, prepared, seed, max_hops, broadcast)
     with iterative_shuffle_partitions(spark, rows=n_edges):
         return _bfs_min_hops(spark, prepared, seed, max_hops, broadcast)
 
@@ -183,13 +191,16 @@ def _bfs_min_hops(
             # node) broadcasts into the anti-join. broadcast=False: the
             # identical joins hash-partition on the node key instead —
             # the billion-node plan, one shuffle per level.
-            frontier = (
+            nxt = (
                 edges.join(hint(frontier), edges.src == frontier.node)
                 .select(F.col("dst").alias("node"))
                 .distinct()
                 .join(hint(visited.select("node")), "node", "left_anti")
-                .localCheckpoint()
             )
+            dump_stage_plan(
+                nxt, "bfs_level_" + ("broadcast" if broadcast else "hash")
+            )
+            frontier = nxt.localCheckpoint()
             if frontier.isEmpty():
                 break
             visited = visited.unionByName(
@@ -360,21 +371,24 @@ def _pagerank(
                         ).alias("in_sum"),
                     )
                 )
-            pr = (
-                nodes.join(summed, "node", "left")
-                .select(
-                    "node",
-                    (
-                        teleport
-                        + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
-                    ).alias("pr"),
-                )
-                # eager localCheckpoint per iteration: the next iteration
-                # re-reads pr, which would otherwise re-execute the whole
-                # accumulated lineage (iteration i re-runs 1..i-1); it also
-                # keeps the final plan O(1) instead of O(iterations) deep
-                .localCheckpoint()
+            nxt = nodes.join(summed, "node", "left").select(
+                "node",
+                (
+                    teleport
+                    + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("pr"),
             )
+            dump_stage_plan(
+                nxt,
+                "pagerank_iter_"
+                + ("commutative" if commutative else "ordered")
+                + ("_seeded" if seeds else ""),
+            )
+            # eager localCheckpoint per iteration: the next iteration
+            # re-reads pr, which would otherwise re-execute the whole
+            # accumulated lineage (iteration i re-runs 1..i-1); it also
+            # keeps the final plan O(1) instead of O(iterations) deep
+            pr = nxt.localCheckpoint()
         # the last localCheckpoint already materialized pr, so the caches
         # can be released before returning — nothing leaks past the call
         return pr

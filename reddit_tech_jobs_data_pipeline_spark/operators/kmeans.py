@@ -56,13 +56,13 @@ def assign_clusters(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     and `array_min` over (dist, cid) structs is exactly the old
     (dist asc, cid asc) tie-break — a unique total order, so the result
     is independent of the array's element order and bit-identical to
-    the window form (oracle-gated by every kmeans/PQ/SemDeDup query)."""
-    from reddit_tech_jobs_data_pipeline_spark.operators.parallelism import fan_out
+    the window form (oracle-gated by every kmeans/PQ/SemDeDup query).
 
-    # the argmin is now a CPU-bound NARROW stage, so a small scan's
-    # 1-split parallelism would serialize it on one core — repair
-    # conditionally (no-op at scale where the scan has many splits)
-    vecs = fan_out(vecs)
+    The argmin is a CPU-bound NARROW stage, so callers whose vecs come
+    straight off a small scan should ``fan_out`` them first (lloyd_kmeans
+    does this ONCE at entry — hoisted r15 per r14 ADVICE: calling it here
+    forced physical planning of the growing iterative plan every
+    iteration and, on small inputs, a fresh repartition per round)."""
     cent_arr = centroids.agg(
         F.collect_list(F.struct("cid", "cvec")).alias("__cents")
     )
@@ -149,10 +149,16 @@ def lloyd_kmeans(
     ``update_centroids``); default is the bit-exact ordered fold."""
     if iterations < 1:
         raise ValueError("lloyd_kmeans requires iterations >= 1 (state is produced by the update step)")
+    from reddit_tech_jobs_data_pipeline_spark.operators.parallelism import fan_out
+
     vecs = emb.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
+    # the per-iteration assignment is a CPU-bound narrow stage; repair a
+    # small scan's 1-split parallelism ONCE before the loop (was inside
+    # assign_clusters, where every iteration re-planned and re-shuffled)
+    vecs = fan_out(vecs)
     w = Window.orderBy("vec_id")
     centroids = (
         vecs.orderBy("vec_id")

@@ -63,6 +63,28 @@ def partition_dirs(spark: SparkSession, path: str) -> list[str]:
     return sorted(cols)
 
 
+def partition_values(spark: SparkSession, path: str, col: str) -> list[str]:
+    """The distinct values of Hive-style partition column ``col`` under
+    ``path``, read from the DIRECTORY NAMES (``col=value``) — the same
+    metadata Spark's partition discovery uses, at FS-listing cost
+    instead of a Spark job. ``compact(partition_col=...)`` sizes its
+    rewrite from this: the former ``select(col).distinct().count()``
+    launched a full scan-shaped job per compaction call, which inside a
+    streaming maintenance cadence is one extra job per compaction for a
+    number the directory listing already knows (r15, guide §1.2)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    vals: list[str] = []
+    prefix = col + "="
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(prefix):
+            vals.append(name[len(prefix):])
+    return sorted(vals)
+
+
 def compact(
     spark: SparkSession,
     path: str,
@@ -88,7 +110,10 @@ def compact(
     if partition_col is None:
         df.repartition(n_out).write.mode("overwrite").parquet(staging)
     else:
-        n_parts = df.select(partition_col).distinct().count()
+        # partition count from the col=value directory names — no job
+        # (see partition_values); a partitioned table with zero dirs
+        # cannot occur here (compact is only called on existing stores)
+        n_parts = len(partition_values(spark, path, partition_col))
         per_part = max(1, math.ceil(n_out / max(n_parts, 1)))
         # staging keeps the partitioned directory layout — downstream
         # partition pruning and PARTITION_COL-based rewrites

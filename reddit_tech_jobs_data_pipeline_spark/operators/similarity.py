@@ -312,7 +312,16 @@ def ivf_assign_cells(
     key (0.0 − cscore, cell_id) is the old (cscore DESC, cell_id ASC)
     — `0.0 − x` rather than `−x` so a ±0.0 score cannot produce a
     −0.0 ordering artifact — and is a unique total order, so the
-    result is independent of the array's element order."""
+    result is independent of the array's element order.
+
+    NaN scores are OUT OF CONTRACT (r14 ADVICE): a zero-norm centroid
+    yields cosine = 0/0 = NaN against every vector, which the old
+    ``orderBy(cscore.desc())`` ranked FIRST (NaN is greatest in Spark's
+    ordering) while this ascending sort on 0.0 − cscore ranks it LAST.
+    No caller can produce a zero-norm centroid (IVF centroids are means
+    of unit-normalized embeddings; the training-free seeds are raw
+    nonzero vectors), so the forms agree on every reachable input — but
+    callers introducing degenerate centroids must normalize first."""
     # NOTE: parallelism repair (fan_out) is the CALLER's job on the
     # corpus side — this runs on tiny query sets too (every probe), and
     # an unconditional repartition there is pure overhead

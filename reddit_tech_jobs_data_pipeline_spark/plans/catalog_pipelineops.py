@@ -825,7 +825,12 @@ def personalized_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
     from reddit_tech_jobs_data_pipeline_spark.operators.graph import pagerank
 
     lineitem = _t(spark, sf_dir, "lineitem")
-    edges = cooccurrence_edges(lineitem, "l_partkey", "l_suppkey")
+    # cache BEFORE the seeds collect: the collect otherwise executes the
+    # full co-supply self-join once just to read 2 node ids, and
+    # pagerank() then re-derives it from scratch (r15 — one derivation,
+    # two consumers; pagerank's own cache() is idempotent on this plan
+    # and its unpersist drops the entry when done)
+    edges = cooccurrence_edges(lineitem, "l_partkey", "l_suppkey").cache()
     seeds = [
         r.node
         for r in edges.select(F.col("src").alias("node"))
@@ -855,7 +860,9 @@ def personalized_pagerank_suppliers_scale(spark: SparkSession, sf_dir: str) -> D
     from reddit_tech_jobs_data_pipeline_spark.operators.graph import pagerank
 
     lineitem = _t(spark, sf_dir, "lineitem")
-    edges = cooccurrence_edges(lineitem, "l_partkey", "l_suppkey")
+    # cache before the seeds collect — one derivation, two consumers
+    # (see personalized_pagerank_suppliers)
+    edges = cooccurrence_edges(lineitem, "l_partkey", "l_suppkey").cache()
     seeds = [
         r.node
         for r in edges.select(F.col("src").alias("node"))

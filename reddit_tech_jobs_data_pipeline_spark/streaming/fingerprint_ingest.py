@@ -32,11 +32,9 @@ after interrupted-compaction-swap repair (_recover_or_first_batch).
 
 from __future__ import annotations
 
-import glob
 import os
 import shutil
 import tempfile
-import time as _time
 from collections.abc import Callable
 
 from pyspark.errors import AnalysisException

@@ -57,7 +57,11 @@ def write_tag_files(
         parts = glob.glob(os.path.join(tmp, f"__tag={i}", "part-*.parquet"))
         if not parts:
             continue
-        assert len(parts) == 1, f"tag {i} split across {len(parts)} files"
+        if len(parts) != 1:
+            # ValueError (not assert) so the one-file-per-tag invariant
+            # survives python -O and a maxRecordsPerFile split can never
+            # silently drop rows from the staged fixture (r14 ADVICE)
+            raise ValueError(f"tag {i} split across {len(parts)} files")
         dest = os.path.join(src_dir, f"{prefix}{i}.parquet")
         os.replace(parts[0], dest)
         t = now - (n_tags - i) * 50

@@ -23,11 +23,22 @@ from reddit_tech_jobs_data_pipeline_spark.session import get_spark
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    args: list[str] = []
     passes = 2
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--passes"):
-            passes = int(a.split("=", 1)[1])
+            # accept --passes=N and --passes N (r14 ADVICE)
+            if "=" in a:
+                passes = int(a.split("=", 1)[1])
+            else:
+                i += 1
+                passes = int(argv[i])
+        else:
+            args.append(a)
+        i += 1
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("query_profile")
     reg = get_registry()
@@ -47,7 +58,6 @@ def main() -> None:
         best, best_jobs = float("inf"), 0
         for _ in range(passes):
             spark.catalog.clearCache()
-            jobs_before = max(tracker.getJobIdsForGroup() or [0], default=0)
             all_before = len(tracker.getJobIdsForGroup())
             t0 = time.perf_counter()
             run(name)
