@@ -748,7 +748,15 @@ def cluster_near_dups_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         return _cluster_near_dups_star(edges, max_iter)
 
 
-def _star_edges(e: DataFrame, large: bool) -> DataFrame:
+def _star_edges(e: DataFrame, large: bool, dedup: bool = True) -> DataFrame:
+    """One star-contraction phase. ``dedup=False`` skips the trailing
+    ``.distinct()`` — ONE exchange less per phase (r15, guide §2.4):
+    every consumer of a phase's output is duplicate-insensitive (the
+    next phase's ``groupBy(...).agg(min)`` is map-side combined, its
+    join only multiplies rows the round's FINAL distinct collapses, and
+    the convergence check is a pair of set-semantics anti-joins), so
+    only the round's last phase needs the dedup, which also bounds
+    duplicate growth across rounds."""
     if large:
         d = e.unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -769,10 +777,22 @@ def _star_edges(e: DataFrame, large: bool) -> DataFrame:
         )
         mins = o.groupBy("c").agg(F.min("w").alias("m"))
         joined = o.join(mins, "c")
-        out = joined.select(F.col("w").alias("u"), F.col("m").alias("v")).unionByName(
-            joined.select(F.col("c").alias("u"), F.col("m").alias("v"))
-        )
-    return out.filter(F.col("u") != F.col("v")).distinct()
+        # (w→m) ∪ (c→m) emitted as ONE explode over a 2-struct array,
+        # not a self-union: a union would reference ``joined`` twice and
+        # duplicate the whole upstream subtree into both branches (the
+        # r15 plan audit showed the large-star join executing twice once
+        # its trailing distinct no longer provided a reusable exchange
+        # boundary); same rows, row order irrelevant pre-distinct
+        out = joined.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("w").alias("u"), F.col("m").alias("v")),
+                    F.struct(F.col("c").alias("u"), F.col("m").alias("v")),
+                )
+            ).alias("__p")
+        ).select("__p.u", "__p.v")
+    out = out.filter(F.col("u") != F.col("v"))
+    return out.distinct() if dedup else out
 
 
 def _cluster_near_dups_star(edges: DataFrame, max_iter: int) -> DataFrame:
@@ -786,7 +806,9 @@ def _cluster_near_dups_star(edges: DataFrame, max_iter: int) -> DataFrame:
     from reddit_tech_jobs_data_pipeline_spark.plandump import dump_stage_plan
 
     for _ in range(max_iter):
-        round_df = _star_edges(_star_edges(edges, large=True), large=False)
+        round_df = _star_edges(
+            _star_edges(edges, large=True, dedup=False), large=False
+        )
         dump_stage_plan(round_df, "cc_star_round")
         nxt = round_df.localCheckpoint()
         stable = (

@@ -114,6 +114,7 @@ def bfs_min_hops(
     src: str = "src",
     dst: str = "dst",
     broadcast: bool = True,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Min-hop distance from ``seed`` to every node within ``max_hops``.
 
@@ -121,6 +122,14 @@ def bfs_min_hops(
     directions). Returns (node, hops) with hops = shortest path length,
     0 for the seed itself. Matches the SQL ``WITH RECURSIVE`` +
     ``GROUP BY node → min(depth)`` formulation exactly.
+
+    ``assume_distinct=True`` skips the defensive edge dedup — one full
+    edge-table exchange (r15, guide §2.4 "a distinct on data that is
+    already unique"): callers whose edge list is distinct BY CONSTRUCTION
+    (``cooccurrence_edges`` output: a distinct half mirrored into two
+    disjoint directions) pass it; BFS results are identical either way
+    (each level's frontier is deduplicated), the distinct only
+    right-sizes the per-level join input when callers pass dirty edges.
 
     ``broadcast=True`` ships the frontier and visited sets to every
     task — the right plan while both fit on one machine (the common
@@ -133,11 +142,10 @@ def bfs_min_hops(
     graph identically.
     """
     spark = edges.sparkSession
-    prepared = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .cache()
-    )
+    prepared = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        prepared = prepared.distinct()
+    prepared = prepared.cache()
     # BOTH modes: materialize + count OUTSIDE the pinned context. The
     # edge derivation (typically a fact-scale co-occurrence join) is a
     # full-data shuffle that belongs at session sizing — measured at

@@ -312,7 +312,9 @@ _BFS_SQL = """
 def bfs_supplier_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem")
     edges = cooccurrence_edges(lineitem, "l_partkey", "l_suppkey")
-    return bfs_min_hops(edges, seed=1, max_hops=2)
+    # cooccurrence_edges output is distinct by construction -> skip
+    # the operator's defensive edge dedup (one 999k-row exchange at sf0.1)
+    return bfs_min_hops(edges, seed=1, max_hops=2, assume_distinct=True)
 
 
 @register(
@@ -329,7 +331,9 @@ def bfs_supplier_reachability_scale(spark: SparkSession, sf_dir: str) -> DataFra
     broadcasting is a physical hint, not a semantic one."""
     lineitem = _t(spark, sf_dir, "lineitem")
     edges = cooccurrence_edges(lineitem, "l_partkey", "l_suppkey")
-    return bfs_min_hops(edges, seed=1, max_hops=2, broadcast=False)
+    return bfs_min_hops(
+        edges, seed=1, max_hops=2, broadcast=False, assume_distinct=True
+    )
 
 
 # ===========================================================================
