@@ -511,7 +511,9 @@ def write_ivf_index(
     # cluster by cell before the partitioned write: one file per cell
     # per build instead of one per (task x cell) — guide §6 (the
     # pre-write hash distribution), and the probe opens fewer fragments
-    assigned.repartition("cell_id").write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    _cluster_for_partitioned_write(assigned, "cell_id").write.mode(
+        "overwrite"
+    ).partitionBy("cell_id").parquet(path)
 
 
 def append_ivf_index(
@@ -538,7 +540,28 @@ def append_ivf_index(
         F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("v")
     )
     assigned = ivf_assign_cells(fan_out(c), centroids, nprobe=1, id_col="neighbor_id")
-    assigned.repartition("cell_id").write.mode("append").partitionBy("cell_id").parquet(path)
+    _cluster_for_partitioned_write(assigned, "cell_id").write.mode(
+        "append"
+    ).partitionBy("cell_id").parquet(path)
+
+
+def _cluster_for_partitioned_write(df: DataFrame, col: str):
+    """Hash-cluster ``df`` by the partition column with an EXPLICIT task
+    count (defaultParallelism) before a ``partitionBy(col)`` write.
+
+    ``repartition(col)`` with no count is an advisory shuffle AQE's
+    partition coalescing happily collapses — at index scale the shuffled
+    bytes are tiny, so every partitioned index write was landing in ONE
+    task that initialized its few hundred parquet writers sequentially
+    (measured r15 at sf0.1: the 253-bucket SRP build write 4.4 s
+    coalesced vs 1.2-1.4 s spread; guide §2.6 idle capacity). An explicit
+    count pins the fan-out (AQE does not coalesce user-specified
+    repartitions) and keeps writer setup parallel on any cluster size,
+    while hashing on the column still lands ALL of a bucket's rows in
+    exactly one task — the ≤1 file per non-empty bucket per write
+    contract is untouched."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(col))
 
 
 def _books_geometry_from_rows(rows, dim: int, who: str) -> tuple[int, int]:
@@ -1492,8 +1515,8 @@ def write_ivfpq_index(
     codes = pq_encode_with_books(resid_emb, books, m, dim)
     cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/cents")
     books.coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
-    codes.join(resid.select("vec_id", "cell_id"), "vec_id").repartition(
-        "cell_id"
+    _cluster_for_partitioned_write(
+        codes.join(resid.select("vec_id", "cell_id"), "vec_id"), "cell_id"
     ).write.mode("overwrite").partitionBy("cell_id").parquet(f"{path}/codes")
 
 
@@ -1542,13 +1565,14 @@ def append_ivfpq_index(
     resid = assigned.join(F.broadcast(cents), "cell_id").select(
         "vec_id", "cell_id", F.zip_with("v", "cvec", lambda a, b: a - b).alias("r")
     )
-    resid.select(
-        "vec_id",
+    _cluster_for_partitioned_write(
+        resid.select(
+            "vec_id",
+            "cell_id",
+            *_frozen_encode_exprs("r", rows, m, sub_w, cid_type),
+        ),
         "cell_id",
-        *_frozen_encode_exprs("r", rows, m, sub_w, cid_type),
-    ).repartition("cell_id").write.mode("append").partitionBy("cell_id").parquet(
-        f"{path}/codes"
-    )
+    ).write.mode("append").partitionBy("cell_id").parquet(f"{path}/codes")
 
 
 def ivfpq_index_topk(
@@ -1835,11 +1859,14 @@ def write_srp_index(
     freeze beyond the plane literals themselves; the build is one
     signature projection + a partitioned write, and a probe reads only
     the queries' bucket directories."""
-    corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _dvec(F.col(vec_col)).alias("cvec"),
-        _srp_bucket(F.col(vec_col), planes).alias("sig"),
-    ).repartition("sig").write.mode("overwrite").partitionBy("sig").parquet(path)
+    _cluster_for_partitioned_write(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _dvec(F.col(vec_col)).alias("cvec"),
+            _srp_bucket(F.col(vec_col), planes).alias("sig"),
+        ),
+        "sig",
+    ).write.mode("overwrite").partitionBy("sig").parquet(path)
 
 
 def append_srp_index(
@@ -1857,11 +1884,14 @@ def append_srp_index(
     DELTA + a partitioned append; touched buckets gain a fragment,
     untouched buckets aren't rewritten (fragment buildup is
     maintenance.compact_ivf_index's job — same layout contract)."""
-    corpus_delta.select(
-        F.col(id_col).alias("neighbor_id"),
-        _dvec(F.col(vec_col)).alias("cvec"),
-        _srp_bucket(F.col(vec_col), planes).alias("sig"),
-    ).repartition("sig").write.mode("append").partitionBy("sig").parquet(path)
+    _cluster_for_partitioned_write(
+        corpus_delta.select(
+            F.col(id_col).alias("neighbor_id"),
+            _dvec(F.col(vec_col)).alias("cvec"),
+            _srp_bucket(F.col(vec_col), planes).alias("sig"),
+        ),
+        "sig",
+    ).write.mode("append").partitionBy("sig").parquet(path)
 
 
 def srp_index_topk(
