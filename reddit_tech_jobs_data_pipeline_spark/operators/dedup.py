@@ -744,6 +744,13 @@ def cluster_near_dups_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    # AQE stays ON for the contraction loop — re-measured r15 on the new
+    # linear round plan (explode-union small star): AQE-off cuts the
+    # per-round job count 49 -> 15 but the pinned sort-merge rounds cost
+    # more than the scheduling (image-CC warm 3.4-3.7 s off vs
+    # 2.9-3.05 s on, 3 interleaved A/Bs) — AQE's runtime broadcast
+    # conversion of the star joins is worth its extra jobs here, the
+    # same conclusion r14 reached on the old two-branch plan.
     with iterative_shuffle_partitions(pairs.sparkSession, rows=edges.count()):
         return _cluster_near_dups_star(edges, max_iter)
 
